@@ -1,0 +1,131 @@
+"""Reusable Column-expression operators (the engine's scalar library).
+
+Everything here is a native Column expression — JVM-side, inside
+whole-stage codegen, zero Python UDFs. This mirrors SURVEY.md §2.9:
+every reference "UDF" (pandas .apply) is expressible as Column algebra.
+
+Reference parity notes (file:line into /root/reference):
+- bucket_case       ← create_price_segment, streamlit/utils/constants.py:26-48
+- fixed_width_bin   ← pd.cut 20k-km bins + clip, streamlit/pages/price_analysis.py:139-148
+- synonym_remap     ← standardize_location, streamlit/pages/regional_analysis.py:15-32
+- share_pct         ← (mask).mean()*100, streamlit/pages/price_analysis.py:115-117
+- capitalize        ← .str.capitalize(), streamlit/pages/market_overview.py:137
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Deterministic aggregates over doubles.
+#
+# Spark sums partition-by-partition, DuckDB sums morsel-by-morsel; float
+# addition is not associative, so a plain sum(double) over ~1e5 rows can
+# differ in the last few ulps. Worse, round() itself is engine-specific
+# at exact decimal boundaries (Spark rounds the double's shortest string
+# repr via BigDecimal.valueOf; DuckDB rounds the exact binary value), so
+# "round both sides" does NOT fix it for money-like data that lands on
+# boundaries constantly.
+#
+# The deterministic recipe used engine-wide instead:
+#   * cast each addend to DECIMAL(18,6) — exact, order-independent sums
+#     in both engines (source data has ≤6 decimal digits, so the cast is
+#     exact, not a rounding);
+#   * cast the final sum back to double — nearest-double is identical on
+#     both sides;
+#   * NO round() anywhere on deterministic values. Rounding is reserved
+#     for genuinely algorithm-dependent aggregates (corr, stddev,
+#     interpolated quantiles, float cosines), where boundary values have
+#     measure zero.
+# At 100 TB this costs nothing: a decimal sum is still a partial
+# (map-side) aggregate with the same shuffle shape.
+# ---------------------------------------------------------------------------
+
+_DEC = "decimal(18,6)"
+
+
+def dsum(col: Column | str) -> Column:
+    """Order-independent (exact) sum of a double column, as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(_DEC)).cast("double")
+
+
+def davg(col: Column | str) -> Column:
+    """Order-independent mean: exact decimal sum / count, as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(_DEC)).cast("double") / F.count(c)
+
+
+def oracle_dsum(expr: str) -> str:
+    """The DuckDB twin of :func:`dsum` (same decimal lattice)."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+def oracle_davg(expr: str) -> str:
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE) / COUNT({expr})"
+
+
+# ---------------------------------------------------------------------------
+# Scalar operators
+# ---------------------------------------------------------------------------
+
+
+def bucket_case(
+    col: Column | str,
+    thresholds: Sequence[float],
+    labels: Sequence[str],
+) -> Column:
+    """Piecewise bucketing: value < thresholds[i] → labels[i]; else last label.
+
+    ``len(labels) == len(thresholds) + 1``. Chained ``when`` compiles to a
+    single CASE expression — one codegen branch, no UDF.
+    """
+    if len(labels) != len(thresholds) + 1:
+        raise ValueError("need len(labels) == len(thresholds) + 1")
+    c = F.col(col) if isinstance(col, str) else col
+    expr = F.when(c < F.lit(thresholds[0]), labels[0])
+    for t, lab in zip(thresholds[1:], labels[1:-1]):
+        expr = expr.when(c < F.lit(t), lab)
+    return expr.otherwise(labels[-1])
+
+
+def fixed_width_bin(col: Column | str, width: float, clip: float | None = None) -> Column:
+    """Left-closed fixed-width binning: floor(min(x, clip)/width) as bin id.
+
+    The reference's pd.cut is right-closed ``(a, b]``; we standardize on
+    left-closed ``[a, b)`` (the width_bucket convention) — a documented,
+    deliberate divergence (SURVEY.md §2 A8).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if clip is not None:
+        c = F.least(c, F.lit(float(clip)))
+    return F.floor(c / F.lit(float(width))).cast("bigint")
+
+
+def share_pct(pred: Column) -> Column:
+    """Aggregate: percentage of rows satisfying ``pred`` (null-safe).
+
+    Unrounded: sum-of-0/1 and the division are exact/IEEE-deterministic.
+    """
+    return F.avg(F.when(pred, F.lit(1.0)).otherwise(F.lit(0.0))) * 100.0
+
+
+def capitalize(col: Column | str) -> Column:
+    """Exact ``str.capitalize()``: first char upper, rest lower.
+
+    (``initcap`` capitalizes every word — not the same.)
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.concat(F.upper(F.substring(c, 1, 1)), F.lower(F.substring(c, 2, 2**31 - 1)))
+
+
+def synonym_remap(col: Column | str, mapping: dict[str, str]) -> Column:
+    """Dict-lookup remap with identity fallback (broadcastable literal map)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pairs: list[Column] = []
+    for k, v in mapping.items():
+        pairs.extend([F.lit(k), F.lit(v)])
+    return F.coalesce(F.element_at(F.create_map(*pairs), c), c)

@@ -1,0 +1,316 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Designed for the 100 TB corpus case:
+
+- exact:   one shuffle on a 128-bit content hash (partial agg first).
+- minhash: per-doc signature is a single codegen'd projection (no UDF);
+           LSH banding explodes to B rows/doc and shuffles on
+           (band_id, band_hash) — candidates only ever meet inside a
+           bucket, never O(n^2).
+- simhash: 64-bit signature via higher-order array algebra; banding on
+           16-bit chunks for Hamming-distance candidates.
+- ngram_jaccard: exact pairwise similarity via shingle inverted index —
+           the verifier for the sketch-based methods (use on candidate
+           pairs at scale; standalone it is O(pairs-sharing-a-shingle)).
+
+All hashes are xxhash64 with fixed seeds → fully deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from etl_mudah_spark.operators.text import WHITESPACE_RE
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+) -> DataFrame:
+    """Keep exactly one row per key with a deterministic survivor.
+
+    The reference's DISTINCT ON kept an arbitrary row (dags/dag.py:257);
+    we tie-break explicitly (SURVEY §2 D3). One shuffle on the key.
+    """
+    w = W.partitionBy(*key_cols).orderBy(*[F.asc(c) for c in order_cols])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling
+# ---------------------------------------------------------------------------
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (array<string>).
+
+    Pure array algebra: split → sequence → transform/slice → distinct.
+    """
+    w = F.split(F.trim(text), WHITESPACE_RE)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, n)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures as ``num_hashes`` min-hash columns h0..h{k-1}.
+
+    Hash family h_i(s) = xxhash64(concat(i, '|', s)) — salted hashes,
+    deterministic across runs.
+
+    Computed explode-style: one row per (doc, shingle), k hash columns,
+    then groupBy(doc).agg(min...). This beats the tempting
+    "array_min(transform(shingles, …)) × k" projection by a huge margin:
+    that form re-inlines the whole shingle expression k times and blows
+    up codegen (observed 100×+ slowdown); the explode form hashes each
+    shingle exactly k times and the partial (map-side) min-agg reduces
+    the shuffle to one row per doc per partition — the 100 TB-safe shape.
+    """
+    shingled = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_sh"),
+    )
+    hashed = shingled.select(
+        F.col(id_col),
+        *[
+            F.xxhash64(F.concat(F.lit(f"{i}|"), F.col("_sh"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding.
+
+    rows = num_hashes // bands hashes per band; two docs are candidates
+    iff at least one band hash collides. Returns distinct
+    (doc_a, doc_b) with doc_a < doc_b.
+
+    Scale: explode to ``bands`` rows per doc, shuffle on the band
+    bucket; a self-join happens only WITHIN buckets. Hot buckets (e.g.
+    boilerplate-heavy corpora) are the skew risk — AQE skew-join
+    handles moderate cases; pathological buckets should be count-capped
+    upstream.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.explode(band_arr).alias("band")).select(
+        F.col(id_col), F.col("band.band_id"), F.col("band.band_hash")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (also the verifier for sketch candidates)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via a shingle inverted index.
+
+    |A∩B| comes from counting shared shingles through the index (one
+    shuffle on shingle, one on the pair); |A∪B| = |A|+|B|−|A∩B|.
+    Returns (doc_a, doc_b, jaccard) with jaccard ≥ threshold.
+    """
+    shingled = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
+    )
+    sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "jaccard", F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH candidates verified with exact Jaccard.
+
+    The scale path: LSH prunes the pair space, exact verification runs
+    only on candidates. Returns (doc_a, doc_b, jaccard ≥ threshold).
+    """
+    cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, shingle_n)
+    sh = df.select(F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """64-bit SimHash of each doc's word multiset → (id_col, sig bigint).
+
+    bit_i(doc) = sign( Σ_words ±1 according to bit_i(xxhash64(word)) ).
+    Explode-style like :func:`minhash_signatures`: one row per word, 64
+    ±1 columns, partial-aggregated sums, sign bits folded into one
+    bigint. shiftleft(1, 63) wraps to the Java long sign bit — exactly
+    the bit pattern wanted, and bitwise OR never overflows.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), WHITESPACE_RE)).alias("_w"),
+    ).select(F.col(id_col), F.xxhash64(F.col("_w")).alias("_h"))
+    sums = words.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("bigint")
+    for i in range(64):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("bigint"), i)
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+    return sums.select(F.col(id_col), sig.alias("sig"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures (popcount of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash: band the 64-bit signature into 4
+    16-bit chunks (pigeonhole: d ≤ 3 ⇒ at least one chunk equal), meet
+    candidates in chunk buckets, verify exact Hamming distance.
+    """
+    sigs = simhash_signatures(df, id_col, text_col)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk_id"),
+                F.shiftright(F.col("sig"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk_val"),
+            )
+            for c in range(4)
+        ]
+    )
+    banded = sigs.select(id_col, "sig", F.explode(chunks).alias("ch")).select(
+        id_col, "sig", "ch.chunk_id", "ch.chunk_val"
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.chunk_id") == F.col("r.chunk_id"))
+            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+            hamming64(F.col("l.sig"), F.col("r.sig")).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

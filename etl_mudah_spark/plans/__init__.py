@@ -1,0 +1,12 @@
+"""Query plan library.
+
+Importing this package registers every declared query into
+``etl_mudah_spark.plans.registry.REGISTRY``.
+"""
+
+from etl_mudah_spark.plans import registry  # noqa: F401
+from etl_mudah_spark.plans import parity  # noqa: F401
+from etl_mudah_spark.plans import datapipe  # noqa: F401
+from etl_mudah_spark.plans import eventsq  # noqa: F401
+
+__all__ = ["registry", "parity", "datapipe", "eventsq"]

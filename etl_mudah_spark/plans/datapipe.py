@@ -1,0 +1,319 @@
+"""Training-data pipeline queries over documents/embeddings.
+
+The beyond-reference operator families (BASELINE.json north star):
+deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
+cosine), similarity search (brute-force + SRP-LSH ANN), and text
+analysis (lang-id, quality scoring, token counting, fingerprinting).
+
+SQL-expressible ops carry a DuckDB oracle; the sketch-based ops
+(MinHash, SimHash, SRP) depend on Spark's xxhash64 and are declared
+rows-only — their correctness is pinned by pytest oracles instead
+(tests/test_dedup.py computes exact Python answers on small corpora).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_mudah_spark.operators import dedup as dd
+from etl_mudah_spark.operators import similarity as sim
+from etl_mudah_spark.operators import text as tx
+from etl_mudah_spark.plans.registry import register
+from etl_mudah_spark.tables import load
+
+_WORDS_SQL = r"string_split_regex(trim(text), '\s+')"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+@register(
+    "doc_token_stats",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS cnt,
+           CAST(SUM(len({_WORDS_SQL})) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           CAST(SUM(len({_WORDS_SQL})) AS BIGINT) AS total_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="Whitespace token counting, aggregated per language.",
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", "n_chars", tx.token_count("text").alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("cnt"),
+            (F.sum("n_tok").cast("double") / F.count("*")).alias("avg_tokens"),
+            (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+@register(
+    "doc_quality",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id,
+               length(text) AS n_chars_m,
+               len({_WORDS_SQL}) AS n_tokens,
+               len(list_distinct({_WORDS_SQL})) AS n_types,
+               length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+               length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+        FROM documents
+    )
+    SELECT doc_id, n_chars_m, n_tokens,
+           (n_chars_m - (n_tokens - 1)) * 1.0 / n_tokens AS avg_token_len,
+           n_punct * 1.0 / n_chars_m AS punct_ratio,
+           n_digit * 1.0 / n_chars_m AS digit_ratio,
+           n_types * 1.0 / n_tokens AS type_token_ratio
+    FROM q
+    """,
+    doc="Per-document quality-scoring features (all int/int exact ratios).",
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return tx.quality_features(docs, "text").select(
+        "doc_id",
+        "n_chars_m",
+        "n_tokens",
+        "avg_token_len",
+        "punct_ratio",
+        "digit_ratio",
+        "type_token_ratio",
+    )
+
+
+@register(
+    "doc_lang_guess",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, lang, {_WORDS_SQL} AS words FROM documents
+    ), s AS (
+        SELECT doc_id, lang,
+               len(list_filter(words, x -> list_contains(['der','die','das','und','ist','nicht','ein'], lower(x)))) * 1.0 / len(words) AS s_de,
+               len(list_filter(words, x -> list_contains(['the','a','of','and','to','in','is','it'], lower(x)))) * 1.0 / len(words) AS s_en,
+               len(list_filter(words, x -> list_contains(['el','la','los','y','es','un','una'], lower(x)))) * 1.0 / len(words) AS s_es,
+               len(list_filter(words, x -> list_contains(['le','la','les','et','est','un','une'], lower(x)))) * 1.0 / len(words) AS s_fr
+        FROM w
+    ), g AS (
+        SELECT doc_id, lang,
+               CASE
+                 WHEN greatest(s_de, s_en, s_es, s_fr) < 0.05 THEN 'unknown'
+                 WHEN s_fr >= s_de AND s_fr >= s_en AND s_fr >= s_es THEN 'fr'
+                 WHEN s_es >= s_de AND s_es >= s_en THEN 'es'
+                 WHEN s_en >= s_de THEN 'en'
+                 ELSE 'de'
+               END AS lang_guess
+        FROM s
+    )
+    SELECT lang, lang_guess, COUNT(*) AS cnt FROM g GROUP BY lang, lang_guess
+    """,
+    doc="Stopword-overlap language-ID heuristic vs the labeled lang.",
+)
+def doc_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        tx.lang_id(docs, "text")
+        .groupBy("lang", "lang_guess")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+    doc="md5 content fingerprint over normalized text.",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.fingerprint(load(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+@register(
+    "doc_exact_dedup",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, md5(substr(text, 1, 40)) AS k FROM documents
+    ), kept AS (
+        SELECT doc_id FROM keyed
+        QUALIFY row_number() OVER (PARTITION BY k ORDER BY doc_id ASC) = 1
+    )
+    SELECT CAST((SELECT COUNT(*) FROM keyed) AS BIGINT) AS total_rows,
+           CAST((SELECT COUNT(*) FROM kept) AS BIGINT) AS kept_rows,
+           CAST((SELECT COUNT(*) FROM keyed) - (SELECT COUNT(*) FROM kept) AS BIGINT) AS removed_rows
+    """,
+    doc="Exact dedup on a 40-char-prefix hash key, deterministic survivor.",
+)
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "k", F.md5(F.substring("text", 1, 40))
+    )
+    total = docs.count()
+    kept = dd.exact_dedup(docs, ["k"], ["doc_id"]).count()
+    return spark.createDataFrame(
+        [(total, kept, total - kept)],
+        "total_rows bigint, kept_rows bigint, removed_rows bigint",
+    )
+
+
+@register(
+    "doc_ngram_jaccard",
+    oracle=r"""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ), shingles AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+        FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+        WHERE len(w) >= 3
+    ), counts AS (
+        SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        FROM shingles a
+        JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           common * 1.0 / (na.n + nb.n - common) AS jaccard
+    FROM inter
+    JOIN counts na ON na.doc_id = doc_a
+    JOIN counts nb ON nb.doc_id = doc_b
+    WHERE common * 1.0 / (na.n + nb.n - common) >= 0.2
+    """,
+    doc="Exact 3-gram Jaccard near-duplicate pairs (inverted index).",
+)
+def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), shingle_n=3, threshold=0.2
+    )
+
+
+@register(
+    "doc_minhash_near_dup",
+    oracle=None,  # xxhash64-seeded sketch — pinned by pytest oracle instead
+    doc="MinHash(32)+LSH(8 bands) candidates, exact-Jaccard verified ≥0.2.",
+)
+def doc_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_near_duplicates(
+        load(spark, sf_dir, "documents"), num_hashes=32, bands=8, threshold=0.2
+    )
+
+
+@register(
+    "doc_simhash_near_dup",
+    oracle=None,
+    doc="SimHash-64 near-duplicate pairs, Hamming ≤ 12 via chunk LSH.",
+)
+def doc_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash_near_duplicates(
+        load(spark, sf_dir, "documents"), max_hamming=12
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity
+# ---------------------------------------------------------------------------
+_COS_SQL = """
+    list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+    / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+       * sqrt(list_sum(list_transform(b.v, x -> x * x))))
+"""
+
+
+@register(
+    "emb_norm_stats",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS cnt,
+           ROUND(AVG(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))), 4) AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+    doc="Per-label embedding count and mean L2 norm.",
+)
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", sim.l2_norm(sim.as_double(F.col("embedding"))).alias("norm"))
+        .groupBy("label")
+        .agg(F.count("*").alias("cnt"), F.round(F.avg("norm"), 4).alias("avg_norm"))
+    )
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id, ROUND({_COS_SQL}, 4) AS cosine_sim
+    FROM e a, (SELECT v FROM e WHERE vec_id = 0) b
+    ORDER BY cosine_sim DESC, a.vec_id ASC
+    LIMIT 10
+    """,
+    doc="Exact cosine top-10 against the vec_id=0 query vector.",
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return sim.brute_force_topk(emb, [float(x) for x in qvec], k=10)
+
+
+@register(
+    "ann_srp_topk",
+    oracle=None,  # SRP bucket pruning — approximate by design
+    doc="SRP-LSH ANN top-10 (bucket-pruned scan).",
+)
+def ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return sim.srp_topk(emb, [float(x) for x in qvec], k=10, n_planes=8)
+
+
+@register(
+    "emb_cosine_near_dup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({_COS_SQL}, 4) AS cosine_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= 0.45
+    """,
+    doc="Exact embedding-cosine near-duplicate pairs (threshold 0.45).",
+)
+def emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        F.col("vec_id"), sim.as_double(F.col("embedding")).alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = sim.cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(cos >= 0.45)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cos, 4).alias("cosine_sim"),
+        )
+    )
+
+
+@register(
+    "emb_cosine_near_dup_lsh",
+    oracle=None,  # SRP-blocked variant: the 100 TB path, recall < 1
+    doc="SRP-LSH-blocked embedding near-dup pairs (scale path).",
+)
+def emb_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.cosine_near_duplicates(
+        load(spark, sf_dir, "embeddings"), threshold=0.45, n_planes=6
+    )

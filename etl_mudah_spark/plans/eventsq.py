@@ -1,0 +1,126 @@
+"""Event-stream queries (batch + Structured Streaming twins).
+
+The `events` table stands in for the reference's incremental ingest
+surface (SURVEY.md §2.8): time bucketing, JSON prop extraction,
+sessionization, dedup — each with a DuckDB oracle. The streaming
+variants run the SAME logical plan through a real streaming query and
+are checked against the SAME oracle (streaming == batch is the
+Structured Streaming contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from etl_mudah_spark.functions.core import dsum, oracle_dsum
+from etl_mudah_spark.plans.registry import register
+from etl_mudah_spark.streaming.pipeline import (
+    stream_dedup_events,
+    stream_hourly_event_counts,
+)
+from etl_mudah_spark.tables import load
+
+_HOURLY_ORACLE = f"""
+    SELECT date_trunc('hour', ts) AS hour_start,
+           event_type,
+           COUNT(*) AS cnt,
+           {oracle_dsum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+@register(
+    "events_hourly",
+    oracle=_HOURLY_ORACLE,
+    doc="Tumbling 1-hour buckets per event type (batch).",
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_start"), "event_type")
+        .agg(F.count("*").alias("cnt"), dsum("value").alias("total_value"))
+    )
+
+
+@register(
+    "events_stream_hourly",
+    oracle=_HOURLY_ORACLE,
+    doc="Same hourly aggregation via a real Structured Streaming query.",
+)
+def events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_hourly_event_counts(spark, sf_dir)
+
+
+@register(
+    "events_stream_dedup",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT event_id) AS cnt
+    FROM events GROUP BY event_type
+    """,
+    doc="Watermarked streaming dedup on event_id, counted per type.",
+)
+def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_dedup_events(spark, sf_dir)
+
+
+@register(
+    "events_json_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS DOUBLE)
+               / COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS avg_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="JSON property extraction (get_json_object) + grouped stats.",
+)
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("int")
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
+        F.max("k").cast("int").alias("max_k"),
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                         > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM g GROUP BY user_id
+    """,
+    doc="Gap-based sessionization (30-min inactivity) via lag window.",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    ev = load(spark, sf_dir, "events").withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+                > 30 * 60
+            ),
+            1,
+        ).otherwise(0),
+    )
+    return ev.groupBy("user_id").agg(
+        F.sum("new_session").cast("bigint").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )

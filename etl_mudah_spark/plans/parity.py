@@ -1,0 +1,756 @@
+"""Reference-parity queries (SURVEY.md §2) over the star-schema testdata.
+
+Each query re-expresses one operator family from the reference app
+(file:line citations into /root/reference/) on the driver's TPC-H-ish
+tables, with a DuckDB oracle twin. DataFrame-API plans — Catalyst gets
+pushdown / pruning / join selection; hints (broadcast) only where a
+dimension is broadcast-safe at any scale factor.
+
+Float determinism policy (see functions/core.py): exact decimal sums
+cast to double, raw IEEE divisions, and NO round() on deterministic
+values — round(…, 4) only on algorithm-dependent aggregates (corr,
+stddev, interpolated quantiles), whose values almost surely avoid
+decimal boundaries.
+
+Scale notes are inline per query: what shuffles, what broadcasts, what
+the plan looks like at 1000 executors / 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from etl_mudah_spark.functions.core import (
+    bucket_case,
+    capitalize,
+    davg,
+    dsum,
+    fixed_width_bin,
+    oracle_davg,
+    oracle_dsum,
+    share_pct,
+)
+from etl_mudah_spark.plans.registry import register
+from etl_mudah_spark.tables import load
+
+# Price-segment thresholds/labels: analog of the car segments at
+# reference streamlit/utils/constants.py:26-36, applied to o_totalprice.
+SEG_THRESHOLDS = [25_000.0, 50_000.0, 100_000.0, 200_000.0]
+SEG_LABELS = ["Budget", "Economy", "Mid-Range", "Premium", "Luxury"]
+
+_SEG_SQL = """
+    CASE WHEN o_totalprice < 25000 THEN 'Budget'
+         WHEN o_totalprice < 50000 THEN 'Economy'
+         WHEN o_totalprice < 100000 THEN 'Mid-Range'
+         WHEN o_totalprice < 200000 THEN 'Premium'
+         ELSE 'Luxury' END
+"""
+
+
+# ---------------------------------------------------------------------------
+# Flagship: grouped multi-aggregate scan (TPC-H Q1 shape).
+# Reference analog: the dashboard's grouped metric tiles (A1/A3,
+# streamlit/app.py:84-92, pages/price_analysis.py:43-47).
+# Scale: single scan + partial hash-agg before one shuffle on a
+# 6-value key space → trivially 100 TB-safe (map-side combine does
+# ~all the work; final agg is 6 rows).
+# ---------------------------------------------------------------------------
+@register(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {oracle_dsum('l_quantity')} AS sum_qty,
+           {oracle_dsum('l_extendedprice')} AS sum_base_price,
+           {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {oracle_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {oracle_davg('l_quantity')} AS avg_qty,
+           {oracle_davg('l_extendedprice')} AS avg_price,
+           {oracle_davg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1999-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Grouped multi-aggregate over the fact table (TPC-H Q1 shape).",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1999-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 + D6: frequency count + deterministic top-k.
+# Reference: value_counts().head(10) on make (market_overview.py:34).
+# Scale: partial count before shuffle; TakeOrdered(10) — no full sort.
+# ---------------------------------------------------------------------------
+@register(
+    "top_brands",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS cnt
+    FROM part
+    GROUP BY p_brand
+    ORDER BY cnt DESC, p_brand ASC
+    LIMIT 10
+    """,
+    doc="Top-10 brands by part count, deterministic tie-break.",
+)
+def top_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("p_brand"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A13: re-aggregation of an aggregate (top-3 share of total).
+# Reference: market_overview.py:59,79-84.
+# ---------------------------------------------------------------------------
+@register(
+    "brand_share",
+    oracle="""
+    WITH counts AS (
+        SELECT p_brand, COUNT(*) AS cnt FROM part GROUP BY p_brand
+    ), top3 AS (
+        SELECT cnt FROM counts ORDER BY cnt DESC, p_brand ASC LIMIT 3
+    )
+    SELECT CAST((SELECT SUM(cnt) FROM top3) AS BIGINT) AS top3_cnt,
+           CAST((SELECT SUM(cnt) FROM counts) AS BIGINT) AS total_cnt,
+           (100.0 * (SELECT SUM(cnt) FROM top3))
+               / (SELECT SUM(cnt) FROM counts) AS top3_share_pct
+    """,
+    doc="Share of total held by the top-3 brands (agg over agg).",
+)
+def brand_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        load(spark, sf_dir, "part").groupBy("p_brand").agg(F.count("*").alias("cnt"))
+    )
+    top3 = counts.orderBy(F.desc("cnt"), F.asc("p_brand")).limit(3)
+    # Aggregate frames are tiny (≤ #brands rows) at ANY sf — a cross join
+    # of two 1-row aggregates is driver-trivial and cluster-safe.
+    t3 = top3.agg(F.sum("cnt").cast("bigint").alias("top3_cnt"))
+    tot = counts.agg(F.sum("cnt").cast("bigint").alias("total_cnt"))
+    return t3.crossJoin(tot).select(
+        "top3_cnt",
+        "total_cnt",
+        ((100.0 * F.col("top3_cnt")) / F.col("total_cnt")).alias("top3_share_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F4 + A9: piecewise CASE bucketing + per-bucket distribution.
+# Reference: create_price_segment (constants.py:26-36) + range counts
+# (price_analysis.py:259-272) — one pass, no loop.
+# ---------------------------------------------------------------------------
+@register(
+    "price_segments",
+    oracle=f"""
+    SELECT {_SEG_SQL} AS segment,
+           COUNT(*) AS cnt,
+           {oracle_dsum('o_totalprice')} AS total_value,
+           (100.0 * COUNT(*)) / (SELECT COUNT(*) FROM orders) AS share_pct
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Named price segments via CASE chain, with counts and shares.",
+)
+def price_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    total = orders.count()
+    return (
+        orders.withColumn("segment", bucket_case("o_totalprice", SEG_THRESHOLDS, SEG_LABELS))
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("cnt"),
+            dsum("o_totalprice").alias("total_value"),
+        )
+        .withColumn("share_pct", (100.0 * F.col("cnt")) / F.lit(total))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 + F2: grouped stats over a derived time key (depreciation-curve shape).
+# Reference: groupby('age') agg mean/median/count (price_analysis.py:43-47).
+# ---------------------------------------------------------------------------
+@register(
+    "order_year_stats",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           COUNT(*) AS cnt,
+           {oracle_davg('o_totalprice')} AS avg_price,
+           ROUND(MEDIAN(o_totalprice), 4) AS median_price
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Count/avg/median of order value per order year.",
+)
+def order_year_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            F.count("*").alias("cnt"),
+            davg("o_totalprice").alias("avg_price"),
+            F.round(F.median("o_totalprice"), 4).alias("median_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P6 + P7 + A1: interactive filter stack → scalar metric tile aggs.
+# Reference: app.py:75-92 (between(price) ∧ between(year) ∧ isin(makes)
+# → count/mean/median).
+# ---------------------------------------------------------------------------
+@register(
+    "filter_stack_metrics",
+    oracle=f"""
+    SELECT COUNT(*) AS cnt,
+           {oracle_davg('o_totalprice')} AS avg_price,
+           ROUND(MEDIAN(o_totalprice), 4) AS median_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    WHERE o_totalprice BETWEEN 10000 AND 300000
+      AND year(o_orderdate) BETWEEN 1996 AND 1999
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+    doc="BETWEEN + IN-list filter stack feeding scalar aggregates.",
+)
+def filter_stack_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .where(
+            F.col("o_totalprice").between(10_000, 300_000)
+            & F.year("o_orderdate").between(1996, 1999)
+            & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            davg("o_totalprice").alias("avg_price"),
+            F.round(F.median("o_totalprice"), 4).alias("median_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P5 + P8: regex predicate + case-insensitive substring search.
+# Reference: year ~ '^[0-9]{4}$' (data_loader.py:28), brand search box
+# (app.py:55-59).
+# ---------------------------------------------------------------------------
+@register(
+    "regex_and_search",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS cnt
+    FROM part
+    WHERE regexp_matches(p_type, '^(ECONOMY|PROMO)')
+      AND contains(lower(p_name), 'a')
+    GROUP BY p_brand
+    """,
+    doc="rlike prefix regex + lower/contains substring filter.",
+)
+def regex_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_type").rlike("^(ECONOMY|PROMO)"))
+        .where(F.lower(F.col("p_name")).contains("a"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A14: distinct values, sorted (make/model pickers).
+# Reference: sorted(df['make'].unique()) at app.py:53.
+# ---------------------------------------------------------------------------
+@register(
+    "distinct_priorities",
+    oracle="SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority",
+    doc="Sorted distinct value list.",
+)
+def distinct_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderpriority")
+        .distinct()
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A10: Pearson correlation as an aggregate.
+# Reference: df['age'].corr(df['price']) at market_overview.py:196.
+# ---------------------------------------------------------------------------
+@register(
+    "qty_price_corr",
+    oracle="""
+    SELECT ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           COUNT(*) AS cnt
+    FROM lineitem
+    """,
+    doc="Pearson correlation between two measures (sample corr).",
+)
+def qty_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "lineitem").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.count("*").alias("cnt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A12: quartiles per group (box-plot stats).
+# Reference: px.box per model (price_analysis.py:296-302) → exact
+# interpolated quantiles in both engines, rounded to 4 (interpolated
+# values sit on the 2-decimal grid, never on the 4-decimal boundary).
+# ---------------------------------------------------------------------------
+@register(
+    "brand_quartiles",
+    oracle="""
+    SELECT p_brand,
+           ROUND(quantile_cont(p_retailprice, 0.25), 4) AS q1,
+           ROUND(quantile_cont(p_retailprice, 0.50), 4) AS q2,
+           ROUND(quantile_cont(p_retailprice, 0.75), 4) AS q3,
+           COUNT(*) AS cnt
+    FROM part
+    GROUP BY p_brand
+    """,
+    doc="Exact per-group quartiles (linear interpolation).",
+)
+def brand_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.percentile("p_retailprice", F.lit(0.25)), 4).alias("q1"),
+            F.round(F.percentile("p_retailprice", F.lit(0.50)), 4).alias("q2"),
+            F.round(F.percentile("p_retailprice", F.lit(0.75)), 4).alias("q3"),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8 + P12: fixed-width binning with an upper clip.
+# Reference: mileage_avg.clip(upper=200000) + pd.cut 20k bins
+# (price_analysis.py:139-148). Left-closed bins (documented divergence).
+# ---------------------------------------------------------------------------
+@register(
+    "price_bins",
+    oracle=f"""
+    SELECT CAST(FLOOR(LEAST(o_totalprice, 200000.0) / 20000.0) AS BIGINT) AS bin_id,
+           COUNT(*) AS cnt,
+           {oracle_davg('o_totalprice')} AS avg_price
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Clip + fixed-width histogram bins + per-bin stats.",
+)
+def price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("bin_id", fixed_width_bin("o_totalprice", 20_000.0, clip=200_000.0))
+        .groupBy("bin_id")
+        .agg(
+            F.count("*").alias("cnt"),
+            davg("o_totalprice").alias("avg_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# D3: deterministic keep-one-per-key (the reference's DISTINCT ON was
+# nondeterministic — dags/dag.py:257; we tie-break explicitly).
+# Scale: one shuffle on the key; window row_number is per-partition
+# streaming — no driver involvement.
+# ---------------------------------------------------------------------------
+@register(
+    "keep_one_per_order",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber
+    FROM lineitem
+    QUALIFY row_number() OVER (
+        PARTITION BY l_orderkey
+        ORDER BY l_linenumber ASC, l_partkey ASC, l_suppkey ASC
+    ) = 1
+    """,
+    doc="Deterministic DISTINCT ON: first lineitem per order.",
+)
+def keep_one_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The synthetic data has duplicate (orderkey, linenumber, partkey)
+    # triples — the ORDER BY must be a total order for a deterministic
+    # survivor, so suppkey joins the tie-break.
+    w = W.partitionBy("l_orderkey").orderBy(
+        F.asc("l_linenumber"), F.asc("l_partkey"), F.asc("l_suppkey")
+    )
+    return (
+        load(spark, sf_dir, "lineitem")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 + A5: dimension joins + per-region rollup of fact revenue
+# (TPC-H Q5 shape). nation/region are broadcast at ANY sf (they grow
+# ~log(sf)); customer⋈orders is the real shuffle — co-partitioned on
+# custkey, AQE handles skew.
+# ---------------------------------------------------------------------------
+@register(
+    "region_revenue",
+    oracle=f"""
+    SELECT r_name,
+           COUNT(*) AS order_cnt,
+           {oracle_dsum('o_totalprice')} AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    doc="Fact-to-dim star join, revenue per region (broadcast dims).",
+)
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("order_cnt"), dsum("o_totalprice").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A13 + D6 + joins: top-k customers by revenue (agg → join → top-k).
+# ---------------------------------------------------------------------------
+@register(
+    "top_customers",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           {oracle_dsum('o_totalprice')} AS revenue,
+           COUNT(*) AS order_cnt
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 10
+    """,
+    doc="Top-10 customers by total order value.",
+)
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(dsum("o_totalprice").alias("revenue"), F.count("*").alias("order_cnt"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5: multi-aggregate group stats incl. sample stddev.
+# Reference: regional stats (regional_analysis.py:48-54) — pandas std is
+# ddof=1 == Spark stddev == DuckDB stddev.
+# ---------------------------------------------------------------------------
+@register(
+    "nation_customer_stats",
+    oracle=f"""
+    SELECT n_name,
+           COUNT(*) AS cnt,
+           {oracle_davg('c_acctbal')} AS avg_bal,
+           ROUND(MEDIAN(c_acctbal), 4) AS median_bal,
+           ROUND(STDDEV(c_acctbal), 4) AS std_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="Per-nation count/avg/median/sample-stddev of balances.",
+)
+def nation_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("cnt"),
+            davg("c_acctbal").alias("avg_bal"),
+            F.round(F.median("c_acctbal"), 4).alias("median_bal"),
+            F.round(F.stddev("c_acctbal"), 4).alias("std_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F11: share-of-rows-satisfying-predicate (global scalar vs subquery).
+# Reference: (age <= avg_age).mean()*100 at price_analysis.py:115-117.
+# The avg threshold is computed with the exact decimal recipe on both
+# sides so the predicate boundary is identical.
+# ---------------------------------------------------------------------------
+@register(
+    "share_above_avg",
+    oracle=f"""
+    SELECT 100.0 * AVG(CASE WHEN o_totalprice >
+                 (SELECT {oracle_davg('o_totalprice')} FROM orders)
+                 THEN 1.0 ELSE 0.0 END) AS above_avg_pct,
+           COUNT(*) AS cnt
+    FROM orders
+    """,
+    doc="Percent of orders above the global average value.",
+)
+def share_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    avg_val = orders.agg(davg("o_totalprice")).first()[0]
+    return orders.agg(
+        (100.0 * F.avg(F.when(F.col("o_totalprice") > F.lit(avg_val), 1.0).otherwise(0.0))).alias(
+            "above_avg_pct"
+        ),
+        F.count("*").alias("cnt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P10 + D6: similarity lookup — equality + ±window ranges + limit.
+# Reference: similar-listings (price_prediction.py:165-185).
+# ---------------------------------------------------------------------------
+@register(
+    "similar_parts",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_size, p_retailprice AS retail
+    FROM part
+    WHERE p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 20
+    ORDER BY p_retailprice ASC, p_partkey ASC
+    LIMIT 5
+    """,
+    doc="Equality + range-window similarity filter, deterministic limit.",
+)
+def similar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "part")
+        .where((F.col("p_brand") == "Brand#13") & F.col("p_size").between(10, 20))
+        .orderBy(F.asc("p_retailprice"), F.asc("p_partkey"))
+        .limit(5)
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_brand",
+            "p_size",
+            F.col("p_retailprice").alias("retail"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F5/F6 + A2: string normalization + frequency shares.
+# Reference: fuel_type.str.lower() + capitalize (market_overview.py:125-137).
+# ---------------------------------------------------------------------------
+@register(
+    "priority_shares",
+    oracle="""
+    SELECT upper(substr(lower(o_orderpriority), 1, 1))
+             || substr(lower(o_orderpriority), 2) AS priority,
+           COUNT(*) AS cnt,
+           (100.0 * COUNT(*)) / (SELECT COUNT(*) FROM orders) AS share_pct
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Lowercase + capitalize normalization with frequency shares.",
+)
+def priority_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    total = orders.count()
+    return (
+        orders.select(capitalize(F.lower(F.col("o_orderpriority"))).alias("priority"))
+        .groupBy("priority")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("share_pct", (100.0 * F.col("cnt")) / F.lit(total))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window analytics: running revenue per customer. The running sum is in
+# exact decimal (order-independent across engines), cast back to double.
+# ---------------------------------------------------------------------------
+@register(
+    "running_customer_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_revenue
+    FROM orders
+    """,
+    doc="Per-customer running total with deterministic ordering.",
+)
+def running_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-N per group (rank window + filter).
+# ---------------------------------------------------------------------------
+@register(
+    "top3_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice AS total
+    FROM orders
+    QUALIFY row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+    ) <= 3
+    """,
+    doc="Top-3 orders per customer via ranking window.",
+)
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        load(spark, sf_dir, "orders")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.col("o_totalprice").alias("total"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot (cross-tab): order counts by year × status.
+# Reference analog: transmission/fuel cross-frequency views.
+# ---------------------------------------------------------------------------
+@register(
+    "orders_pivot_status",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS status_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_p
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Pivot order status into columns per year.",
+)
+def orders_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    piv = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+    )
+    return piv.select(
+        "order_year",
+        F.coalesce(F.col("O"), F.lit(0)).cast("bigint").alias("status_o"),
+        F.coalesce(F.col("F"), F.lit(0)).cast("bigint").alias("status_f"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("bigint").alias("status_p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup (hierarchical subtotals) region → nation.
+# ---------------------------------------------------------------------------
+@register(
+    "rollup_region_nation",
+    oracle=f"""
+    SELECT COALESCE(r_name, 'ALL') AS region_name,
+           COALESCE(n_name, 'ALL') AS nation_name,
+           COUNT(*) AS cnt,
+           {oracle_davg('c_acctbal')} AS avg_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+    doc="ROLLUP subtotals over the region→nation hierarchy.",
+)
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("cnt"), davg("c_acctbal").alias("avg_bal"))
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region_name"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation_name"),
+            "cnt",
+            "avg_bal",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anti-join: customers that never ordered (NOT EXISTS shape).
+# ---------------------------------------------------------------------------
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT COUNT(*) AS cnt
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="Left-anti join: customers that never ordered.",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date bucketing: monthly order volume (date_trunc).
+# ---------------------------------------------------------------------------
+@register(
+    "monthly_order_volume",
+    oracle=f"""
+    SELECT date_trunc('month', o_orderdate) AS month_start,
+           COUNT(*) AS cnt,
+           {oracle_dsum('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Monthly tumbling buckets over order dates.",
+)
+def monthly_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month_start"))
+        .agg(F.count("*").alias("cnt"), dsum("o_totalprice").alias("revenue"))
+    )

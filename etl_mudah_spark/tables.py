@@ -1,0 +1,55 @@
+"""Table catalog over the driver's parquet star schema.
+
+Loads are plain ``spark.read.parquet`` — Catalyst gets full pushdown
+(PushedFilters / ReadSchema reach the parquet scan). Helpers mark the
+dimension tables that should broadcast in joins at any scale: region
+(5 rows), nation (25), supplier (small) are broadcast-safe even at
+100 TB fact scale because dimension cardinality grows ~log(sf).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions small enough to broadcast at every scale factor. customer/
+# part/orders grow linearly with sf, so they are NOT on this list.
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.ts is parquet INT64 TIMESTAMP(NANOS), which Spark 4 rejects
+        # outright; read nanos as long and convert (integer `div`, not `/` —
+        # float division would lose precision above 2^53 ns).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL surface."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
