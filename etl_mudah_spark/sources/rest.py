@@ -1,0 +1,217 @@
+"""Paginated, rate-limited REST listing source as a Spark 4 Python
+DataSource (pyspark.sql.datasource).
+
+Re-expresses the reference's extraction tier (S1-S4 in SURVEY.md §2.1):
+
+- paginated search scan: dags/dag.py:43-78 (fetch_batch) +
+  dags/dag.py:137-161 (fetch_single_region): page loop until empty page,
+  short page, or the per-region row cap;
+- parallel region fan-out: dags/dag.py:80-110 — ThreadPoolExecutor(3)
+  → here one InputPartition PER REGION, scheduled by Spark (cap
+  concurrency with the source's num_partitions option or a scheduler
+  pool, not threads);
+- rate limiter: dags/dag.py:29-41 — ≥delay seconds between requests,
+  honoring Retry-After on 429. The reference's limiter was global
+  cross-thread state; Spark tasks are distributed, so the limiter is
+  per-partition (documented divergence — per-partition delay ×
+  concurrent tasks bounds the global rate);
+- retry w/ exponential backoff: dags/dag.py:55-76 — 5 attempts,
+  10 s → ×2 → 60 s cap, with Spark task retries as the outer net.
+
+The HTTP transport is injectable (``fetcher`` option = dotted path to a
+callable) so tests drive the full DataSource machinery against JSON
+fixtures with zero network. The default transport uses urllib and is
+gated behind runtime availability.
+"""
+
+from __future__ import annotations
+
+import importlib
+import json
+import time
+from collections.abc import Callable, Iterator, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+from etl_mudah_spark.schemas import API_LISTING
+
+# Operational constants mirroring the reference's envelope
+# (dags/dag.py:18-27).
+DEFAULT_REGIONS = tuple(str(i) for i in range(1, 16))
+DEFAULT_PAGE_SIZE = 200
+DEFAULT_MAX_PER_REGION = 10_000
+DEFAULT_RATE_DELAY_S = 3.0
+DEFAULT_MAX_RETRIES = 5
+DEFAULT_INITIAL_BACKOFF_S = 10.0
+DEFAULT_MAX_BACKOFF_S = 60.0
+
+PageFetcher = Callable[[str, int, int], dict]
+"""(region, offset, limit) -> decoded JSON page {"data": [...]}"""
+
+
+def default_http_fetcher(base_url: str) -> PageFetcher:
+    """GET ``base_url`` with search params; returns the decoded page."""
+    from urllib.parse import urlencode
+    from urllib.request import urlopen
+
+    def fetch(region: str, offset: int, limit: int) -> dict:
+        qs = urlencode({"region": region, "from": offset, "limit": limit})
+        with urlopen(f"{base_url}?{qs}", timeout=30) as resp:  # noqa: S310
+            return json.loads(resp.read().decode("utf-8"))
+
+    return fetch
+
+
+class RateLimiter:
+    """Minimum-interval limiter (per task/partition)."""
+
+    def __init__(self, delay_s: float):
+        self.delay_s = delay_s
+        self._last = 0.0
+
+    def wait(self) -> None:
+        now = time.monotonic()
+        remaining = self.delay_s - (now - self._last)
+        if remaining > 0:
+            time.sleep(remaining)
+        self._last = time.monotonic()
+
+
+class TransientFetchError(Exception):
+    """Retryable fetch failure; optional ``retry_after`` seconds."""
+
+    def __init__(self, msg: str, retry_after: float | None = None):
+        super().__init__(msg)
+        self.retry_after = retry_after
+
+
+def fetch_with_retry(
+    fetch: PageFetcher,
+    region: str,
+    offset: int,
+    limit: int,
+    *,
+    max_retries: int = DEFAULT_MAX_RETRIES,
+    initial_backoff_s: float = DEFAULT_INITIAL_BACKOFF_S,
+    max_backoff_s: float = DEFAULT_MAX_BACKOFF_S,
+    sleep: Callable[[float], None] = time.sleep,
+) -> dict:
+    """Retry loop with exponential backoff and Retry-After honoring
+    (reference: dags/dag.py:55-76)."""
+    backoff = initial_backoff_s
+    last: Exception | None = None
+    for _attempt in range(max_retries):
+        try:
+            return fetch(region, offset, limit)
+        except TransientFetchError as e:
+            last = e
+            if e.retry_after is not None:
+                # server-directed wait replaces (doesn't advance) backoff
+                sleep(e.retry_after)
+            else:
+                sleep(backoff)
+                backoff = min(backoff * 2, max_backoff_s)
+    raise RuntimeError(f"fetch failed after {max_retries} attempts: {last}")
+
+
+@dataclass
+class RegionPartition(InputPartition):
+    region: str
+
+
+class ListingsReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.schema_ = schema
+        self.regions: Sequence[str] = tuple(
+            json.loads(options.get("regions", json.dumps(list(DEFAULT_REGIONS))))
+        )
+        self.page_size = int(options.get("page_size", DEFAULT_PAGE_SIZE))
+        self.max_per_region = int(options.get("max_per_region", DEFAULT_MAX_PER_REGION))
+        self.rate_delay_s = float(options.get("rate_delay_s", DEFAULT_RATE_DELAY_S))
+        self.max_retries = int(options.get("max_retries", DEFAULT_MAX_RETRIES))
+        self.initial_backoff_s = float(
+            options.get("initial_backoff_s", DEFAULT_INITIAL_BACKOFF_S)
+        )
+        # Transport: dotted path "pkg.mod:fn" to a PageFetcher factory
+        # (no-arg callable returning a PageFetcher), or base_url for HTTP.
+        self.fetcher_path = options.get("fetcher")
+        self.base_url = options.get("base_url")
+        if not self.fetcher_path and not self.base_url:
+            raise ValueError("listings source needs a 'fetcher' or 'base_url' option")
+
+    def _make_fetcher(self) -> PageFetcher:
+        if self.fetcher_path:
+            mod, _, attr = self.fetcher_path.partition(":")
+            factory = getattr(importlib.import_module(mod), attr)
+            return factory()
+        return default_http_fetcher(self.base_url)
+
+    def partitions(self) -> Sequence[RegionPartition]:
+        # One partition per region (reference fan-out S2) — Spark
+        # schedules them; at scale add secondary splits (e.g. by page
+        # range) if a single region exceeds one task's budget.
+        return [RegionPartition(region=r) for r in self.regions]
+
+    def read(self, partition: RegionPartition) -> Iterator[tuple]:
+        fetch = self._make_fetcher()
+        limiter = RateLimiter(self.rate_delay_s)
+        region = partition.region
+        seen = 0
+        offset = 0
+        while seen < self.max_per_region:
+            limiter.wait()
+            page = fetch_with_retry(
+                fetch,
+                region,
+                offset,
+                self.page_size,
+                max_retries=self.max_retries,
+                initial_backoff_s=self.initial_backoff_s,
+            )
+            listings = page.get("data", [])
+            if not listings:
+                break
+            for item in listings:
+                attrs = item.get("attributes", {}) or {}
+                mileage = attrs.get("mileage", {}) or {}
+                yield (
+                    int(item["id"]),
+                    (
+                        attrs.get("subject", ""),
+                        float(attrs.get("price", 0) or 0),
+                        attrs.get("make_name"),
+                        attrs.get("model_name"),
+                        attrs.get("manufactured_year"),
+                        (mileage.get("gte", "0"), mileage.get("lte", "0")),
+                        attrs.get("transmission_name"),
+                        attrs.get("fueltype"),
+                        attrs.get("car_type"),
+                        attrs.get("name"),
+                        attrs.get("region_name"),
+                        attrs.get("date"),
+                        int(attrs.get("image_count", 0) or 0),
+                        attrs.get("adview_url"),
+                        attrs.get("region_id", region),
+                    ),
+                )
+            seen += len(listings)
+            if len(listings) < self.page_size:
+                break  # short page = last page (dags/dag.py:147-154)
+            offset += self.page_size
+
+
+class ListingsDataSource(DataSource):
+    """``spark.read.format("mudah_listings")`` after
+    ``spark.dataSource.register(ListingsDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "mudah_listings"
+
+    def schema(self) -> StructType:
+        return API_LISTING
+
+    def reader(self, schema: StructType) -> ListingsReader:
+        return ListingsReader(schema, self.options)

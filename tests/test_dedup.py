@@ -1,0 +1,112 @@
+"""Python-oracle tests for the sketch-based dedup operators (these have
+no DuckDB oracle — Spark's xxhash64 isn't reproducible in SQL — so
+their semantics are pinned here instead)."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_mudah_spark.operators.dedup import (
+    hamming64,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+    simhash_signatures,
+    word_shingles,
+)
+from pyspark.sql import functions as F
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "on the warm mat near the old wooden door of the farm house"
+)
+CORPUS = [
+    (0, BASE),
+    (1, BASE),  # exact duplicate
+    (2, BASE.replace("quick", "slow")),  # near duplicate
+    (3, BASE.replace("the", "a")),  # moderately similar
+    (4, "completely different words appear here without any overlap whatsoever"),
+    (5, "another unrelated document about spark engines and parquet files"),
+]
+
+
+def _py_shingles(text: str, n: int = 3) -> set[str]:
+    w = text.split()
+    return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+
+def _py_jaccard(a: str, b: str) -> float:
+    sa, sb = _py_shingles(a), _py_shingles(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+def test_word_shingles_match_python(spark, docs):
+    got = {
+        r.doc_id: set(r.sh)
+        for r in docs.select("doc_id", word_shingles(F.col("text")).alias("sh")).collect()
+    }
+    for doc_id, text in CORPUS:
+        assert got[doc_id] == _py_shingles(text), f"doc {doc_id}"
+
+
+def test_exact_jaccard_matches_python_oracle(spark, docs):
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    for i, (ida, ta) in enumerate(CORPUS):
+        for idb, tb in CORPUS[i + 1 :]:
+            expected = _py_jaccard(ta, tb)
+            if expected > 0:
+                assert got[(ida, idb)] == pytest.approx(expected, abs=1e-12)
+            else:
+                assert (ida, idb) not in got
+
+
+def test_minhash_finds_planted_near_dups(spark, docs):
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_near_duplicates(docs, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs  # exact dup always collides in every band
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup (J≈0.78)
+    # verified jaccard must equal the exact oracle
+    for r in minhash_near_duplicates(docs, threshold=0.5).collect():
+        assert r.jaccard == pytest.approx(
+            _py_jaccard(CORPUS[r.doc_a][1], CORPUS[r.doc_b][1]), abs=1e-12
+        )
+    # unrelated docs never pass verification
+    assert all(a != 4 and b != 4 for a, b in pairs)
+
+
+def test_simhash_identical_docs_distance_zero(spark, docs):
+    sigs = simhash_signatures(docs)
+    s = {r.doc_id: r.sig for r in sigs.collect()}
+    assert s[0] == s[1]  # identical text → identical signature
+    # popcount column agrees with python popcount
+    pair = (
+        sigs.alias("a")
+        .crossJoin(sigs.alias("b"))
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            hamming64(F.col("a.sig"), F.col("b.sig")).alias("d"),
+        )
+    )
+    for r in pair.collect():
+        expected = bin((s[r.da] ^ s[r.db]) & 0xFFFFFFFFFFFFFFFF).count("1")
+        assert r.d == expected
+
+
+def test_simhash_near_duplicates_pairs(spark, docs):
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_near_duplicates(docs, max_hamming=16).collect()}
+    assert pairs.get((0, 1)) == 0
+    # near-dup within a few bits; unrelated docs far apart or absent
+    if (0, 2) in pairs:
+        assert pairs[(0, 2)] <= 16
+    assert (0, 4) not in pairs

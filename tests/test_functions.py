@@ -1,0 +1,46 @@
+"""Unit tests for the scalar column-function library (reference UDF
+parity, SURVEY §2.9: zero Python UDFs needed)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_mudah_spark.functions.core import (
+    bucket_case,
+    capitalize,
+    fixed_width_bin,
+    synonym_remap,
+)
+
+SEGS = ([25_000.0, 50_000.0, 100_000.0, 200_000.0],
+        ["Budget", "Economy", "Mid-Range", "Premium", "Luxury"])
+
+
+def test_bucket_case_boundaries(spark):
+    df = spark.createDataFrame(
+        [(0.0,), (24_999.99,), (25_000.0,), (99_999.0,), (200_000.0,), (10_000_000.0,)],
+        "v double",
+    )
+    out = [r.seg for r in df.select(bucket_case("v", *SEGS).alias("seg")).collect()]
+    # thresholds are exclusive upper bounds: v < t → label  (constants.py:26-36)
+    assert out == ["Budget", "Budget", "Economy", "Mid-Range", "Luxury", "Luxury"]
+
+
+def test_fixed_width_bin_clip_and_edges(spark):
+    df = spark.createDataFrame([(0.0,), (19_999.0,), (20_000.0,), (500_000.0,)], "v double")
+    out = [r.b for r in df.select(fixed_width_bin("v", 20_000.0, clip=200_000.0).alias("b")).collect()]
+    assert out == [0, 0, 1, 10]  # left-closed [a,b); clip → last bin
+
+
+def test_capitalize_exact_semantics(spark):
+    df = spark.createDataFrame([("1-URGENT",), ("hello world",), ("",)], "s string")
+    out = [r.c for r in df.select(capitalize(F.col("s")).alias("c")).collect()]
+    # str.capitalize: first char upper, ALL the rest lower (not initcap)
+    assert out == ["1-urgent", "Hello world", ""]
+
+
+def test_synonym_remap_with_identity_fallback(spark):
+    mapping = {"Penang": "Pulau Pinang", "KL": "W.P. Kuala Lumpur"}
+    df = spark.createDataFrame([("Penang",), ("KL",), ("Johor",)], "loc string")
+    out = [r.n for r in df.select(synonym_remap("loc", mapping).alias("n")).collect()]
+    assert out == ["Pulau Pinang", "W.P. Kuala Lumpur", "Johor"]
