@@ -53,9 +53,11 @@ def main() -> None:
         q = registry.REGISTRY[name]
         t0 = time.perf_counter()
         df = q.spark_fn(spark, sf_dir)
-        n = df.count()
+        # noop sink: full execution of every column, nothing collected —
+        # count() would let Catalyst prune the computed columns away.
+        df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"  {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
