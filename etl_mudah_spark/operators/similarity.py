@@ -123,6 +123,43 @@ def srp_topk(
     )
 
 
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN top-k: a KMeans coarse quantizer partitions the
+    corpus into ``n_cells`` cells; only the ``n_probe`` cells whose
+    centroids are nearest the query are scanned exactly.
+
+    The 100 TB layout: fit the quantizer on a sample, write the corpus
+    ``partitionBy(cell)``, and a query prunes to n_probe/n_cells of the
+    data via partition pruning before the exact scan. Here the cell
+    assignment is computed on the fly (same plan shape minus the
+    pruning I/O win). Approximate by design — recall depends on
+    (n_cells, n_probe); compare against :func:`brute_force_topk`.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.withColumn("_feat", array_to_vector(as_double(F.col(vec_col))))
+    km = KMeans(k=n_cells, seed=seed, maxIter=5, featuresCol="_feat", predictionCol="_cell")
+    model = km.fit(feats.select("_feat"))
+    # Probe cells chosen driver-side: centroids are tiny (n_cells × dim).
+    dists = [
+        (i, sum((c - q) ** 2 for c, q in zip(center, query_vec)))
+        for i, center in enumerate(model.clusterCenters())
+    ]
+    probe = [i for i, _ in sorted(dists, key=lambda t: t[1])[:n_probe]]
+    cand = model.transform(feats).where(F.col("_cell").isin(probe))
+    return brute_force_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def cosine_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,

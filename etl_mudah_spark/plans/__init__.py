@@ -8,5 +8,6 @@ from etl_mudah_spark.plans import registry  # noqa: F401
 from etl_mudah_spark.plans import parity  # noqa: F401
 from etl_mudah_spark.plans import datapipe  # noqa: F401
 from etl_mudah_spark.plans import eventsq  # noqa: F401
+from etl_mudah_spark.plans import temporal  # noqa: F401
 
-__all__ = ["registry", "parity", "datapipe", "eventsq"]
+__all__ = ["registry", "parity", "datapipe", "eventsq", "temporal"]

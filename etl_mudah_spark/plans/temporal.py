@@ -1,0 +1,193 @@
+"""Temporal / analytical-join queries beyond the reference's surface:
+as-of join, range (interval) join, moving-window aggregates, CUBE.
+
+These are the operator families a time-series-flavored workload needs
+that plain star-schema queries don't exercise. Each carries a DuckDB
+oracle except where noted. Scale notes inline per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from etl_mudah_spark.functions.core import _DEC, dsum, oracle_dsum
+from etl_mudah_spark.operators.asof import asof_join_backward
+from etl_mudah_spark.operators import similarity as sim
+from etl_mudah_spark.plans.registry import register
+from etl_mudah_spark.tables import load
+
+
+# ---------------------------------------------------------------------------
+# As-of join: for every click, the value of the user's most recent view
+# at-or-before the click. DuckDB spells this ASOF LEFT JOIN; Spark has
+# no such primitive — operators/asof.py implements it as union + running
+# window (one key shuffle, no pair explosion; see module docstring).
+# ---------------------------------------------------------------------------
+@register(
+    "events_asof_last_view",
+    oracle="""
+    SELECT c.event_id, c.user_id, c.ts, c.value, v.value AS view_value_asof
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+    doc="As-of join: latest prior 'view' value attached to each 'click'.",
+)
+def events_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select("user_id", "ts", "value")
+    return asof_join_backward(
+        clicks,
+        views,
+        key_cols=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["value"],
+        suffix="_asof",
+    ).withColumnRenamed("value_asof", "view_value_asof")
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join: events × overlapping promo windows. The windows
+# OVERLAP, so this is a genuine interval join (a row can land in two
+# promos), not disguised bucketing. Scale: the interval dim is tiny and
+# broadcast — a map-side nested-loop against ~10 intervals per row, no
+# shuffle of the fact side. (For two LARGE interval sets you'd bin both
+# sides to a grid and equi-join on the bin — out of scope here.)
+# ---------------------------------------------------------------------------
+_PROMOS = [
+    (1, "2024-01-02 00:00:00", "2024-01-05 00:00:00"),
+    (2, "2024-01-04 00:00:00", "2024-01-10 00:00:00"),
+    (3, "2024-01-08 00:00:00", "2024-01-09 00:00:00"),
+    (4, "2024-01-15 00:00:00", "2024-01-22 00:00:00"),
+    (5, "2024-01-20 00:00:00", "2024-01-28 00:00:00"),
+]
+
+_PROMOS_SQL = ", ".join(
+    f"({i}, TIMESTAMP '{s}', TIMESTAMP '{e}')" for i, s, e in _PROMOS
+)
+
+
+@register(
+    "events_promo_range_join",
+    oracle=f"""
+    SELECT p.promo_id,
+           COUNT(*) AS cnt,
+           {oracle_dsum('e.value')} AS total_value
+    FROM events e
+    JOIN (VALUES {_PROMOS_SQL}) p(promo_id, start_ts, end_ts)
+      ON e.ts >= p.start_ts AND e.ts < p.end_ts
+    GROUP BY p.promo_id
+    """,
+    doc="Interval join of events onto overlapping promo windows.",
+)
+def events_promo_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    promos = spark.createDataFrame(
+        [(i, s, e) for i, s, e in _PROMOS],
+        "promo_id int, start_ts string, end_ts string",
+    ).select(
+        "promo_id",
+        F.col("start_ts").cast("timestamp").alias("start_ts"),
+        F.col("end_ts").cast("timestamp").alias("end_ts"),
+    )
+    return (
+        ev.join(
+            F.broadcast(promos),
+            (ev.ts >= promos.start_ts) & (ev.ts < promos.end_ts),
+        )
+        .groupBy("promo_id")
+        .agg(F.count("*").alias("cnt"), dsum("value").alias("total_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Moving-window aggregate: 7-day moving average of daily order revenue.
+# Window sums stay DECIMAL (exact, order-independent — functions/core.py
+# policy) and only the final value casts to double; the division happens
+# in double on both engines (decimal division scale rules differ).
+# Scale: the window runs over the ALREADY-AGGREGATED daily series
+# (~2.4k rows at any sf) — a single-partition window over an aggregate
+# is deliberate, not a smell; the heavy lifting (daily groupBy) is the
+# distributed part.
+# ---------------------------------------------------------------------------
+@register(
+    "daily_revenue_moving_avg",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', o_orderdate) AS d,
+               SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev_dec
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT d,
+           CAST(rev_dec AS DOUBLE) AS daily_revenue,
+           CAST(SUM(rev_dec) OVER w AS DOUBLE)
+               / (COUNT(*) OVER w) AS ma7_revenue
+    FROM daily
+    WINDOW w AS (ORDER BY d ASC ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    doc="7-day moving average over the daily revenue series (lag frame).",
+)
+def daily_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "orders")
+        # date_trunc (timestamp), not to_date: the comparator sees DATE
+        # columns as midnight datetimes on the DuckDB side.
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(F.sum(F.col("o_totalprice").cast(_DEC)).alias("rev_dec"))
+    )
+    w = W.orderBy(F.asc("d")).rowsBetween(-6, W.currentRow)
+    return daily.select(
+        "d",
+        F.col("rev_dec").cast("double").alias("daily_revenue"),
+        (F.sum("rev_dec").over(w).cast("double") / F.count("*").over(w)).alias(
+            "ma7_revenue"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE: all grouping-set combinations of (status, priority) in one pass.
+# Spark expands grouping sets BEFORE the shuffle with partial aggs per
+# set — one scan, one shuffle, same as a plain groupBy. (rollup is
+# covered by rollup_region_nation in parity.py.)
+# ---------------------------------------------------------------------------
+@register(
+    "orders_cube_status_priority",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS cnt,
+           {oracle_dsum('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over (status, priority): all grouping sets in one pass.",
+)
+def orders_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"), dsum("o_totalprice").alias("total_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN: KMeans coarse quantizer + probe-nearest-cells exact scan —
+# the scale path past brute force (see operators/similarity.py). No SQL
+# oracle (KMeans cells aren't reproducible cross-engine); pytest pins
+# recall against brute force instead (tests/test_similarity_ivf.py).
+# ---------------------------------------------------------------------------
+@register(
+    "ann_ivf_topk",
+    oracle=None,
+    doc="IVF ANN top-10: KMeans(16) cells, probe 4 nearest, exact within.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return sim.ivf_topk(emb, [float(x) for x in qvec], k=10, n_cells=16, n_probe=4)
