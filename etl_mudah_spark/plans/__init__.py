@@ -9,5 +9,6 @@ from etl_mudah_spark.plans import parity  # noqa: F401
 from etl_mudah_spark.plans import datapipe  # noqa: F401
 from etl_mudah_spark.plans import eventsq  # noqa: F401
 from etl_mudah_spark.plans import temporal  # noqa: F401
+from etl_mudah_spark.plans import starjoins  # noqa: F401
 
-__all__ = ["registry", "parity", "datapipe", "eventsq", "temporal"]
+__all__ = ["registry", "parity", "datapipe", "eventsq", "temporal", "starjoins"]

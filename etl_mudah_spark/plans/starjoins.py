@@ -1,0 +1,553 @@
+"""Join-heavy analytical queries (TPC-H Q2/3/4/8/11/14/15/16/17/18/19
+shapes) plus set-operation and skew-salted variants.
+
+The reference app is single-table (SURVEY.md §2.5: "no SQL joins"), so
+these queries are the engine's join surface beyond reference parity:
+semi-joins with non-equi conditions, window-based correlated
+subqueries, scalar-subquery HAVING, conditional-aggregate shares,
+distinct-count aggs, INTERSECT/EXCEPT, and a salted two-phase
+aggregation for hot-key skew.
+
+Scale notes inline per query. Join-strategy policy: region/nation/
+supplier broadcast at any sf (tables.BROADCAST_DIMS); part/orders/
+customer grow with sf, so their joins stay shuffle joins and AQE picks
+broadcast at small sf on its own.
+
+Float discipline (functions/core.py): exact decimal sums cast to
+double; divisions of two such sums are IEEE-deterministic — no
+round() anywhere it isn't semantically required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from etl_mudah_spark.functions.core import dsum, oracle_dsum
+from etl_mudah_spark.operators.skew import salted_sum_count
+from etl_mudah_spark.plans.registry import register
+from etl_mudah_spark.tables import load
+
+_DISC_PRICE = "l_extendedprice * (1 - l_discount)"
+
+
+def _disc_price() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape: 3-way star join + grouped revenue + top-k.
+# Scale: lineitem⨝orders shuffles on orderkey; customer pre-filtered on
+# segment before its join (predicate below the join, 1/5 of customers
+# shuffled); TakeOrdered(10) — no global sort materialization.
+# ---------------------------------------------------------------------------
+@register(
+    "shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {oracle_dsum(_DISC_PRICE)} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-07-01'
+      AND l_shipdate > TIMESTAMP '1998-07-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+    doc="TPC-H Q3: unshipped-order revenue top-10 (3-way join).",
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-07-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(_disc_price()).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape: EXISTS → left-semi join with an extra NON-EQUI
+# condition (shipped >90 days after order date).
+# Scale: semi-join shuffles both sides on orderkey but ships no
+# lineitem payload columns past the join; output is 5 rows.
+# ---------------------------------------------------------------------------
+@register(
+    "late_shipment_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+          )
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4: orders with a >90-day-late shipment, by priority (semi-join).",
+)
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape: conditional-aggregate share over a fact⨝dim join.
+# Scale: part scales with sf (NOT broadcast-pinned); AQE broadcasts it
+# at small sf, shuffle-joins at large. Share of two decimal sums →
+# deterministic double.
+# ---------------------------------------------------------------------------
+@register(
+    "promo_revenue_by_month",
+    oracle=f"""
+    SELECT date_trunc('month', l_shipdate) AS ship_month,
+           100.0 * {oracle_dsum(f"CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE} ELSE 0 END")}
+                 / {oracle_dsum(_DISC_PRICE)} AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+    doc="TPC-H Q14: monthly promo-revenue share (conditional agg over join).",
+)
+def promo_revenue_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    promo = F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(F.lit(0.0))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg((100.0 * dsum(promo) / dsum(_disc_price())).alias("promo_pct"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape: correlated "min over group" subquery → window
+# row_number. The reference has no partsupp, so unit price is derived
+# from lineitem history as sum(price)/sum(qty) — a ratio of two EXACT
+# decimal sums (per-row price/qty division would pass through a
+# double→decimal cast whose rounding mode differs between engines:
+# Spark HALF_UP vs DuckDB HALF_EVEN).
+# Scale: one shuffle on (partkey, suppkey) for the price agg, one on
+# partkey for the window; supplier broadcast for the name lookup.
+# ---------------------------------------------------------------------------
+UNIT_PRICE_ORACLE = (
+    f"{oracle_dsum('l_extendedprice')} / {oracle_dsum('l_quantity')}"
+)
+
+
+@register(
+    "cheapest_supplier_per_part",
+    oracle=f"""
+    WITH unit AS (
+        SELECT l_partkey, l_suppkey,
+               {UNIT_PRICE_ORACLE} AS avg_unit_price
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    ), ranked AS (
+        SELECT l_partkey, l_suppkey, avg_unit_price,
+               row_number() OVER (
+                 PARTITION BY l_partkey
+                 ORDER BY avg_unit_price ASC, l_suppkey ASC
+               ) AS rn
+        FROM unit
+    )
+    SELECT l_partkey, l_suppkey, avg_unit_price, s_name
+    FROM ranked JOIN supplier ON l_suppkey = s_suppkey
+    WHERE rn = 1
+    """,
+    doc="TPC-H Q2 shape: min-cost supplier per part via window row_number.",
+)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    unit = li.groupBy("l_partkey", "l_suppkey").agg(
+        (dsum("l_extendedprice") / dsum("l_quantity")).alias("avg_unit_price")
+    )
+    w = W.partitionBy("l_partkey").orderBy(F.asc("avg_unit_price"), F.asc("l_suppkey"))
+    return (
+        unit.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_partkey", "l_suppkey", "avg_unit_price", "s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape: correlated AVG subquery → window avg per part.
+# Scale: window shuffles lineitem on partkey ONCE and reuses it for
+# both the avg and the filter (vs the self-join-on-agg form, which
+# scans+shuffles twice).
+# ---------------------------------------------------------------------------
+@register(
+    "small_qty_part_revenue",
+    oracle=f"""
+    WITH wa AS (
+        SELECT l_partkey, l_quantity, l_extendedprice,
+               AVG(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+        FROM lineitem
+    )
+    SELECT {oracle_dsum('l_extendedprice')} / 7.0 AS avg_yearly
+    FROM wa JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = 'Brand#3' AND l_quantity < 0.5 * avg_qty
+    """,
+    doc="TPC-H Q17: revenue of below-half-average-quantity lineitems.",
+)
+def small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    part = load(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3").select("p_partkey")
+    wa = li.withColumn("avg_qty", F.avg("l_quantity").over(W.partitionBy("l_partkey")))
+    return (
+        wa.join(part, wa.l_partkey == part.p_partkey)
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg((dsum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: HAVING on a grouped sum, then join back to
+# orders/customer for the payload.
+# Scale: the group-by on orderkey is the big shuffle; the surviving
+# keys (~1%) then join — AQE turns that side into a broadcast at any
+# realistic selectivity.
+# ---------------------------------------------------------------------------
+@register(
+    "big_orders",
+    oracle="""
+    WITH q AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty_sum
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING qty_sum > 250
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, qty_sum
+    FROM q
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 20
+    """,
+    doc="TPC-H Q18: large-quantity orders with customer payload.",
+)
+def big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    q = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("qty_sum"))
+        .where(F.col("qty_sum") > 250)
+    )
+    return (
+        q.join(orders, q.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "qty_sum")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: national market share within a region, by year.
+# Scale: the one big shuffle is lineitem⨝orders; nation/region/supplier
+# joins broadcast (BROADCAST_DIMS); customer join shuffles on custkey.
+# ---------------------------------------------------------------------------
+@register(
+    "nation_market_share",
+    oracle=f"""
+    WITH rev AS (
+        SELECT year(o_orderdate) AS o_year,
+               {_DISC_PRICE} AS volume,
+               sn.n_name AS supp_nation
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region   ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE r_name = 'ASIA'
+    )
+    SELECT o_year,
+           {oracle_dsum("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END")}
+             / {oracle_dsum('volume')} AS mkt_share
+    FROM rev
+    GROUP BY o_year
+    """,
+    doc="TPC-H Q8: NATION_3 supplier share of ASIA-customer revenue per year.",
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", _disc_price().alias("volume"))
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+
+    cust_nation = cust.join(
+        F.broadcast(
+            nation.join(
+                F.broadcast(region.where(F.col("r_name") == "ASIA")),
+                nation.n_regionkey == region.r_regionkey,
+            ).select("n_nationkey")
+        ),
+        cust.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey")
+    supp_nation = F.broadcast(
+        supp.join(
+            F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+            supp.s_nationkey == F.col("sn_key"),
+        ).select("s_suppkey", "supp_nation")
+    )
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_nation, orders.o_custkey == cust_nation.c_custkey)
+        .join(supp_nation, li.l_suppkey == supp_nation.s_suppkey)
+        .select(F.year("o_orderdate").alias("o_year"), "volume", "supp_nation")
+    )
+    n3 = F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(F.lit(0.0))
+    return rev.groupBy("o_year").agg((dsum(n3) / dsum("volume")).alias("mkt_share"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape: HAVING against a scalar subquery over the whole
+# table. Spark: the scalar aggregate is a 1-row DataFrame crossJoined
+# (broadcast) into the grouped frame — no collect, stays one lazy plan.
+# ---------------------------------------------------------------------------
+@register(
+    "nation_acctbal_concentration",
+    oracle=f"""
+    WITH per_nation AS (
+        SELECT n_name, {oracle_dsum('c_acctbal')} AS nation_bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    )
+    SELECT n_name, nation_bal
+    FROM per_nation
+    WHERE nation_bal > (
+        SELECT 0.05 * {oracle_dsum('c_acctbal')} FROM customer
+    )
+    """,
+    doc="TPC-H Q11 shape: nations holding >5% of global customer balance.",
+)
+def nation_acctbal_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_nation = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(dsum("c_acctbal").alias("nation_bal"))
+    )
+    threshold = cust.agg((0.05 * dsum("c_acctbal")).alias("_thresh"))
+    return (
+        per_nation.join(F.broadcast(threshold))
+        .where(F.col("nation_bal") > F.col("_thresh"))
+        .select("n_name", "nation_bal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: top supplier by revenue — grouped agg + global-max
+# window filter (returns ALL tied maxima, like the spec's view form).
+# ---------------------------------------------------------------------------
+@register(
+    "top_supplier_by_revenue",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey, {oracle_dsum(_DISC_PRICE)} AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_rev
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+    doc="TPC-H Q15: supplier(s) with max quarterly revenue.",
+)
+def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = li.groupBy("l_suppkey").agg(dsum(_disc_price()).alias("total_rev"))
+    # Global max as a 1-row broadcast crossJoin (not an unpartitioned
+    # window, which funnels every supplier row through one task).
+    mx = rev.agg(F.max("total_rev").alias("_max"))
+    return (
+        rev.join(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("_max"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape: COUNT(DISTINCT) per group over a join.
+# Scale: Spark plans distinct-agg as a two-phase expand/shuffle —
+# partial distinct on (brand, type, suppkey) then count; no hot-spot.
+# ---------------------------------------------------------------------------
+@register(
+    "brand_type_supplier_counts",
+    oracle="""
+    SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand, p_type
+    """,
+    doc="TPC-H Q16 shape: distinct supplier count per brand/type.",
+)
+def brand_type_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: join with disjunctive (OR-of-ANDs) mixed-side
+# predicates — the classic "can't push below the join" case; Catalyst
+# still pushes the single-side conjuncts it can derive.
+# ---------------------------------------------------------------------------
+@register(
+    "disjunctive_join_revenue",
+    oracle=f"""
+    SELECT {oracle_dsum(_DISC_PRICE)} AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+       OR (p_type = 'PROMO' AND l_quantity >= 40)
+    """,
+    doc="TPC-H Q19: revenue under disjunctive cross-table predicates.",
+)
+def disjunctive_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 35)
+        )
+        | ((F.col("p_type") == "PROMO") & (F.col("l_quantity") >= 40))
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .where(cond)
+        .agg(dsum(_disc_price()).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.6 noted none in reference — engine surface).
+# INTERSECT/EXCEPT compile to left-semi/left-anti over distinct — one
+# shuffle each on the key.
+# ---------------------------------------------------------------------------
+@register(
+    "customers_retained",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    """,
+    doc="INTERSECT: customers ordering in both 1996 and 1997.",
+)
+def customers_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+
+    def year_keys(y: int) -> DataFrame:
+        return orders.where(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+        ).select("o_custkey")
+
+    return year_keys(1996).intersect(year_keys(1997))
+
+
+@register(
+    "customers_churned",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    EXCEPT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    """,
+    doc="EXCEPT: customers ordering in 1996 but not 1997.",
+)
+def customers_churned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+
+    def year_keys(y: int) -> DataFrame:
+        return orders.where(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+        ).select("o_custkey")
+
+    # subtract == SQL EXCEPT (set semantics): a key ordering in BOTH
+    # years is excluded regardless of multiplicity. (exceptAll would be
+    # multiset difference — a 3×-in-1996 / 1×-in-1997 customer is NOT
+    # churned but would survive it.)
+    return year_keys(1996).subtract(year_keys(1997))
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted two-phase aggregation (operators/skew.py). events'
+# event_type has 5 values over ~sf×600k rows — exactly the hot-key
+# shape that pins 5 reducers at 100 TB. Oracle is the PLAIN group-by:
+# the salted rewrite must be bit-identical (exact decimal partials).
+# ---------------------------------------------------------------------------
+@register(
+    "salted_event_totals",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+           COUNT(value) AS cnt
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Skew-safe salted sum/count per event_type == plain GROUP BY.",
+)
+def salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return salted_sum_count(ev, ["event_type"], "value", n_salts=16, salt_from="event_id")
