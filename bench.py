@@ -31,6 +31,8 @@ HEADLINE = [
     "price_segments",
     "keep_one_per_order",
     "top3_orders_per_customer",
+    "shipping_priority",
+    "big_orders",
     "events_hourly",
     "events_sessionize",
     "doc_minhash_near_dup",

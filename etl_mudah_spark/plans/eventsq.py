@@ -19,6 +19,7 @@ from etl_mudah_spark.streaming.pipeline import (
     stream_dedup_events,
     stream_hourly_event_counts,
 )
+from etl_mudah_spark.streaming.stateful import stream_sessionize_stateful
 from etl_mudah_spark.tables import load
 
 _HOURLY_ORACLE = f"""
@@ -124,3 +125,38 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("new_session").cast("bigint").alias("n_sessions"),
         F.count("*").alias("n_events"),
     )
+
+
+@register(
+    "events_stream_sessions",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sid
+        FROM g
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
+    doc=(
+        "Per-session rows from a STATEFUL streaming query "
+        "(applyInPandasWithState + event-time timeouts); oracle is the "
+        "batch lag-window sessionization — streaming == batch."
+    ),
+)
+def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_sessionize_stateful(spark, sf_dir, gap_minutes=30)

@@ -1,0 +1,174 @@
+"""Custom stateful streaming operator: gap-based sessionization via
+``applyInPandasWithState``.
+
+The batch engine sessionizes with a lag window (plans/eventsq.py); this
+is the true streaming form — per-user session state lives in the state
+store, sessions close either when a later event exceeds the inactivity
+gap or when the event-time watermark passes ``last_ts + gap``
+(GroupStateTimeout.EventTimeTimeout).
+
+Determinism harness: a file-source stream normally never fires the
+final timeouts (the watermark stops at the last real batch), so open
+sessions would stay unflushed and the result could not be compared to
+the batch oracle. The driver function stages the events file plus TWO
+far-future sentinel files with increasing mtimes and
+``maxFilesPerTrigger=1``: batch 2 advances the watermark past every
+real session's timeout, batch 3 fires them. Sentinel rows carry
+``user_id = -1`` and are filtered from the output. Exactly the
+end-of-stream-marker pattern used to drain production stateful jobs.
+
+Scale: state is (start, last, n) longs per ACTIVE user — O(active
+users), bounded by the timeout; the shuffle is one exchange on
+user_id. Arrow moves rows to Python in columnar batches; the per-group
+pandas work is O(rows log rows) for the in-batch sort.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from etl_mudah_spark.streaming.pipeline import EVENTS_SCHEMA
+
+OUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
+)
+STATE_SCHEMA = "start bigint, last bigint, n bigint"
+
+_SENTINEL_USER = -1
+
+
+def _us_to_ts(us: int) -> pd.Timestamp:
+    return pd.Timestamp(us, unit="us")
+
+
+def _make_sessionizer(gap_us: int):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        user_id = key[0]
+        out: list[tuple[int, int, int, int]] = []  # (user, start, last, n)
+
+        if state.hasTimedOut:
+            start, last, n = state.get
+            out.append((user_id, start, last, n))
+            state.remove()
+        else:
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            # Force ns resolution before the epoch conversion — Arrow may
+            # hand the column over as datetime64[us] depending on version.
+            # Epochs stay in MICROseconds (the data's native precision;
+            # milliseconds would truncate session boundaries).
+            ts_us = (
+                rows["ts"].astype("datetime64[ns]").astype("int64") // 1_000
+            ).sort_values()
+            if state.exists:
+                start, last, n = state.get
+            else:
+                start = last = int(ts_us.iloc[0])
+                n = 0
+            for t in ts_us:
+                t = int(t)
+                if n and t - last > gap_us:
+                    out.append((user_id, start, last, n))
+                    start, n = t, 0
+                last = t
+                n += 1
+            state.update((start, last, n))
+            # Flush the open session once event time passes last + gap
+            # (the timeout API takes epoch ms; round up so the ms-granular
+            # timeout never fires before the µs-exact gap has elapsed).
+            state.setTimeoutTimestamp((last + gap_us) // 1000 + 1)
+
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [u for u, *_ in out],
+                    "session_start": [_us_to_ts(s) for _, s, _, _ in out],
+                    "session_end": [_us_to_ts(e) for _, _, e, _ in out],
+                    "n_events": [n for *_, n in out],
+                }
+            )
+
+    return fn
+
+
+def _stage_with_sentinels(spark: SparkSession, sf_dir: str, staging: str) -> None:
+    """Copy events.parquet into ``staging`` and append two sentinel
+    files with strictly increasing mtimes (file source orders batches
+    by modification time under maxFilesPerTrigger=1)."""
+    dst = os.path.join(staging, "000_events.parquet")
+    shutil.copyfile(os.path.join(sf_dir, "events.parquet"), dst)
+    max_ts = (
+        spark.read.schema(EVENTS_SCHEMA).parquet(dst).agg(F.max("ts")).first()[0]
+    )
+    day_ns = 24 * 3600 * 10**9
+    base_mtime = os.stat(dst).st_mtime
+    for i, offset_days in enumerate((10, 20), start=1):
+        sentinel = spark.createDataFrame(
+            [(-(10**9) - i, max_ts + offset_days * day_ns, _SENTINEL_USER, "sentinel", 0.0, "{}")],
+            EVENTS_SCHEMA,
+        )
+        path = os.path.join(staging, f"{i:03d}_sentinel")
+        sentinel.coalesce(1).write.parquet(path)
+        for f in os.listdir(path):
+            full = os.path.join(path, f)
+            if f.endswith(".parquet"):
+                shutil.move(full, os.path.join(staging, f"{i:03d}_sentinel.parquet"))
+        shutil.rmtree(path, ignore_errors=True)
+        os.utime(
+            os.path.join(staging, f"{i:03d}_sentinel.parquet"),
+            (base_mtime + 10 * i, base_mtime + 10 * i),
+        )
+
+
+def stream_sessionize_stateful(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Per-session rows (user_id, session_start, session_end, n_events)
+    computed by a stateful streaming query; equals the batch lag-window
+    sessionization on the same data."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    staging = tempfile.mkdtemp(prefix="sessionize_")
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    try:
+        _stage_with_sentinels(spark, sf_dir, staging)
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staging)
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            .withWatermark("ts", "0 seconds")
+        )
+        sessions = stream.groupBy("user_id").applyInPandasWithState(
+            _make_sessionizer(gap_minutes * 60 * 1_000_000),
+            OUT_SCHEMA,
+            STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = spark.table(name).where(F.col("user_id") != _SENTINEL_USER)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
