@@ -1,0 +1,82 @@
+"""Physical table layout: bucketing and partitioning for shuffle-free
+joins and partition-pruned scans.
+
+The reference's btree indexes (dags/dag.py:319-320) map to LAYOUT in
+Spark, not to code (SURVEY.md §4): partition pruning replaces the
+selective-read index, bucketing replaces the join index.
+
+- ``write_bucketed_table``: hash-bucket (and optionally sort) a table
+  on its join key at write time. Two tables bucketed on the same key
+  with the same bucket count join with NO shuffle exchange on either
+  side — at 100 TB that turns the nightly fact⨝fact join from the
+  cluster's biggest shuffle into a local zip per bucket. Sorted
+  buckets also skip the sort phase of the sort-merge join.
+- ``write_partitioned_table``: hive-style partition directories;
+  predicates on the partition column prune at PLANNING time (the
+  driver never lists, opens, or schedules unmatched partitions).
+
+Both write real parquet + catalog metadata (``saveAsTable`` with an
+explicit path → external table); tests assert the resulting physical
+plans (no Exchange under the bucketed join, PartitionFilters on the
+pruned scan) rather than trusting the API.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    path: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 16,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a bucketed (and bucket-sorted) external table.
+
+    Bucket count discipline at scale: pick n_buckets so one bucket of
+    the BIGGER table fits an executor's memory (rows/bucket ≈
+    total/n), and keep it identical across co-joined tables — equal
+    counts are what let Spark match bucket i ↔ bucket i without an
+    exchange.
+    """
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(name)
+
+
+def write_partitioned_table(
+    df: DataFrame,
+    name: str,
+    path: str,
+    partition_cols: Sequence[str],
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` partitioned by ``partition_cols`` (hive layout).
+
+    Partition-column cardinality discipline: hundreds to low thousands
+    of directories (region, date), never a high-cardinality key —
+    small files kill the scheduler long before they kill I/O.
+    """
+    (
+        df.write.mode(mode)
+        .format("parquet")
+        .option("path", path)
+        .partitionBy(*partition_cols)
+        .saveAsTable(name)
+    )
+
+
+def drop_table(spark: SparkSession, name: str) -> None:
+    spark.sql(f"DROP TABLE IF EXISTS {name}")

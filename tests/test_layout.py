@@ -1,0 +1,80 @@
+"""Layout operators are judged by their PHYSICAL PLANS: bucketed joins
+must not shuffle, partitioned scans must prune."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from etl_mudah_spark.operators.layout import (
+    drop_table,
+    write_bucketed_table,
+    write_partitioned_table,
+)
+from etl_mudah_spark.tables import load
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    write_bucketed_table(
+        li, "li_b", str(tmp_path / "li_b"), ["l_orderkey"], 8, ["l_orderkey"]
+    )
+    write_bucketed_table(
+        orders, "ord_b", str(tmp_path / "ord_b"), ["l_orderkey"], 8, ["l_orderkey"]
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("li_b").join(spark.table("ord_b"), "l_orderkey")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        # Same-key bucket counts line up → result equals the plain join.
+        assert joined.count() == li.join(orders, "l_orderkey").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        drop_table(spark, "li_b")
+        drop_table(spark, "ord_b")
+
+
+def test_bucketed_groupby_is_shuffle_free(spark, sf_dir, tmp_path):
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed_table(
+        li, "li_agg_b", str(tmp_path / "li_agg_b"), ["l_orderkey"], 8
+    )
+    try:
+        agg = (
+            spark.table("li_agg_b")
+            .groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        assert "Exchange" not in _plan(agg), "agg on the bucket key must not shuffle"
+        assert agg.count() == li.select("l_orderkey").distinct().count()
+    finally:
+        drop_table(spark, "li_agg_b")
+
+
+def test_partitioned_scan_prunes(spark, sf_dir, tmp_path):
+    orders = load(spark, sf_dir, "orders")
+    write_partitioned_table(
+        orders, "orders_p", str(tmp_path / "orders_p"), ["o_orderstatus"]
+    )
+    try:
+        q = spark.table("orders_p").where(F.col("o_orderstatus") == "F")
+        plan = _plan(q)
+        assert "PartitionFilters" in plan and "o_orderstatus" in plan
+        assert q.count() == orders.where(F.col("o_orderstatus") == "F").count()
+    finally:
+        drop_table(spark, "orders_p")
