@@ -10,5 +10,14 @@ from etl_mudah_spark.plans import datapipe  # noqa: F401
 from etl_mudah_spark.plans import eventsq  # noqa: F401
 from etl_mudah_spark.plans import temporal  # noqa: F401
 from etl_mudah_spark.plans import starjoins  # noqa: F401
+from etl_mudah_spark.plans import profile  # noqa: F401
 
-__all__ = ["registry", "parity", "datapipe", "eventsq", "temporal", "starjoins"]
+__all__ = [
+    "registry",
+    "parity",
+    "datapipe",
+    "eventsq",
+    "temporal",
+    "starjoins",
+    "profile",
+]
