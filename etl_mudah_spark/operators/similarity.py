@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -92,6 +94,80 @@ def srp_bucket(vec: Column, dim: int, n_planes: int = 16, table: int = 0) -> Col
     return acc
 
 
+def _planes_matrix(dim: int, n_planes: int, n_tables: int):
+    """All t*b hyperplanes as a (n_tables*n_planes, dim) numpy matrix,
+    table-major, from the same deterministic mix as :func:`_hyperplane`."""
+    return np.array(
+        [_hyperplane(dim, p, t) for t in range(n_tables) for p in range(n_planes)],
+        dtype=np.float64,
+    )
+
+
+def _pack_signs(signs, n_planes: int, n_tables: int):
+    """(n, t*b) sign bools -> (n, t) int64 bucket ids (bit j = plane j)."""
+    pow2 = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+    return signs.reshape(-1, n_tables, n_planes).astype(np.int64) @ pow2
+
+
+def srp_buckets_udf(dim: int, n_planes: int, n_tables: int):
+    """Arrow-batched Pandas UDF: embedding -> array<bigint> of one SRP
+    bucket id per hash table.
+
+    Why a Pandas UDF here and not the expression path used by
+    :func:`srp_bucket`: OR-amplification needs t*b plane projections per
+    row (e.g. 25 tables x 5 planes = 125 dot products). As 125 nested
+    ``aggregate(zip_with(...))`` expressions that blows past the JIT
+    method budget and drops out of whole-stage codegen; as one numpy
+    ``V @ P.T`` matmul over an Arrow batch it is a single BLAS call.
+    Deterministic: the planes come from the same integer mix the
+    driver uses for query buckets.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    planes_t = _planes_matrix(dim, n_planes, n_tables).T  # (dim, t*b)
+
+    @pandas_udf("array<bigint>")
+    def buckets(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        packed = _pack_signs(mat @ planes_t > 0, n_planes, n_tables)
+        return pd.Series(list(packed))
+
+    return buckets
+
+
+def _query_buckets(query_vec: list[float], n_planes: int, n_tables: int) -> list[int]:
+    """Driver-side bucket ids for the query vector (same mix as the UDF)."""
+    planes = _planes_matrix(len(query_vec), n_planes, n_tables)
+    signs = planes @ np.asarray(query_vec, dtype=np.float64) > 0
+    return [int(b) for b in _pack_signs(signs.reshape(1, -1), n_planes, n_tables)[0]]
+
+
+def srp_params(
+    threshold: float, target_recall: float = 0.95, max_tables: int = 32
+) -> tuple[int, int]:
+    """Auto-tune (n_planes b, n_tables t) for OR-amplified SRP-LSH.
+
+    For cosine threshold s, a single hyperplane agrees on both sides of
+    a pair with p = 1 - arccos(s)/pi; a b-bit table catches the pair
+    with p^b and t OR'd tables with 1 - (1-p^b)^t. Pick the largest b
+    (smallest buckets => fewest candidate pairs) whose required
+    t = ceil(ln(1-recall)/ln(1-p^b)) fits in max_tables. Larger b is
+    what keeps the candidate join sub-quadratic at 100 TB; t only
+    multiplies the (ids-only) explode, not the corpus shuffle.
+    """
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    for b in range(16, 1, -1):
+        pb = p**b
+        if pb >= 1.0:
+            continue
+        t = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pb))
+        if t <= max_tables:
+            return b, t
+    return 2, max_tables
+
+
 def srp_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -99,24 +175,40 @@ def srp_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 12,
+    n_tables: int = 16,
+    multiprobe: int = 1,
 ) -> DataFrame:
-    """ANN top-k: restrict the exact scan to the query's SRP bucket.
+    """ANN top-k: exact scan restricted to rows sharing an SRP bucket
+    with the query in ANY of ``n_tables`` hash tables (OR-amplification),
+    additionally probing buckets within Hamming distance ``multiprobe``
+    of the query bucket per table.
 
-    Single-table SRP — recall < 1 by design; the bench compares its
-    answer quality/latency against :func:`brute_force_topk`.
+    Map-only: the bucket filter is a per-row predicate against t query
+    bucket literals — no shuffle, no index build. Recall per neighbor at
+    cosine s is 1-(1-P_hit)^t with P_hit = sum_{i<=multiprobe} C(b,i)
+    p^(b-i) (1-p)^i, p = 1-arccos(s)/pi; candidate volume is
+    ~t*(1+b*multiprobe)/2^b of the corpus. Defaults (b=12, t=16,
+    probe<=1) scan ~5% of the corpus with recall ~0.94 for s>=0.7
+    neighbors. Approximate by design; tests/test_similarity_srp.py pins
+    recall@k against :func:`brute_force_topk`.
     """
     dim = len(query_vec)
-    bucketed = df.withColumn("_bucket", srp_bucket(F.col(vec_col), dim, n_planes))
-    # Query bucket computed driver-side with the same mix.
-    qb = 0
-    for p in range(n_planes):
-        plane = _hyperplane(dim, p)
-        if sum(q * c for q, c in zip(query_vec, plane)) > 0:
-            qb |= 1 << p
+    buckets = srp_buckets_udf(dim, n_planes, n_tables)
+    qb = _query_buckets(query_vec, n_planes, n_tables)
+    qb_lit = F.array(*[F.lit(b).cast("bigint") for b in qb])
+    hit = F.exists(
+        F.zip_with(
+            F.col("_buckets"),
+            qb_lit,
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)) <= F.lit(multiprobe),
+        ),
+        lambda x: x,
+    )
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     sim = cosine(as_double(F.col(vec_col)), q)
     return (
-        bucketed.where(F.col("_bucket") == F.lit(qb))
+        df.withColumn("_buckets", buckets(F.col(vec_col)))
+        .where(hit)
         .select(F.col(id_col), F.round(sim, 4).alias("cosine_sim"))
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
@@ -165,49 +257,83 @@ def cosine_near_duplicates(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
+    target_recall: float = 0.95,
+    max_tables: int = 32,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via SRP-LSH blocking +
-    exact verification inside buckets.
+    """Embedding-cosine near-duplicate pairs via OR-amplified SRP-LSH
+    blocking + exact cosine verification.
 
-    At 100 TB the bucket self-join is the shuffle; n_planes trades
-    bucket size (2^-n of corpus) against recall near the threshold.
+    (b, t) default to :func:`srp_params`(threshold, target_recall) —
+    a single b-bit table catches a threshold-sim pair with only
+    p^b (~7% at s=0.45, b=6: the round-1 recall collapse); t OR'd
+    tables lift that to 1-(1-p^b)^t >= target_recall.
+    tests/test_similarity_srp.py pins recall against the exact
+    all-pairs twin.
 
-    Plan shape (measured 3× faster than the naive broadcast self-join
-    at sf0.1, and the only shape that survives scale):
+    100 TB plan shape:
 
-    - ``shuffle_hash`` hints on both sides: a broadcast self-join would
-      compute the bucketed projection twice (the BroadcastExchange and
-      the streamed side cannot share work) and cannot broadcast a
-      100 TB corpus anyway; with a shuffled join both sides are the
-      SAME exchange and Spark reuses it (ReusedExchange) — the SRP
-      projection runs once.
-    - L2 norms are materialized as a scalar column per row before the
-      join, so per-pair verification is one dot product; per-pair
-      norm recomputation would dominate (pairs ≫ rows).
-    - The dot stays a higher-order function: an unrolled 64-term
-      element_at sum measured ~7× slower (blows past the JIT method
-      budget and drops out of codegen).
+    - Buckets per row come from one Arrow-batched numpy matmul
+      (:func:`srp_buckets_udf`) — t*b plane projections as nested
+      codegen aggregates would blow the JIT method budget.
+    - The t-way posexplode carries ONLY (id, table, bucket) — never the
+      vectors. Exploding vectors would shuffle t copies of the corpus
+      (t=25 => 2.5 PB of shuffle on a 100 TB corpus); ids are ~24
+      bytes/row.
+    - ``shuffle_hash`` hints on the (table, bucket) self-join: both
+      sides are the SAME exchange and Spark reuses it (ReusedExchange);
+      a broadcast self-join would compute the bucketed projection twice
+      and cannot broadcast a corpus-sized side anyway.
+    - Candidate pairs are ``distinct``-ed BEFORE vectors are fetched:
+      a pair colliding in many tables verifies once, and the two
+      id-keyed joins that attach (vector, norm) move each corpus row
+      at most once per side.
+    - L2 norms are materialized per row before the pair join, so
+      verification is one dot product per unique pair.
     """
+    if n_planes is None:
+        n_planes, auto_t = srp_params(threshold, target_recall, max_tables)
+        n_tables = auto_t if n_tables is None else n_tables
+    elif n_tables is None:
+        n_tables = 1
     sample = df.select(vec_col).first()
     dim = len(sample[0])
-    bucketed = df.select(
-        F.col(id_col).alias("_id"),
-        as_double(F.col(vec_col)).alias("_v"),
-        srp_bucket(F.col(vec_col), dim, n_planes).alias("_bucket"),
+    buckets = srp_buckets_udf(dim, n_planes, n_tables)
+    base = df.select(
+        F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v")
     ).withColumn("_norm", l2_norm(F.col("_v")))
-    l, r = bucketed.alias("l"), bucketed.alias("r")
-    cos = dot(F.col("l._v"), F.col("r._v")) / (F.col("l._norm") * F.col("r._norm"))
-    return (
+    ids = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(buckets(F.col(vec_col))).alias("_tbl", "_bkt"),
+    )
+    l, r = ids.alias("l"), ids.alias("r")
+    cand = (
         l.hint("shuffle_hash")
         .join(
             r.hint("shuffle_hash"),
-            (F.col("l._bucket") == F.col("r._bucket")) & (F.col("l._id") < F.col("r._id")),
+            (F.col("l._tbl") == F.col("r._tbl"))
+            & (F.col("l._bkt") == F.col("r._bkt"))
+            & (F.col("l._id") < F.col("r._id")),
         )
-        .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            F.round(cos, 4).alias("cosine_sim"),
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    pairs = cand.join(
+        base.select(
+            F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_norm").alias("_na")
+        ),
+        "id_a",
+    ).join(
+        base.select(
+            F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb")
+        ),
+        "id_b",
+    )
+    cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    return (
+        pairs.select(
+            F.col("id_a"), F.col("id_b"), F.round(cos, 4).alias("cosine_sim")
         )
         .where(F.col("cosine_sim") >= threshold)
     )

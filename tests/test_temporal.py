@@ -1,20 +1,16 @@
-"""Behavioral tests for the as-of join operator and IVF ANN recall.
+"""Behavioral tests for the as-of join operator.
 
 (The temporal queries' value correctness is pinned by the auto-
 discovered DuckDB oracles in test_oracle.py; these tests pin the edge
-semantics an oracle diff can't localize.)
+semantics an oracle diff can't localize. IVF ANN recall lives in
+tests/test_similarity_ivf.py.)
 """
 
 from __future__ import annotations
 
 from datetime import datetime
 
-from pyspark.sql import functions as F
-
 from etl_mudah_spark.operators.asof import asof_join_backward
-from etl_mudah_spark.operators.similarity import brute_force_topk, ivf_topk
-from etl_mudah_spark.tables import load
-from tests.conftest import SF_SMOKE
 
 
 def _ts(s: str) -> datetime:
@@ -58,14 +54,3 @@ def test_asof_keeps_all_left_rows_and_columns(spark):
     rows = asof_join_backward(left, right, ["k"], "ts", "ts", ["v"]).collect()
     assert len(rows) == 1
     assert rows[0]["extra"] == "payload" and rows[0]["v_asof"] is None
-
-
-def test_ivf_topk_recall_vs_brute_force(spark):
-    emb = load(spark, SF_SMOKE, "embeddings")
-    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
-    exact = [r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()]
-    approx = [r["vec_id"] for r in ivf_topk(emb, q, k=10, n_cells=8, n_probe=4).collect()]
-    # The query vector itself must always survive cell pruning, and the
-    # probe set should keep a reasonable share of true neighbors.
-    assert approx[0] == 0
-    assert len(set(exact) & set(approx)) >= 5
