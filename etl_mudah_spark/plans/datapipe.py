@@ -157,14 +157,19 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Exact dedup on a 40-char-prefix hash key, deterministic survivor.",
 )
 def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Both counts fold into ONE plan (1-row aggs + broadcast crossJoin)
+    # instead of two eager .count() jobs plus a createDataFrame.
     docs = load(spark, sf_dir, "documents").withColumn(
         "k", F.md5(F.substring("text", 1, 40))
     )
-    total = docs.count()
-    kept = dd.exact_dedup(docs, ["k"], ["doc_id"]).count()
-    return spark.createDataFrame(
-        [(total, kept, total - kept)],
-        "total_rows bigint, kept_rows bigint, removed_rows bigint",
+    kept = dd.exact_dedup(docs, ["k"], ["doc_id"]).agg(
+        F.count("*").alias("kept_rows")
+    )
+    total = docs.agg(F.count("*").alias("total_rows"))
+    return kept.join(F.broadcast(total)).select(
+        "total_rows",
+        "kept_rows",
+        (F.col("total_rows") - F.col("kept_rows")).alias("removed_rows"),
     )
 
 

@@ -173,8 +173,11 @@ def brand_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Named price segments via CASE chain, with counts and shares.",
 )
 def price_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The global total folds in as a 1-row broadcast crossJoin (the
+    # nation_acctbal_concentration pattern) — one Spark job, not an
+    # eager .count() round-trip plus a second job.
     orders = load(spark, sf_dir, "orders")
-    total = orders.count()
+    total = orders.agg(F.count("*").alias("_total"))
     return (
         orders.withColumn("segment", bucket_case("o_totalprice", SEG_THRESHOLDS, SEG_LABELS))
         .groupBy("segment")
@@ -182,7 +185,9 @@ def price_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("cnt"),
             dsum("o_totalprice").alias("total_value"),
         )
-        .withColumn("share_pct", (100.0 * F.col("cnt")) / F.lit(total))
+        .join(F.broadcast(total))
+        .withColumn("share_pct", (100.0 * F.col("cnt")) / F.col("_total"))
+        .drop("_total")
     )
 
 
@@ -522,13 +527,19 @@ def nation_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Percent of orders above the global average value.",
 )
 def share_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The scalar average joins in as a 1-row broadcast (matching the
+    # oracle's scalar subquery) instead of an eager .first() job.
     orders = load(spark, sf_dir, "orders")
-    avg_val = orders.agg(davg("o_totalprice")).first()[0]
-    return orders.agg(
-        (100.0 * F.avg(F.when(F.col("o_totalprice") > F.lit(avg_val), 1.0).otherwise(0.0))).alias(
-            "above_avg_pct"
-        ),
-        F.count("*").alias("cnt"),
+    thresh = orders.agg(davg("o_totalprice").alias("_avg"))
+    return (
+        orders.join(F.broadcast(thresh))
+        .agg(
+            (
+                100.0
+                * F.avg(F.when(F.col("o_totalprice") > F.col("_avg"), 1.0).otherwise(0.0))
+            ).alias("above_avg_pct"),
+            F.count("*").alias("cnt"),
+        )
     )
 
 
@@ -580,13 +591,16 @@ def similar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Lowercase + capitalize normalization with frequency shares.",
 )
 def priority_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Global total via 1-row broadcast crossJoin — single job.
     orders = load(spark, sf_dir, "orders")
-    total = orders.count()
+    total = orders.agg(F.count("*").alias("_total"))
     return (
         orders.select(capitalize(F.lower(F.col("o_orderpriority"))).alias("priority"))
         .groupBy("priority")
         .agg(F.count("*").alias("cnt"))
-        .withColumn("share_pct", (100.0 * F.col("cnt")) / F.lit(total))
+        .join(F.broadcast(total))
+        .withColumn("share_pct", (100.0 * F.col("cnt")) / F.col("_total"))
+        .drop("_total")
     )
 
 
