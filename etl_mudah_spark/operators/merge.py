@@ -20,17 +20,26 @@ taking volatile columns from the staged row, rewrite atomically
   (e.g. partitionBy(region_id)) and restrict the rewrite to partitions
   present in the batch — ``merge_upsert`` prunes target partitions via
   a semi-join when ``partition_col`` is given;
-- writing to a temp dir + atomic swap keeps readers consistent.
+- the replace goes through Spark's dynamic partition overwrite and the
+  Hadoop FileSystem API (HDFS/S3A-safe), not driver-local file moves.
 """
 
 from __future__ import annotations
 
-import os
-import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the JVM Hadoop API — works on
+    any supported filesystem (local, HDFS, S3A), unlike os/shutil which
+    silently assume the driver's local disk."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, jpath
 
 
 def merge_dataframes(
@@ -113,8 +122,17 @@ def merge_upsert(
     With ``partition_col``: only partitions present in the batch are
     read+rewritten (dynamic-overwrite shape) — untouched partitions'
     files are never opened, which is what makes this viable at 100 TB.
+
+    I/O goes through the Hadoop FileSystem API and Spark's dynamic
+    partition overwrite (``partitionOverwriteMode=dynamic``), never the
+    driver's local filesystem — the same code path works on HDFS/S3A.
+    The merged frame is staged to a scratch dir first because Spark
+    (correctly) refuses to overwrite a path its own plan is reading;
+    the final write replaces ONLY the partitions present in the batch
+    via the committer, not a hand-rolled directory swap.
     """
-    exists = os.path.exists(table_path)
+    fs, table_jpath = _hadoop_fs(spark, table_path)
+    exists = fs.exists(table_jpath)
     if exists and partition_col:
         parts = [r[0] for r in staged.select(partition_col).distinct().collect()]
         target = spark.read.parquet(table_path).where(
@@ -135,23 +153,31 @@ def merge_upsert(
         batch_ts=batch_ts,
     )
 
-    tmp = f"{table_path}__tmp_{uuid.uuid4().hex[:8]}"
-    writer = merged.write.mode("overwrite")
-    if partition_col:
-        writer = writer.partitionBy(partition_col)
-    writer.parquet(tmp)
+    if not exists:
+        # Nothing read from table_path — write straight through.
+        writer = merged.write.mode("overwrite")
+        if partition_col:
+            writer = writer.partitionBy(partition_col)
+        writer.parquet(table_path)
+        return
 
-    if exists and partition_col:
-        # swap only the touched partition dirs
-        for p in parts:
-            src = os.path.join(tmp, f"{partition_col}={p}")
-            dst = os.path.join(table_path, f"{partition_col}={p}")
-            if os.path.exists(dst):
-                shutil.rmtree(dst)
-            if os.path.exists(src):
-                shutil.move(src, dst)
-        shutil.rmtree(tmp, ignore_errors=True)
-    else:
-        if exists:
-            shutil.rmtree(table_path)
-        shutil.move(tmp, table_path)
+    tmp = f"{table_path}__stage_{uuid.uuid4().hex[:8]}"
+    stage_writer = merged.write.mode("overwrite")
+    if partition_col:
+        stage_writer = stage_writer.partitionBy(partition_col)
+    stage_writer.parquet(tmp)
+
+    try:
+        final = spark.read.parquet(tmp)
+        writer = final.write.mode("overwrite")
+        if partition_col:
+            # Dynamic overwrite: only partitions present in `final`
+            # (exactly the batch's partitions) are replaced; untouched
+            # partitions keep their files.
+            writer = writer.option("partitionOverwriteMode", "dynamic").partitionBy(
+                partition_col
+            )
+        writer.parquet(table_path)
+    finally:
+        tmp_fs, tmp_jpath = _hadoop_fs(spark, tmp)
+        tmp_fs.delete(tmp_jpath, True)
