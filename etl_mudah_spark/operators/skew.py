@@ -60,10 +60,20 @@ def salted_sum_count(
 
     Output: group_cols…, ``sum_value`` (double), ``cnt`` (bigint).
     """
-    src = salt_from or value_col
+    # Default the salt to a hash over the FULL row, not value_col: a hot
+    # key whose values are constant/low-cardinality (the typical skew
+    # case — and all NULLs hash identically) would land every row in one
+    # salt bucket and silently defeat the mitigation. The result is
+    # bit-identical either way (exact decimal partials commute).
+    if salt_from is not None:
+        salt = salt_col(salt_from, n_salts)
+    else:
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)
+        ).cast("int")
     dec = "decimal(28,6)"
     partial = (
-        df.withColumn("_salt", salt_col(src, n_salts))
+        df.withColumn("_salt", salt)
         .groupBy(*group_cols, "_salt")
         .agg(
             F.sum(F.col(value_col).cast(dec)).alias("_psum"),
@@ -97,7 +107,17 @@ def salted_join(
     cannot broadcast (if it can, ``broadcast(dim)`` is strictly
     better; this exists for the mid-size-dim + pathological-skew
     regime).
+
+    Only fact-preserving join types are accepted: the dim side is
+    replicated n_salts×, so right/full outer joins would emit one
+    null-extended row PER SALT for dim keys with no fact match.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is not fact-preserving; the replicated "
+            f"dim side would duplicate unmatched rows {sorted(allowed)}"
+        )
     fact_s = fact.withColumn(
         "_salt",
         F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts)).cast("int"),

@@ -83,8 +83,11 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_guess") -> DataFrame:
     """Heuristic language ID: argmax of stopword-overlap scores.
 
-    Deterministic tie-break: language code ascending. At scale this is a
-    single codegen'd projection — no shuffle, no UDF.
+    Deterministic tie-break: score ties resolve to the lexicographically
+    LARGEST language code (array_max over (score, code) structs compares
+    fields in order, so equal scores fall through to the code). The
+    DuckDB oracle in plans/datapipe.py encodes the same tie order. At
+    scale this is a single codegen'd projection — no shuffle, no UDF.
     """
     w = words(text_col)
     n_tok = F.size(w)
@@ -93,9 +96,6 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_guess") 
         arr = F.array([F.lit(s) for s in stops])
         score = F.size(F.filter(w, lambda x: F.array_contains(arr, F.lower(x)))) / n_tok
         scores.append(F.struct(score.alias("score"), F.lit(code).alias("code")))
-    # array_max over structs orders by (score, code); flip code ordering is
-    # not needed — ties resolve to the LAST code alphabetically under max,
-    # so sort descending by negating: use array_sort + element_at instead.
     best = F.array_max(F.array(*scores))
     guessed = F.when(best["score"] >= 0.05, best["code"]).otherwise(F.lit("unknown"))
     return df.withColumn(out_col, guessed)

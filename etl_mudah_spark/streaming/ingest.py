@@ -23,6 +23,7 @@ partitions (merge_upsert prunes via partition_col), not table size.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from etl_mudah_spark.operators.flatten import flatten_listings
 from etl_mudah_spark.operators.merge import merge_upsert
@@ -49,6 +50,14 @@ def stream_ingest_listings(
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         flat = flatten_listings(batch)
         if not flat.isEmpty():
+            # Per-batch stamp derived from the batch's own data (max
+            # listing_date), not a single stream-start timestamp: each
+            # micro-batch gets its own updated_at, and a replayed batch
+            # reproduces the same stamp (idempotent under the
+            # at-least-once edge). An explicit batch_ts overrides.
+            ts = batch_ts
+            if ts is None:
+                ts = flat.agg(F.max("listing_date")).first()[0]
             merge_upsert(
                 spark,
                 flat,
@@ -56,7 +65,7 @@ def stream_ingest_listings(
                 key_cols=["listing_id"],
                 order_cols=["listing_date", "listing_id"],
                 partition_col=partition_col,
-                batch_ts=batch_ts,
+                batch_ts=ts,
             )
 
     stream = (

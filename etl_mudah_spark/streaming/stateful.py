@@ -82,7 +82,12 @@ def _make_sessionizer(gap_us: int):
                 if n and t - last > gap_us:
                     out.append((user_id, start, last, n))
                     start, n = t, 0
-                last = t
+                # An admitted cross-batch straggler can have t < last
+                # (the 0 s watermark only drops events older than the
+                # previous batch's max): count it into the current
+                # session but never move `last` backwards — a receding
+                # session end would mis-split later gaps.
+                last = max(last, t)
                 n += 1
             state.update((start, last, n))
             # Flush the open session once event time passes last + gap
