@@ -11,6 +11,7 @@ from etl_mudah_spark.plans import eventsq  # noqa: F401
 from etl_mudah_spark.plans import temporal  # noqa: F401
 from etl_mudah_spark.plans import starjoins  # noqa: F401
 from etl_mudah_spark.plans import profile  # noqa: F401
+from etl_mudah_spark.plans import geoq  # noqa: F401
 
 __all__ = [
     "registry",
@@ -20,4 +21,5 @@ __all__ = [
     "temporal",
     "starjoins",
     "profile",
+    "geoq",
 ]
