@@ -21,31 +21,47 @@ from pyspark.sql import functions as F
 YEAR_RE = r"^[0-9]{4}$"  # data_loader.py:28
 
 
-def flatten_listings(raw: DataFrame) -> DataFrame:
+def flatten_listings(raw: DataFrame, vehicle_type: str = "car") -> DataFrame:
     """API page rows (id, attributes struct) → flat listing columns.
 
-    Mirrors process_listing (dags/dag.py:112-135) as one projection.
+    Mirrors process_listing as one projection. The field mapping is
+    per vehicle type: cars (dags/dag.py:112-135) read make_name /
+    model_name plus the mileage struct and transmission/fuel/car_type;
+    motorcycles (dags/motor_dag.py:81-98) read motorcycle_make_name /
+    motorcycle_model_name and have none of those extras.
     """
     a = "attributes"
-    return raw.select(
+    if vehicle_type == "car":
+        make_field, model_field = "make_name", "model_name"
+    elif vehicle_type == "motorcycle":
+        make_field, model_field = "motorcycle_make_name", "motorcycle_model_name"
+    else:
+        raise ValueError(f"unknown vehicle_type {vehicle_type!r}")
+    cols = [
         F.col("id").alias("listing_id"),
         F.coalesce(F.col(f"{a}.subject"), F.lit("")).alias("title"),
         F.coalesce(F.col(f"{a}.price"), F.lit(0.0)).cast("decimal(12,2)").alias("price"),
-        F.col(f"{a}.make_name").alias("make"),
-        F.col(f"{a}.model_name").alias("model"),
+        F.col(f"{a}.{make_field}").alias("make"),
+        F.col(f"{a}.{model_field}").alias("model"),
         F.col(f"{a}.manufactured_year").alias("year"),
-        F.coalesce(F.col(f"{a}.mileage.gte"), F.lit("0")).alias("mileage_min"),
-        F.coalesce(F.col(f"{a}.mileage.lte"), F.lit("0")).alias("mileage_max"),
-        F.col(f"{a}.transmission_name").alias("transmission"),
-        F.col(f"{a}.fueltype").alias("fuel_type"),
-        F.col(f"{a}.car_type").alias("car_type"),
+    ]
+    if vehicle_type == "car":
+        cols += [
+            F.coalesce(F.col(f"{a}.mileage.gte"), F.lit("0")).alias("mileage_min"),
+            F.coalesce(F.col(f"{a}.mileage.lte"), F.lit("0")).alias("mileage_max"),
+            F.col(f"{a}.transmission_name").alias("transmission"),
+            F.col(f"{a}.fueltype").alias("fuel_type"),
+            F.col(f"{a}.car_type").alias("car_type"),
+        ]
+    cols += [
         F.col(f"{a}.region_name").alias("location"),
         F.col(f"{a}.name").alias("seller_name"),
         F.to_timestamp(F.col(f"{a}.date")).alias("listing_date"),
         F.coalesce(F.col(f"{a}.image_count"), F.lit(0)).alias("image_count"),
         F.col(f"{a}.adview_url").alias("ad_url"),
         F.col(f"{a}.region_id").alias("region_id"),
-    )
+    ]
+    return raw.select(*cols)
 
 
 def clean_listings(

@@ -51,6 +51,32 @@ API_LISTING = T.StructType(
 
 API_PAGE = T.StructType([T.StructField("data", T.ArrayType(API_LISTING))])
 
+# Motorcycle page shape (dags/motor_dag.py:81-98): make/model come from
+# motorcycle_make_name / motorcycle_model_name and there is NO mileage
+# struct and no transmission/fueltype/car_type attributes.
+MOTOR_LISTING_ATTRIBUTES = T.StructType(
+    [
+        T.StructField("subject", T.StringType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("motorcycle_make_name", T.StringType()),
+        T.StructField("motorcycle_model_name", T.StringType()),
+        T.StructField("manufactured_year", T.StringType()),
+        T.StructField("name", T.StringType()),  # seller
+        T.StructField("region_name", T.StringType()),
+        T.StructField("date", T.StringType()),
+        T.StructField("image_count", T.IntegerType()),
+        T.StructField("adview_url", T.StringType()),
+        T.StructField("region_id", T.StringType()),
+    ]
+)
+
+API_MOTOR_LISTING = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("attributes", MOTOR_LISTING_ATTRIBUTES),
+    ]
+)
+
 # ---------------------------------------------------------------------------
 # car_listings: DDL at dags/dag.py:297-318 (17 business columns).
 # price NUMERIC → DecimalType(12,2) (exact money); year kept as string at

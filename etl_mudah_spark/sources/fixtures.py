@@ -56,3 +56,38 @@ def fixture_fetcher_factory():
         return {"data": [_listing(region, i) for i in range(offset, end)]}
 
     return fetch
+
+
+def _motor_listing(region: str, i: int) -> dict:
+    """Motorcycle page shape (dags/motor_dag.py:81-98): motorcycle_*
+    make/model fields, no mileage struct, no transmission/fuel/type."""
+    gid = 500_000 + int(region) * 1000 + i
+    if i % 10 == 9 and region != "1":
+        gid = 501_000 + i  # cross-region dup, like the car fixture
+    attrs = {
+        "subject": f"Motorcycle {gid}",
+        "motorcycle_make_name": ["Yamaha", "Honda", "Kawasaki", "Modenas"][i % 4],
+        "motorcycle_model_name": f"MModel{i % 5}",
+        "manufactured_year": str(2005 + (i % 20)) if i % 13 else "n/a",
+        "name": f"Seller {i % 11}",
+        "region_name": ["Penang", "KL", "Johor", "Selangor"][int(region) % 4],
+        "date": f"2024-{(i % 12) + 1:02d}-{(i % 27) + 1:02d} 11:00:00",
+        "image_count": i % 6,
+        "adview_url": f"https://example.invalid/ad/{gid}" if i % 5 else None,
+        "region_id": region,
+    }
+    if i % 7 == 6:
+        attrs.pop("price", None)
+    else:
+        attrs["price"] = 3_000.0 + 499.0 * (i % 30)
+    return {"id": gid, "attributes": attrs}
+
+
+def motor_fixture_fetcher_factory():
+    def fetch(region: str, offset: int, limit: int) -> dict:
+        end = min(offset + limit, ROWS_PER_REGION)
+        if offset >= ROWS_PER_REGION:
+            return {"data": []}
+        return {"data": [_motor_listing(region, i) for i in range(offset, end)]}
+
+    return fetch

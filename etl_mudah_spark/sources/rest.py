@@ -35,7 +35,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 from pyspark.sql.types import StructType
 
-from etl_mudah_spark.schemas import API_LISTING
+from etl_mudah_spark.schemas import API_LISTING, API_MOTOR_LISTING
 
 # Operational constants mirroring the reference's envelope
 # (dags/dag.py:18-27).
@@ -51,13 +51,20 @@ PageFetcher = Callable[[str, int, int], dict]
 """(region, offset, limit) -> decoded JSON page {"data": [...]}"""
 
 
-def default_http_fetcher(base_url: str) -> PageFetcher:
-    """GET ``base_url`` with search params; returns the decoded page."""
+def default_http_fetcher(base_url: str, extra_params: dict | None = None) -> PageFetcher:
+    """GET ``base_url`` with search params; returns the decoded page.
+
+    ``extra_params`` carries endpoint-specific constants — the motor
+    DAG adds ``category=1040`` and ``include=extra_images,body``
+    (dags/motor_dag.py:47-54) on top of the shared paging params.
+    """
     from urllib.parse import urlencode
     from urllib.request import urlopen
 
     def fetch(region: str, offset: int, limit: int) -> dict:
-        qs = urlencode({"region": region, "from": offset, "limit": limit})
+        params = {"region": region, "from": offset, "limit": limit}
+        params.update(extra_params or {})
+        qs = urlencode(params)
         with urlopen(f"{base_url}?{qs}", timeout=30) as resp:  # noqa: S310
             return json.loads(resp.read().decode("utf-8"))
 
@@ -121,9 +128,57 @@ class RegionPartition(InputPartition):
     region: str
 
 
+def _car_attrs(attrs: dict, region: str) -> tuple:
+    mileage = attrs.get("mileage", {}) or {}
+    return (
+        attrs.get("subject", ""),
+        float(attrs.get("price", 0) or 0),
+        attrs.get("make_name"),
+        attrs.get("model_name"),
+        attrs.get("manufactured_year"),
+        (mileage.get("gte", "0"), mileage.get("lte", "0")),
+        attrs.get("transmission_name"),
+        attrs.get("fueltype"),
+        attrs.get("car_type"),
+        attrs.get("name"),
+        attrs.get("region_name"),
+        attrs.get("date"),
+        int(attrs.get("image_count", 0) or 0),
+        attrs.get("adview_url"),
+        attrs.get("region_id", region),
+    )
+
+
+def _motor_attrs(attrs: dict, region: str) -> tuple:
+    # motor_dag.py:81-98: motorcycle_* make/model fields, no mileage
+    # struct, no transmission/fuel/car_type.
+    return (
+        attrs.get("subject", ""),
+        float(attrs.get("price", 0) or 0),
+        attrs.get("motorcycle_make_name"),
+        attrs.get("motorcycle_model_name"),
+        attrs.get("manufactured_year"),
+        attrs.get("name"),
+        attrs.get("region_name"),
+        attrs.get("date"),
+        int(attrs.get("image_count", 0) or 0),
+        attrs.get("adview_url"),
+        attrs.get("region_id", region),
+    )
+
+
+VEHICLE_TYPES = {
+    "car": (API_LISTING, _car_attrs),
+    "motorcycle": (API_MOTOR_LISTING, _motor_attrs),
+}
+
+
 class ListingsReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
         self.schema_ = schema
+        self.vehicle_type = options.get("vehicle_type", "car")
+        if self.vehicle_type not in VEHICLE_TYPES:
+            raise ValueError(f"unknown vehicle_type {self.vehicle_type!r}")
         self.regions: Sequence[str] = tuple(
             json.loads(options.get("regions", json.dumps(list(DEFAULT_REGIONS))))
         )
@@ -173,29 +228,10 @@ class ListingsReader(DataSourceReader):
             listings = page.get("data", [])
             if not listings:
                 break
+            to_attrs = VEHICLE_TYPES[self.vehicle_type][1]
             for item in listings:
                 attrs = item.get("attributes", {}) or {}
-                mileage = attrs.get("mileage", {}) or {}
-                yield (
-                    int(item["id"]),
-                    (
-                        attrs.get("subject", ""),
-                        float(attrs.get("price", 0) or 0),
-                        attrs.get("make_name"),
-                        attrs.get("model_name"),
-                        attrs.get("manufactured_year"),
-                        (mileage.get("gte", "0"), mileage.get("lte", "0")),
-                        attrs.get("transmission_name"),
-                        attrs.get("fueltype"),
-                        attrs.get("car_type"),
-                        attrs.get("name"),
-                        attrs.get("region_name"),
-                        attrs.get("date"),
-                        int(attrs.get("image_count", 0) or 0),
-                        attrs.get("adview_url"),
-                        attrs.get("region_id", region),
-                    ),
-                )
+                yield (int(item["id"]), to_attrs(attrs, region))
             seen += len(listings)
             if len(listings) < self.page_size:
                 break  # short page = last page (dags/dag.py:147-154)
@@ -204,14 +240,21 @@ class ListingsReader(DataSourceReader):
 
 class ListingsDataSource(DataSource):
     """``spark.read.format("mudah_listings")`` after
-    ``spark.dataSource.register(ListingsDataSource)``."""
+    ``spark.dataSource.register(ListingsDataSource)``.
+
+    ``option("vehicle_type", "motorcycle")`` switches the page shape
+    and schema to the motor DAG's field layout (motor_dag.py:81-98).
+    """
 
     @classmethod
     def name(cls) -> str:
         return "mudah_listings"
 
     def schema(self) -> StructType:
-        return API_LISTING
+        vt = self.options.get("vehicle_type", "car")
+        if vt not in VEHICLE_TYPES:
+            raise ValueError(f"unknown vehicle_type {vt!r}")
+        return VEHICLE_TYPES[vt][0]
 
     def reader(self, schema: StructType) -> ListingsReader:
         return ListingsReader(schema, self.options)
