@@ -23,7 +23,7 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -229,12 +229,13 @@ def ivf_topk(
     corpus into ``n_cells`` cells; only the ``n_probe`` cells whose
     centroids are nearest the query are scanned exactly.
 
-    The 100 TB layout: fit the quantizer on a sample, write the corpus
-    ``partitionBy(cell)``, and a query prunes to n_probe/n_cells of the
-    data via partition pruning before the exact scan. Here the cell
-    assignment is computed on the fly (same plan shape minus the
-    pruning I/O win). Approximate by design — recall depends on
-    (n_cells, n_probe); compare against :func:`brute_force_topk`.
+    The 100 TB layout is :func:`ivf_build_index` + :func:`ivf_query_index`:
+    fit the quantizer once, write the corpus ``partitionBy(cell)``, and
+    each query prunes to n_probe/n_cells of the data via planning-time
+    partition pruning. Here the cell assignment is computed on the fly
+    (same plan shape minus the pruning I/O win). Approximate by design —
+    recall depends on (n_cells, n_probe); compare against
+    :func:`brute_force_topk` (pinned in tests/test_similarity_ivf.py).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -249,6 +250,69 @@ def ivf_topk(
     ]
     probe = [i for i, _ in sorted(dists, key=lambda t: t[1])[:n_probe]]
     cand = model.transform(feats).where(F.col("_cell").isin(probe))
+    return brute_force_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def ivf_build_index(
+    df: DataFrame,
+    index_path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Materialize the IVF layout :func:`ivf_topk`'s docstring promises:
+    fit the KMeans coarse quantizer, assign every vector a cell, and
+    write the corpus ``partitionBy(cell)``.
+
+    At 100 TB this is the index build (one pass + one shuffle on cell);
+    afterwards every query opens only n_probe/n_cells of the files via
+    PLANNING-time partition pruning — tests/test_similarity_ivf.py
+    asserts the ``PartitionFilters`` in the query scan's physical plan.
+
+    Centroids (n_cells × dim doubles — tiny) are written under
+    ``_centroids``; the underscore prefix keeps the dir invisible to
+    the partitioned table scan.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.withColumn("_feat", array_to_vector(as_double(F.col(vec_col))))
+    km = KMeans(k=n_cells, seed=seed, maxIter=5, featuresCol="_feat", predictionCol="cell")
+    model = km.fit(feats.select("_feat"))
+    assigned = model.transform(feats).drop("_feat")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(index_path)
+    spark = df.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    centroids.coalesce(1).write.mode("overwrite").parquet(f"{index_path}/_centroids")
+
+
+def ivf_query_index(
+    spark: SparkSession,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k against an :func:`ivf_build_index` layout.
+
+    Probe cells are chosen driver-side from the (tiny) centroid table;
+    the corpus scan carries ``cell IN (probes)`` — a partition-column
+    predicate Spark resolves at planning time, so unmatched partitions
+    are never listed, opened, or scheduled.
+    """
+    centroids = spark.read.parquet(f"{index_path}/_centroids").collect()
+    dists = [
+        (r["cell"], sum((c - q) ** 2 for c, q in zip(r["centroid"], query_vec)))
+        for r in centroids
+    ]
+    probe = [cell for cell, _ in sorted(dists, key=lambda t: t[1])[:n_probe]]
+    cand = spark.read.parquet(index_path).where(F.col("cell").isin(probe))
     return brute_force_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 

@@ -10,7 +10,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from etl_mudah_spark.operators.similarity import brute_force_topk, ivf_topk
+from etl_mudah_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_build_index,
+    ivf_query_index,
+    ivf_topk,
+)
 from etl_mudah_spark.tables import load
 from tests.conftest import SF_SMOKE
 
@@ -36,4 +41,29 @@ def test_ivf_probe_widening_monotone(spark):
         r["vec_id"]
         for r in ivf_topk(emb, q, k=10, n_cells=8, n_probe=8).collect()
     ]
+    assert full == exact
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """The written partitionBy(cell) layout must prune at PLANNING time:
+    the query scan's physical plan carries a PartitionFilters entry on
+    cell, and recall matches the on-the-fly ivf_topk path."""
+    emb = load(spark, SF_SMOKE, "embeddings")
+    index = str(tmp_path / "ivf_index")
+    ivf_build_index(emb, index, n_cells=8)
+
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    res = ivf_query_index(spark, index, q, k=10, n_probe=4)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    # partition-column predicate resolved at planning time, not a
+    # post-scan filter
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:200]
+
+    got = [r["vec_id"] for r in res.collect()]
+    exact = [r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()]
+    assert got[0] == 0
+    assert len(set(exact) & set(got)) >= 5
+
+    # probing every cell over the index recovers the exact answer
+    full = [r["vec_id"] for r in ivf_query_index(spark, index, q, k=10, n_probe=8).collect()]
     assert full == exact
