@@ -768,3 +768,47 @@ def monthly_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_trunc("month", "o_orderdate").alias("month_start"))
         .agg(F.count("*").alias("cnt"), dsum("o_totalprice").alias("revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# P11: null-aware projection — the reference renders a listing URL only
+# when present (price_prediction.py:188-190: when(isNotNull(url),
+# clickable).otherwise placeholder). Here the null source is real (a
+# LEFT join: customers with no orders have a null total), not a
+# synthetic nullable column.
+# ---------------------------------------------------------------------------
+@register(
+    "customer_order_links",
+    oracle=f"""
+    SELECT c.c_custkey,
+           CASE WHEN t.total_spent IS NOT NULL
+                THEN 'https://orders.example/customer/' || c.c_custkey
+                ELSE 'no-orders' END AS order_link,
+           ROUND(COALESCE(t.total_spent, 0), 2) AS total_spent
+    FROM customer c LEFT JOIN (
+        SELECT o_custkey, {oracle_dsum('o_totalprice')} AS total_spent
+        FROM orders GROUP BY o_custkey
+    ) t ON c.c_custkey = t.o_custkey
+    """,
+    doc="Null-aware URL projection over a LEFT join (missing -> placeholder).",
+)
+def customer_order_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    totals = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(dsum("o_totalprice").alias("total_spent"))
+    )
+    return (
+        cust.join(totals, cust.c_custkey == totals.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.when(
+                F.col("total_spent").isNotNull(),
+                F.concat(F.lit("https://orders.example/customer/"), F.col("c_custkey")),
+            )
+            .otherwise(F.lit("no-orders"))
+            .alias("order_link"),
+            F.round(F.coalesce(F.col("total_spent"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )

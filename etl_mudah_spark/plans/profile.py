@@ -16,6 +16,8 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -132,3 +134,70 @@ def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return wide.select(F.explode(entries).alias("p")).select("p.*")
+
+
+# ---------------------------------------------------------------------------
+# A11: kernel-density estimate of the price distribution — the
+# reference's distplot curve (pages/price_analysis.py:244-249, plotly
+# ff.create_distplot = gaussian KDE, Scott bandwidth).
+#
+# Spark-first shape: ONE stats pass (count/std/min/max as a 1-row
+# broadcast), a generated 101-point grid, then a broadcast crossJoin of
+# grid x data with a partial-aggregated SUM of gaussian kernels per
+# grid point. No UDF, no driver loop; the only shuffle carries
+# 101 x n_partitions partial rows. At 100 TB the kernel pass is a
+# map-side aggregate over the corpus — same cost class as any global
+# histogram; evaluate on a sample if the full pass is too hot.
+#
+# Density is emitted x1e6 and rounded so the value comparison is way
+# above both engines' float-association noise.
+# ---------------------------------------------------------------------------
+@register(
+    "price_kde",
+    oracle="""
+    WITH s AS (
+        SELECT COUNT(*)::DOUBLE AS n, STDDEV(o_totalprice) AS sd,
+               MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+        FROM orders
+    ), g AS (
+        SELECT mn + i * (mx - mn) / 100 AS x, n, sd * pow(n, -0.2) AS h
+        FROM s, UNNEST(range(101)) AS t(i)
+    )
+    SELECT ROUND(x, 4) AS x,
+           ROUND(SUM(exp(-0.5 * ((x - o_totalprice) / h) * ((x - o_totalprice) / h)))
+                 / (n * h * sqrt(2 * pi())) * 1e6, 4) AS density_1e6
+    FROM orders, g
+    GROUP BY x, n, h
+    """,
+    doc="Gaussian KDE curve of order value (Scott bandwidth, 101-point grid).",
+)
+def price_kde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select("o_totalprice")
+    stats = orders.agg(
+        F.count("*").cast("double").alias("n"),
+        F.stddev("o_totalprice").alias("sd"),
+        F.min("o_totalprice").alias("mn"),
+        F.max("o_totalprice").alias("mx"),
+    )
+    grid = (
+        stats.select(
+            F.explode(F.sequence(F.lit(0), F.lit(100))).alias("i"), "n", "sd", "mn", "mx"
+        )
+        .select(
+            (F.col("mn") + F.col("i") * (F.col("mx") - F.col("mn")) / 100).alias("x"),
+            "n",
+            (F.col("sd") * F.pow("n", F.lit(-0.2))).alias("h"),
+        )
+    )
+    z = (F.col("x") - F.col("o_totalprice")) / F.col("h")
+    return (
+        orders.crossJoin(F.broadcast(grid))
+        .groupBy("x", "n", "h")
+        .agg(F.sum(F.exp(-0.5 * z * z)).alias("ksum"))
+        .select(
+            F.round("x", 4).alias("x"),
+            F.round(
+                F.col("ksum") / (F.col("n") * F.col("h") * math.sqrt(2 * math.pi)) * 1e6, 4
+            ).alias("density_1e6"),
+        )
+    )
