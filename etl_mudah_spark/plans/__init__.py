@@ -12,6 +12,7 @@ from etl_mudah_spark.plans import temporal  # noqa: F401
 from etl_mudah_spark.plans import starjoins  # noqa: F401
 from etl_mudah_spark.plans import profile  # noqa: F401
 from etl_mudah_spark.plans import geoq  # noqa: F401
+from etl_mudah_spark.plans import llmprep  # noqa: F401
 
 __all__ = [
     "registry",

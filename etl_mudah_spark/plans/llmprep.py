@@ -1,0 +1,168 @@
+"""LLM training-data preparation queries over the documents/embeddings
+tables — the operations a 100 TB pretraining pipeline runs between raw
+crawl and tokenizer:
+
+- ``doc_chunks``: overlapping word-window chunking (context-window
+  packing). Pure array algebra: sequence → explode → slice; each row
+  expands in place, the ONLY exchange is whatever the consumer adds.
+  At 100 TB chunking is embarrassingly parallel map work — exactly
+  what this plan is.
+- ``vocab_topk``: corpus vocabulary with counts. explode + count is
+  one shuffle with map-side partial aggregation; top-k via
+  TakeOrdered, no global sort.
+- ``term_idf_top20``: document frequency + inverse document frequency
+  per term (the tf-idf prior). array_distinct BEFORE explode keeps
+  the shuffle at one row per (doc, term), not per occurrence; the
+  corpus size N folds in as a 1-row broadcast, not a driver scalar.
+- ``emb_label_centroids``: per-label element-wise embedding mean
+  (class centroids for probing/clustering). posexplode → two-level
+  agg keeps everything in codegen; the re-assembled array is ordered
+  by position, never by collection order.
+
+All four have exact DuckDB oracle twins (tokenization contract shared
+with plans/datapipe.py: whitespace split of trim(text)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_mudah_spark.operators import text as tx
+from etl_mudah_spark.operators.similarity import as_double
+from etl_mudah_spark.plans.registry import register
+from etl_mudah_spark.tables import load
+
+_WORDS_SQL = r"string_split_regex(trim(text), '\s+')"
+
+CHUNK_SIZE = 32  # words per chunk
+CHUNK_STRIDE = 24  # start-to-start distance => 8-word overlap
+
+
+@register(
+    "doc_chunks",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, {_WORDS_SQL} AS words FROM documents
+    )
+    SELECT doc_id,
+           CAST(s / {CHUNK_STRIDE} AS INT) AS chunk_id,
+           CAST(len(list_slice(words, s + 1, s + {CHUNK_SIZE})) AS INT) AS n_tokens,
+           array_to_string(list_slice(words, s + 1, s + {CHUNK_SIZE}), ' ') AS chunk_text
+    FROM w, UNNEST(range(0, len(words), {CHUNK_STRIDE})) AS t(s)
+    """,
+    doc=f"Overlapping word-window chunking ({CHUNK_SIZE} words, stride {CHUNK_STRIDE}).",
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", tx.words("text").alias("words")
+    )
+    starts = F.sequence(
+        F.lit(0), F.size("words") - 1, F.lit(CHUNK_STRIDE)
+    )
+    chunk = F.slice(F.col("words"), F.col("s") + 1, CHUNK_SIZE)
+    return (
+        docs.select("doc_id", "words", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            (F.col("s") / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+            F.size(chunk).cast("int").alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
+@register(
+    "vocab_topk",
+    oracle=f"""
+    SELECT lower(term) AS term, COUNT(*) AS cnt
+    FROM (SELECT UNNEST({_WORDS_SQL}) AS term FROM documents)
+    GROUP BY 1
+    ORDER BY cnt DESC, term ASC
+    LIMIT 50
+    """,
+    doc="Corpus vocabulary: top-50 terms by occurrence count.",
+)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tx.words("text")).alias("term"))
+        .select(F.lower("term").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(50)
+    )
+
+
+@register(
+    "term_idf_top20",
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT doc_id, UNNEST(list_distinct({_WORDS_SQL})) AS term FROM documents
+    ), df AS (
+        SELECT lower(term) AS term, COUNT(*) AS doc_freq
+        FROM per_doc GROUP BY 1
+    )
+    SELECT term, doc_freq,
+           ROUND(ln((SELECT COUNT(*) FROM documents) / doc_freq::DOUBLE), 6) AS idf
+    FROM df
+    ORDER BY doc_freq DESC, term ASC
+    LIMIT 20
+    """,
+    doc="Per-term document frequency + idf, top-20 most common terms.",
+)
+def term_idf_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count("*").alias("_n"))
+    # distinct per doc BEFORE exploding: the shuffle carries one row per
+    # (doc, term) instead of one per occurrence.
+    df_counts = (
+        docs.select("doc_id", F.explode(F.array_distinct(tx.words("text"))).alias("term"))
+        .select(F.lower("term").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("doc_freq"))
+    )
+    return (
+        df_counts.join(F.broadcast(n_docs))
+        .select(
+            "term",
+            "doc_freq",
+            F.round(F.log(F.col("_n") / F.col("doc_freq")), 6).alias("idf"),
+        )
+        .orderBy(F.desc("doc_freq"), F.asc("term"))
+        .limit(20)
+    )
+
+
+@register(
+    "emb_label_centroids",
+    oracle="""
+    WITH e AS (
+        SELECT label, i AS pos, embedding[i + 1]::DOUBLE AS val
+        FROM embeddings, UNNEST(range(len(embedding))) AS t(i)
+    ), per AS (
+        SELECT label, pos, AVG(val) AS v FROM e GROUP BY label, pos
+    )
+    SELECT label, COUNT(*) AS dim, list(ROUND(v, 6) ORDER BY pos) AS centroid
+    FROM per GROUP BY label
+    """,
+    doc="Per-label element-wise embedding mean (class centroids).",
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    per = (
+        emb.select("label", F.posexplode(as_double(F.col("embedding"))).alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("v"))
+    )
+    return (
+        per.groupBy("label")
+        .agg(
+            F.count("*").alias("dim"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                lambda s: F.round(s["v"], 6),
+            ).alias("centroid"),
+        )
+    )
