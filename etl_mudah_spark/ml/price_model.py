@@ -53,6 +53,40 @@ class PriceModel:
         pairs = list(zip(self.feature_cols, imps))
         return sorted(pairs, key=lambda p: (-p[1], p[0]))
 
+    def save(self, path: str) -> None:
+        """Persist pipeline + metadata (the reference ships joblib for
+        exactly this but never calls it, requirements.txt:2; SURVEY §3.3
+        maps it to pyspark.ml's native writers — distributed-FS-safe,
+        unlike a driver-local pickle)."""
+        import json
+
+        spark = SparkSession.getActiveSession()
+        self.model.write().overwrite().save(f"{path}/pipeline")
+        meta = json.dumps(
+            {
+                "feature_cols": self.feature_cols,
+                "categorical_cols": self.categorical_cols,
+                "r2_train": self.r2_train,
+                "r2_test": self.r2_test,
+            }
+        )
+        spark.createDataFrame([(meta,)], "meta string").coalesce(1).write.mode(
+            "overwrite"
+        ).text(f"{path}/meta")
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "PriceModel":
+        import json
+
+        meta = json.loads(spark.read.text(f"{path}/meta").first()[0])
+        return cls(
+            model=PipelineModel.load(f"{path}/pipeline"),
+            feature_cols=meta["feature_cols"],
+            categorical_cols=meta["categorical_cols"],
+            r2_train=meta["r2_train"],
+            r2_test=meta["r2_test"],
+        )
+
 
 def train_price_model(
     df: DataFrame,

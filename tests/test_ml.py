@@ -96,3 +96,24 @@ def test_similar_listings_lookup(listings):
         assert r.make == base.make and r.model == base.model
         assert abs(r.year_i - base.year_i) <= 2
         assert abs(r.mileage_avg - base.mileage_avg) <= 20_000
+
+
+def test_model_save_load_roundtrip(spark, trained, tmp_path):
+    """Persistence (SURVEY §3.3): a reloaded model must reproduce the
+    original's predictions and metadata exactly — pyspark.ml native
+    writers, so the same path works on HDFS/S3, unlike a joblib pickle
+    on the driver's disk."""
+    from etl_mudah_spark.ml.price_model import PriceModel
+
+    path = str(tmp_path / "price_model")
+    trained.save(path)
+    reloaded = PriceModel.load(spark, path)
+
+    assert reloaded.feature_cols == trained.feature_cols
+    assert reloaded.r2_test == trained.r2_test
+    probe = {
+        "make": "Toyota", "model": "M1", "transmission": "Auto",
+        "fuel_type": "petrol", "age": 5, "mileage_avg": 60_000.0,
+    }
+    assert reloaded.predict_one(spark, probe) == trained.predict_one(spark, probe)
+    assert reloaded.feature_importances() == trained.feature_importances()
