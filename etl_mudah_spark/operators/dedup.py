@@ -184,22 +184,43 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via a shingle inverted index.
 
     |A∩B| comes from counting shared shingles through the index (one
     shuffle on shingle, one on the pair); |A∪B| = |A|+|B|−|A∩B|.
     Returns (doc_a, doc_b, jaccard) with jaccard ≥ threshold.
+
+    Standalone this is O(Σ df(shingle)²) — boilerplate-heavy corpora
+    (one shingle in a million docs ⇒ 10¹² candidate rows) kill it at
+    scale, which is why the MinHash/LSH twin is the 100 TB candidate
+    path and this the verifier. ``max_shingle_df`` is the standard
+    inverted-index mitigation: shingles appearing in more than that
+    many docs are dropped from the INDEX ONLY (|A| and |B| keep full
+    semantics), bounding the join at max_df² per shingle. Intersection
+    counts can then undercount, so jaccard becomes a lower bound —
+    pairs whose only shared shingles are boilerplate are the ones
+    deliberately lost. Default None = exact.
     """
     shingled = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
     )
     sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    index = shingled
+    if max_shingle_df is not None:
+        rare = (
+            shingled.groupBy("sh")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_shingle_df)
+            .select("sh")
+        )
+        index = shingled.join(rare, "sh")
     # shuffle_hash: identical shingle plans on both sides of the
     # inverted-index self-join share one exchange (see
     # minhash_lsh_candidates).
-    a = shingled.alias("a").hint("shuffle_hash")
-    b = shingled.alias("b").hint("shuffle_hash")
+    a = index.alias("a").hint("shuffle_hash")
+    b = index.alias("b").hint("shuffle_hash")
     common = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))

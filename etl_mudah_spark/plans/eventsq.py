@@ -160,3 +160,62 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_sessionize_stateful(spark, sf_dir, gap_minutes=30)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable sketches — THE cardinality pattern at 100 TB. An exact
+# COUNT(DISTINCT user_id) shuffles every distinct key; a Datasketches
+# HLL sketch is a fixed-size partial aggregate that merges
+# associatively, so per-group sketches roll up to any coarser grouping
+# WITHOUT rescanning the fact table. The query demonstrates both
+# levels: per-event-type estimates plus a global estimate obtained by
+# hll_union_agg over the per-type sketches (never re-reading events).
+# Approximate by design (no SQL oracle — DuckDB's HLL differs);
+# tests/test_sketches.py pins relative error vs the exact count.
+# ---------------------------------------------------------------------------
+@register(
+    "events_user_hll",
+    oracle=None,
+    doc="Distinct users per event type + rolled-up total via mergeable HLL sketches.",
+)
+def events_user_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    per_type = (
+        events.groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"), F.count("*").alias("events"))
+    )
+    typed = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+        "events",
+    )
+    total = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.sum("events").alias("events"),
+    ).select(F.lit("__all__").alias("event_type"), "approx_users", "events")
+    return typed.unionByName(total)
+
+
+@register(
+    "events_value_quantiles",
+    oracle=None,
+    doc="p50/p95/p99 of event value per type via approx_percentile sketches.",
+)
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketches (GK) — like HLL, a bounded-size mergeable
+    partial whose error is tunable via accuracy; the exact percentile
+    needs a full sort per group. Tolerance pinned in
+    tests/test_sketches.py."""
+    events = load(spark, sf_dir, "events")
+    q = F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10_000)
+    return (
+        events.groupBy("event_type")
+        .agg(q.alias("qs"), F.count("*").alias("events"))
+        .select(
+            "event_type",
+            F.round(F.col("qs")[0], 4).alias("p50"),
+            F.round(F.col("qs")[1], 4).alias("p95"),
+            F.round(F.col("qs")[2], 4).alias("p99"),
+            "events",
+        )
+    )
