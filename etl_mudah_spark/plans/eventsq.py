@@ -18,6 +18,7 @@ from etl_mudah_spark.plans.registry import register
 from etl_mudah_spark.streaming.pipeline import (
     stream_dedup_events,
     stream_hourly_event_counts,
+    stream_view_purchase_join,
 )
 from etl_mudah_spark.streaming.stateful import stream_sessionize_stateful
 from etl_mudah_spark.tables import load
@@ -219,3 +220,60 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join (purchase attribution). The batch oracle
+# is a plain interval self-join; the streaming plan is identical logic
+# with watermarks bounding the join state — see
+# streaming/pipeline.py:stream_view_purchase_join.
+# ---------------------------------------------------------------------------
+_ATTRIBUTION_ORACLE = """
+    WITH pairs AS (
+        SELECT DISTINCT p.user_id, p.event_id
+        FROM events v JOIN events p
+          ON v.user_id = p.user_id
+         AND v.event_type = 'view' AND p.event_type = 'purchase'
+         AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    )
+    SELECT user_id, COUNT(*) AS attributed_purchases
+    FROM pairs GROUP BY user_id
+    """
+
+
+@register(
+    "events_attribution",
+    oracle=_ATTRIBUTION_ORACLE,
+    doc="Purchases attributed to a prior view within 30 min (batch interval join).",
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    pairs = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    return (
+        pairs.select("p_user", "p_id")
+        .distinct()
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(F.count("*").alias("attributed_purchases"))
+    )
+
+
+@register(
+    "events_stream_attribution",
+    oracle=_ATTRIBUTION_ORACLE,
+    doc="Same attribution via a watermarked stream-stream interval join.",
+)
+def events_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_view_purchase_join(spark, sf_dir)

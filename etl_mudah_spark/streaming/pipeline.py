@@ -97,3 +97,60 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         result.groupBy("event_type").agg(F.count("*").alias("cnt"))
     )
+
+
+def stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases attributed to a prior
+    view by the same user within 30 minutes.
+
+    Both sides are watermarked and the join condition carries the time
+    interval, so Spark can BOUND the join state (a view's state expires
+    once the purchase-side watermark passes view_ts + 30 min) — the
+    only formulation that survives an unbounded stream; an
+    unconstrained stream-stream equi-join would buffer both streams
+    forever. Output: per-user attributed-purchase counts, comparable
+    to the batch/DuckDB interval-join oracle.
+    """
+    name = f"vp_join_{uuid.uuid4().hex[:8]}"
+    views = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("p_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name)
+    result = spark.createDataFrame(out.collect(), out.schema) if out.count() else out
+    # one row per attributed (view, purchase) pair -> distinct purchases
+    # per user (a purchase may match several prior views)
+    return (
+        result.select("p_user", "p_id")
+        .distinct()
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(F.count("*").alias("attributed_purchases"))
+    )
