@@ -16,6 +16,8 @@ import sys
 import time
 from pathlib import Path
 
+import pandas as pd
+
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import etl_mudah_spark.plans  # noqa: F401
@@ -49,6 +51,17 @@ def main() -> None:
 
     # Warm up JVM + codegen + parquet footer caches.
     registry.REGISTRY["pricing_summary"].spark_fn(spark, sf_dir).collect()
+    # Warm up the Python UDF workers too (fork + pandas/numpy import +
+    # Arrow init costs ~2-3 s on first use and belongs to the session,
+    # not to whichever sketch query happens to run first).
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _warm(v: pd.Series) -> pd.Series:
+        return v
+
+    spark.range(64).select(_warm(F.col("id").cast("double"))).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -341,18 +341,20 @@ def cosine_near_duplicates(
     - Buckets per row come from one Arrow-batched numpy matmul
       (:func:`srp_buckets_udf`) — t*b plane projections as nested
       codegen aggregates would blow the JIT method budget.
-    - The t-way posexplode carries ONLY (id, table, bucket) — never the
-      vectors. Exploding vectors would shuffle t copies of the corpus
-      (t=25 => 2.5 PB of shuffle on a 100 TB corpus); ids are ~24
-      bytes/row.
+    - The t-way posexplode carries ONLY (id, bucket array, table,
+      bucket) — never the vectors. Exploding vectors would shuffle t
+      copies of the corpus (t=25 => 2.5 PB of shuffle on a 100 TB
+      corpus); the t-bucket array is ~8t bytes/row.
     - ``shuffle_hash`` hints on the (table, bucket) self-join: both
       sides are the SAME exchange and Spark reuses it (ReusedExchange);
       a broadcast self-join would compute the bucketed projection twice
       and cannot broadcast a corpus-sized side anyway.
-    - Candidate pairs are ``distinct``-ed BEFORE vectors are fetched:
-      a pair colliding in many tables verifies once, and the two
-      id-keyed joins that attach (vector, norm) move each corpus row
-      at most once per side.
+    - Candidate dedup is a MAP-SIDE first-collision filter, not a
+      ``distinct`` shuffle: both sides carry their full bucket arrays,
+      and a pair surviving the join in table i is kept only when no
+      earlier table j<i also collided. Each unique pair exits the join
+      exactly once — removing what was the plan's largest exchange
+      (the multi-collided candidate set).
     - L2 norms are materialized per row before the pair join, so
       verification is one dot product per unique pair.
     """
@@ -369,9 +371,21 @@ def cosine_near_duplicates(
     ).withColumn("_norm", l2_norm(F.col("_v")))
     ids = df.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(buckets(F.col(vec_col))).alias("_tbl", "_bkt"),
+        buckets(F.col(vec_col)).alias("_bkts"),
+    ).select(
+        "_id", "_bkts", F.posexplode(F.col("_bkts")).alias("_tbl", "_bkt")
     )
     l, r = ids.alias("l"), ids.alias("r")
+    # keep a colliding pair only in its FIRST colliding table: exact
+    # dedup with zero extra shuffle (sequence(0, -1) is descending in
+    # Spark, so table 0 needs the explicit guard)
+    first_collision = F.when(F.col("l._tbl") == 0, F.lit(True)).otherwise(
+        ~F.exists(
+            F.sequence(F.lit(0), F.col("l._tbl") - 1),
+            lambda j: F.element_at(F.col("l._bkts"), (j + 1).cast("int"))
+            == F.element_at(F.col("r._bkts"), (j + 1).cast("int")),
+        )
+    )
     cand = (
         l.hint("shuffle_hash")
         .join(
@@ -380,8 +394,8 @@ def cosine_near_duplicates(
             & (F.col("l._bkt") == F.col("r._bkt"))
             & (F.col("l._id") < F.col("r._id")),
         )
+        .where(first_collision)
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
-        .distinct()
     )
     pairs = cand.join(
         base.select(
