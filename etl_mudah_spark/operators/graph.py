@@ -17,11 +17,18 @@ practice. Scale notes:
   groupBy-min — both map-side-combinable, no O(n^2) blowup.
 - ``localCheckpoint(eager=True)`` truncates the plan lineage each round;
   without it the iterative plan doubles every round and the optimizer
-  chokes long before the data does.
+  chokes long before the data does. Each round's checkpoint blocks are
+  unpersisted once the next round is materialized — over 25 rounds the
+  stale label RDDs would otherwise pile up in executor storage.
 - The per-round convergence check is one count() job — iterative graph
   algorithms genuinely need a driver-side fixpoint test (same structure
   as GraphX/Pregel supersteps); this is NOT the eager-scalar anti-pattern
   flagged for single-pass queries.
+- Cluster output is a per-NODE mapping, never a per-cluster array:
+  dup graphs chain through shared boilerplate, which is exactly how
+  giant components form, and ``collect_list`` of a million-doc
+  component would build one executor-OOM row. Survivor selection is a
+  comparison against the cluster id (= min member), not an array scan.
 - For adversarial graphs (long chains, giant components) the
   O(log n)-round alternating large-star/small-star algorithm
   [Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -36,8 +43,14 @@ the dedup family (SURVEY.md §2 D1-D3) to the cluster-resolution step a
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+class ConvergenceError(RuntimeError):
+    """Min-label propagation exhausted max_iter before the fixpoint."""
 
 
 def connected_components(
@@ -45,6 +58,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    on_nonconverged: str = "warn",
 ) -> DataFrame:
     """Label every node in the pair graph with its component's min id.
 
@@ -52,8 +66,20 @@ def connected_components(
     ----------
     edges : DataFrame with two id columns (undirected pairs; duplicates
         and self-loops tolerated).
+    max_iter : propagation-round cap (rounds needed ~ graph diameter).
+    on_nonconverged : what to do if ``max_iter`` rounds pass without a
+        fixpoint — ``"warn"`` (default) emits a ``RuntimeWarning`` and
+        returns the partial labels (one true component may appear as
+        several), ``"raise"`` raises :class:`ConvergenceError`. A silent
+        partial result would surface as duplicate survivors downstream
+        with no signal anything went wrong.
+
     Returns ``(node, component)`` — component = min node id reachable.
+    The result is localCheckpointed (materialized); callers may
+    ``unpersist()`` it when done.
     """
+    if on_nonconverged not in ("warn", "raise"):
+        raise ValueError(f"on_nonconverged must be 'warn' or 'raise', got {on_nonconverged!r}")
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     sym = sym.localCheckpoint(eager=True)
@@ -62,34 +88,54 @@ def connected_components(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
     )
 
-    for _ in range(max_iter):
-        # candidate label per node: min label among its neighbors
-        prop = (
-            sym.join(labels, sym["b"] == labels["node"])
-            .groupBy("a")
-            .agg(F.min("component").alias("_nbr"))
-        )
-        new_labels = (
-            labels.join(prop, labels["node"] == prop["a"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("_nbr"), F.col("component"))
-                ).alias("component"),
+    converged = False
+    try:
+        for _ in range(max_iter):
+            # candidate label per node: min label among its neighbors
+            prop = (
+                sym.join(labels, sym["b"] == labels["node"])
+                .groupBy("a")
+                .agg(F.min("component").alias("_nbr"))
             )
-            .localCheckpoint(eager=True)
+            new_labels = (
+                labels.join(prop, labels["node"] == prop["a"], "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("component"), F.coalesce(F.col("_nbr"), F.col("component"))
+                    ).alias("component"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .where(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            # new_labels is materialized and the convergence count has
+            # run — the previous round's checkpoint blocks are dead.
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                converged = True
+                break
+    finally:
+        sym.unpersist()
+    if not converged:
+        msg = (
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds; labels are PARTIAL (one true component may be split into "
+            "several clusters). Raise max_iter or switch to a logarithmic-round "
+            "algorithm for deep graphs."
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+        if on_nonconverged == "raise":
+            labels.unpersist()
+            raise ConvergenceError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels
 
 
@@ -98,13 +144,50 @@ def duplicate_clusters(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    on_nonconverged: str = "warn",
 ) -> DataFrame:
-    """Group near-dup pairs into clusters: one row per component with
-    ``(cluster_id, n_docs, doc_ids sorted)``. cluster_id = min member id,
-    so survivor selection ("keep the cluster min") reads straight off it.
+    """Resolve near-dup pairs into clusters as a per-node mapping:
+    ``(node, cluster_id, n_docs, is_survivor)``.
+
+    cluster_id = min member id; is_survivor marks exactly one row per
+    cluster (the min member), so downstream "drop all but the survivor"
+    is an anti-join on ``is_survivor = false`` — no per-cluster arrays
+    are ever materialized (a giant boilerplate-chained component stays
+    distributed instead of building one OOM-sized collect_list row).
     """
-    comp = connected_components(edges, src, dst, max_iter)
-    return comp.groupBy(F.col("component").alias("cluster_id")).agg(
-        F.count("*").cast("bigint").alias("n_docs"),
+    comp = connected_components(edges, src, dst, max_iter, on_nonconverged)
+    sizes = comp.groupBy("component").agg(F.count("*").cast("bigint").alias("n_docs"))
+    return (
+        comp.join(sizes, "component")
+        .select(
+            "node",
+            F.col("component").alias("cluster_id"),
+            "n_docs",
+            (F.col("node") == F.col("component")).alias("is_survivor"),
+        )
+    )
+
+
+def cluster_doc_ids(
+    clusters: DataFrame,
+    max_cluster_docs: int = 10_000,
+) -> DataFrame:
+    """Small-scale inspection helper: materialize ``(cluster_id, n_docs,
+    doc_ids sorted)`` arrays from the :func:`duplicate_clusters` mapping.
+
+    Guarded: refuses if any cluster exceeds ``max_cluster_docs`` members,
+    because a per-cluster array of a giant component is a single-row OOM.
+    Use the mapping form for anything at scale.
+    """
+    biggest = clusters.agg(F.max("n_docs")).first()[0]
+    if biggest is not None and biggest > max_cluster_docs:
+        raise ValueError(
+            f"largest cluster has {biggest} docs > max_cluster_docs="
+            f"{max_cluster_docs}; materializing per-cluster arrays at this "
+            "size risks executor OOM — work with the (node, cluster_id) "
+            "mapping instead"
+        )
+    return clusters.groupBy("cluster_id").agg(
+        F.first("n_docs").alias("n_docs"),
         F.array_sort(F.collect_list("node")).alias("doc_ids"),
     )

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_mudah_spark.operators import dedup as dd
+from etl_mudah_spark.operators import graph as gr
 from etl_mudah_spark.operators import similarity as sim
 from etl_mudah_spark.operators import text as tx
 from etl_mudah_spark.plans.registry import register
@@ -173,9 +174,19 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Document-frequency cutoff for the registered n-gram-Jaccard query.
+# Without it the inverted index is O(Σ df(shingle)²) — one boilerplate
+# shingle shared by a million docs creates 10¹² candidate rows. With it
+# the per-shingle join fan-out is bounded at max_df², at the cost of
+# jaccard becoming a lower bound (pairs whose only overlap is
+# boilerplate are deliberately lost). The oracle below applies the SAME
+# cutoff so both sides compute identical capped semantics.
+_NGRAM_MAX_SHINGLE_DF = 50
+
+
 @register(
     "doc_ngram_jaccard",
-    oracle=r"""
+    oracle=rf"""
     WITH words AS (
         SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
     ), shingles AS (
@@ -184,10 +195,16 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE len(w) >= 3
     ), counts AS (
         SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
+    ), idx AS (
+        SELECT doc_id, sh FROM shingles
+        WHERE sh IN (
+            SELECT sh FROM shingles GROUP BY sh
+            HAVING COUNT(*) <= {_NGRAM_MAX_SHINGLE_DF}
+        )
     ), inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-        FROM shingles a
-        JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        FROM idx a
+        JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
@@ -197,11 +214,18 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN counts nb ON nb.doc_id = doc_b
     WHERE common * 1.0 / (na.n + nb.n - common) >= 0.2
     """,
-    doc="Exact 3-gram Jaccard near-duplicate pairs (inverted index).",
+    doc=(
+        "3-gram Jaccard near-duplicate pairs via a df-capped inverted "
+        f"index (shingles in > {_NGRAM_MAX_SHINGLE_DF} docs excluded "
+        "from the index; jaccard is a lower bound)."
+    ),
 )
 def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(
-        load(spark, sf_dir, "documents"), shingle_n=3, threshold=0.2
+        load(spark, sf_dir, "documents"),
+        shingle_n=3,
+        threshold=0.2,
+        max_shingle_df=_NGRAM_MAX_SHINGLE_DF,
     )
 
 
@@ -224,6 +248,30 @@ def doc_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_near_duplicates(
         load(spark, sf_dir, "documents"), max_hamming=12
+    )
+
+
+@register(
+    "doc_dup_clusters",
+    oracle=None,  # iterative fixpoint over xxhash64-derived pairs — no SQL form;
+    # cluster memberships are pinned by a union-find Python oracle in
+    # tests/test_graph_clusters.py
+    doc=(
+        "Full dedup-resolution pipeline: MinHash-LSH near-dup pairs -> "
+        "connected components -> per-node (cluster_id, n_docs, is_survivor) "
+        "mapping. Transitive closure, so A~B~C collapses to one survivor "
+        "even when A~C was never a candidate pair."
+    ),
+)
+def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pairs -> clusters is the step between detection and curation: the
+    # mapping output (never per-cluster arrays) keeps giant boilerplate
+    # components distributed; see operators/graph.py.
+    pairs = dd.minhash_near_duplicates(
+        load(spark, sf_dir, "documents"), num_hashes=32, bands=8, threshold=0.2
+    )
+    return gr.duplicate_clusters(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id", "n_docs", "is_survivor"
     )
 
 
@@ -291,6 +339,12 @@ def ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hard ceiling for the exact all-pairs cosine twin: ~100k rows ⇒ ~5e9
+# candidate pairs, the most a verification run should ever attempt.
+# Anything bigger must use the SRP-LSH-blocked path.
+_EXACT_PAIRS_MAX_ROWS = 100_000
+
+
 @register(
     "emb_cosine_near_dup",
     oracle=f"""
@@ -299,10 +353,26 @@ def ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM e a JOIN e b ON a.vec_id < b.vec_id
     WHERE {_COS_SQL} >= 0.45
     """,
-    doc="Exact embedding-cosine near-duplicate pairs (threshold 0.45).",
+    doc=(
+        "VERIFICATION-ONLY exact cosine near-dup pairs (threshold 0.45): "
+        "the all-pairs oracle twin for emb_cosine_near_dup_lsh. Guarded "
+        f"to <= {_EXACT_PAIRS_MAX_ROWS} input rows; the LSH variant is "
+        "the production path at scale."
+    ),
 )
 def emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The plan below is a deliberate all-pairs nested-loop join — the
+    # recall oracle for the SRP-LSH scale path, never a production
+    # query. The guard makes a 100×-scale misuse fail fast instead of
+    # launching an O(n²) job.
     emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    if n > _EXACT_PAIRS_MAX_ROWS:
+        raise ValueError(
+            f"emb_cosine_near_dup is verification-only: {n} input rows exceeds "
+            f"the {_EXACT_PAIRS_MAX_ROWS}-row all-pairs guard; use "
+            "emb_cosine_near_dup_lsh (SRP-LSH-blocked) at this scale"
+        )
     e = emb.select(
         F.col("vec_id"), sim.as_double(F.col("embedding")).alias("v")
     )

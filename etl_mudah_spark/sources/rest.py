@@ -51,22 +51,57 @@ PageFetcher = Callable[[str, int, int], dict]
 """(region, offset, limit) -> decoded JSON page {"data": [...]}"""
 
 
-def default_http_fetcher(base_url: str, extra_params: dict | None = None) -> PageFetcher:
+def default_http_fetcher(
+    base_url: str,
+    extra_params: dict | None = None,
+    *,
+    opener: Callable | None = None,
+) -> PageFetcher:
     """GET ``base_url`` with search params; returns the decoded page.
 
     ``extra_params`` carries endpoint-specific constants — the motor
     DAG adds ``category=1040`` and ``include=extra_images,body``
     (dags/motor_dag.py:47-54) on top of the shared paging params.
+
+    Transient HTTP failures — 429 (honoring ``Retry-After``,
+    reference dags/dag.py:61-66), 5xx, and network-level
+    ``URLError`` — are mapped to :class:`TransientFetchError` so
+    :func:`fetch_with_retry`'s backoff engages on the default
+    transport, not only on injected fetchers. Non-retryable 4xx
+    propagate unchanged.
+
+    ``opener`` is injectable for tests (defaults to
+    ``urllib.request.urlopen``).
     """
+    from urllib.error import HTTPError, URLError
     from urllib.parse import urlencode
     from urllib.request import urlopen
+
+    open_url = opener or urlopen
 
     def fetch(region: str, offset: int, limit: int) -> dict:
         params = {"region": region, "from": offset, "limit": limit}
         params.update(extra_params or {})
         qs = urlencode(params)
-        with urlopen(f"{base_url}?{qs}", timeout=30) as resp:  # noqa: S310
-            return json.loads(resp.read().decode("utf-8"))
+        url = f"{base_url}?{qs}"
+        try:
+            with open_url(url, timeout=30) as resp:  # noqa: S310
+                return json.loads(resp.read().decode("utf-8"))
+        except HTTPError as e:
+            if e.code == 429 or e.code >= 500:
+                retry_after = None
+                raw = e.headers.get("Retry-After") if e.headers is not None else None
+                if raw is not None:
+                    try:
+                        retry_after = float(raw)
+                    except ValueError:
+                        retry_after = None  # HTTP-date form: fall back to backoff
+                raise TransientFetchError(
+                    f"HTTP {e.code} for {url}", retry_after=retry_after
+                ) from e
+            raise
+        except URLError as e:
+            raise TransientFetchError(f"network error for {url}: {e.reason}") from e
 
     return fetch
 

@@ -1,0 +1,99 @@
+"""Connected-components / duplicate-cluster resolution on hand-built
+pair graphs: chains, multiple components, self-loops, duplicate edges,
+and the max_iter non-convergence edge case."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_mudah_spark.operators.graph import (
+    ConvergenceError,
+    cluster_doc_ids,
+    connected_components,
+    duplicate_clusters,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_a bigint, doc_b bigint")
+
+
+def _labels(df):
+    return {r["node"]: r["component"] for r in df.collect()}
+
+
+def test_chain_and_two_components(spark):
+    # 1-2-3-4 chain plus isolated pair {10, 11}
+    comp = connected_components(_edges(spark, [(1, 2), (2, 3), (3, 4), (10, 11)]))
+    assert _labels(comp) == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_self_loops_and_duplicate_edges(spark):
+    comp = connected_components(
+        _edges(spark, [(5, 5), (1, 2), (2, 1), (1, 2), (2, 3)])
+    )
+    assert _labels(comp) == {1: 1, 2: 1, 3: 1, 5: 5}
+
+
+def test_reversed_edge_direction_is_irrelevant(spark):
+    # undirected semantics: (b, a) must cluster like (a, b)
+    comp = connected_components(_edges(spark, [(9, 2), (2, 7)]))
+    assert _labels(comp) == {2: 2, 7: 2, 9: 2}
+
+
+def test_duplicate_clusters_mapping_and_survivors(spark):
+    clusters = duplicate_clusters(
+        _edges(spark, [(1, 2), (2, 3), (10, 11)])
+    ).collect()
+    by_node = {r["node"]: r for r in clusters}
+    assert set(by_node) == {1, 2, 3, 10, 11}
+    for node, cluster_id, n_docs in ((1, 1, 3), (2, 1, 3), (3, 1, 3), (10, 10, 2), (11, 10, 2)):
+        assert by_node[node]["cluster_id"] == cluster_id
+        assert by_node[node]["n_docs"] == n_docs
+    # exactly one survivor per cluster, and it is the min member
+    survivors = {r["node"] for r in clusters if r["is_survivor"]}
+    assert survivors == {1, 10}
+
+
+def test_cluster_doc_ids_materializes_sorted_arrays(spark):
+    clusters = duplicate_clusters(_edges(spark, [(3, 1), (1, 2), (10, 11)]))
+    rows = {r["cluster_id"]: r for r in cluster_doc_ids(clusters).collect()}
+    assert rows[1]["doc_ids"] == [1, 2, 3]
+    assert rows[10]["doc_ids"] == [10, 11]
+
+
+def test_cluster_doc_ids_guards_giant_components(spark):
+    clusters = duplicate_clusters(_edges(spark, [(1, 2), (2, 3), (3, 4)]))
+    with pytest.raises(ValueError, match="max_cluster_docs"):
+        cluster_doc_ids(clusters, max_cluster_docs=3)
+
+
+def test_nonconvergence_warns_by_default(spark):
+    # a 5-hop chain cannot reach the fixpoint in 1 round
+    edges = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)])
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        comp = connected_components(edges, max_iter=1)
+    # partial labels returned: node 6 cannot have learned label 1 yet
+    assert _labels(comp)[6] != 1
+
+
+def test_nonconvergence_raises_when_asked(spark):
+    edges = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)])
+    with pytest.raises(ConvergenceError, match="max_iter=1"):
+        connected_components(edges, max_iter=1, on_nonconverged="raise")
+
+
+def test_convergence_within_diameter_rounds(spark):
+    # the same chain converges (no warning) with enough rounds
+    import warnings
+
+    edges = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        comp = connected_components(edges, max_iter=10)
+    assert set(_labels(comp).values()) == {1}
+
+
+def test_bad_on_nonconverged_rejected(spark):
+    with pytest.raises(ValueError, match="on_nonconverged"):
+        connected_components(_edges(spark, [(1, 2)]), on_nonconverged="ignore")

@@ -1,0 +1,62 @@
+"""End-to-end pin for the registered doc_dup_clusters query: the Spark
+pipeline (MinHash pairs -> connected components -> survivor mapping)
+must agree with a driver-side union-find over the SAME pair list at
+smoke scale. Pair detection itself is pinned separately against an
+exact-Python MinHash oracle in tests/test_dedup.py."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_mudah_spark.operators.dedup import minhash_near_duplicates
+from etl_mudah_spark.plans.registry import REGISTRY
+from etl_mudah_spark.tables import load
+from tests.conftest import SF_SMOKE
+
+
+def _union_find_clusters(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@pytest.fixture(scope="module")
+def expected(spark):
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_near_duplicates(
+            load(spark, SF_SMOKE, "documents"), num_hashes=32, bands=8, threshold=0.2
+        ).collect()
+    ]
+    assert pairs, "smoke corpus must contain planted near-dups"
+    return _union_find_clusters(pairs)
+
+
+def test_doc_dup_clusters_matches_union_find(spark, expected):
+    rows = REGISTRY["doc_dup_clusters"].spark_fn(spark, SF_SMOKE).collect()
+    got = {r["doc_id"]: r["cluster_id"] for r in rows}
+    assert got == expected
+
+
+def test_doc_dup_clusters_sizes_and_survivors(spark, expected):
+    from collections import Counter
+
+    sizes = Counter(expected.values())
+    rows = REGISTRY["doc_dup_clusters"].spark_fn(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r["n_docs"] == sizes[r["cluster_id"]]
+        assert r["is_survivor"] == (r["doc_id"] == r["cluster_id"])
+    # exactly one survivor per cluster
+    survivors = [r["doc_id"] for r in rows if r["is_survivor"]]
+    assert sorted(survivors) == sorted(sizes)

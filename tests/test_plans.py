@@ -76,3 +76,24 @@ def test_salted_event_totals_no_extra_scan(spark):
     # two-phase salted agg: exactly two HashAggregate pairs, one scan
     plan = _plan(spark, "salted_event_totals")
     assert plan.count("Scan parquet") == 1
+
+
+def test_exact_cosine_twin_guard_trips_at_scale(spark, monkeypatch):
+    # emb_cosine_near_dup is the all-pairs oracle twin; above the row
+    # guard it must refuse to plan rather than launch an O(n^2) join.
+    import pytest
+
+    from etl_mudah_spark.plans import datapipe
+
+    monkeypatch.setattr(datapipe, "_EXACT_PAIRS_MAX_ROWS", 10)
+    with pytest.raises(ValueError, match="verification-only"):
+        datapipe.emb_cosine_near_dup(spark, SF_SMOKE)
+
+
+def test_ngram_jaccard_registered_form_is_df_capped(spark):
+    # the registered query must carry the inverted-index df cutoff: the
+    # plan joins the shingle index against the rare-shingle filter, so
+    # a count-based aggregate feeds the index join (unbounded form has
+    # no such aggregate before the pair join).
+    plan = _plan(spark, "doc_ngram_jaccard")
+    assert plan.count("HashAggregate") >= 4  # df filter + sizes + common + partials

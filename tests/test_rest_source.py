@@ -99,3 +99,85 @@ def test_retry_gives_up():
 
     with pytest.raises(RuntimeError, match="after 5 attempts"):
         fetch_with_retry(always_fail, "1", 0, 20, sleep=lambda s: None)
+
+
+# --- default HTTP transport: transient-failure mapping ------------------
+
+import contextlib
+import io
+from email.message import Message
+from urllib.error import HTTPError, URLError
+
+from etl_mudah_spark.sources.rest import default_http_fetcher
+
+
+def _http_error(code: int, retry_after: str | None = None) -> HTTPError:
+    headers = Message()
+    if retry_after is not None:
+        headers["Retry-After"] = retry_after
+    return HTTPError("http://x", code, "err", headers, io.BytesIO(b""))
+
+
+def _flaky_opener(failures: list[Exception]):
+    """Opener raising each queued exception once, then serving a page."""
+    calls = {"n": 0}
+
+    @contextlib.contextmanager
+    def opener(url, timeout=None):
+        i = calls["n"]
+        calls["n"] += 1
+        if i < len(failures):
+            raise failures[i]
+        yield io.BytesIO(json.dumps({"data": []}).encode())
+
+    opener.calls = calls
+    return opener
+
+
+def test_default_transport_maps_429_with_retry_after():
+    fetch = default_http_fetcher(
+        "http://x", opener=_flaky_opener([_http_error(429, "7.5")])
+    )
+    with pytest.raises(TransientFetchError) as exc:
+        fetch("1", 0, 20)
+    assert exc.value.retry_after == 7.5
+
+
+def test_default_transport_maps_5xx_and_urlerror():
+    for err in (_http_error(503), URLError("conn reset")):
+        fetch = default_http_fetcher("http://x", opener=_flaky_opener([err]))
+        with pytest.raises(TransientFetchError) as exc:
+            fetch("1", 0, 20)
+        assert exc.value.retry_after is None
+
+
+def test_default_transport_http_date_retry_after_falls_back():
+    # Retry-After may be an HTTP-date; parsing it as seconds fails, so
+    # the retry loop falls back to exponential backoff (retry_after=None).
+    fetch = default_http_fetcher(
+        "http://x",
+        opener=_flaky_opener([_http_error(429, "Wed, 21 Oct 2026 07:28:00 GMT")]),
+    )
+    with pytest.raises(TransientFetchError) as exc:
+        fetch("1", 0, 20)
+    assert exc.value.retry_after is None
+
+
+def test_default_transport_propagates_hard_4xx():
+    fetch = default_http_fetcher("http://x", opener=_flaky_opener([_http_error(404)]))
+    with pytest.raises(HTTPError):
+        fetch("1", 0, 20)
+
+
+def test_retry_loop_recovers_through_default_transport():
+    """End-to-end: a 429-then-503-then-success server succeeds after
+    backoff, honoring the Retry-After value (reference dags/dag.py:61-66)."""
+    opener = _flaky_opener([_http_error(429, "2.5"), _http_error(500)])
+    fetch = default_http_fetcher("http://x", opener=opener)
+    sleeps: list[float] = []
+    page = fetch_with_retry(
+        fetch, "1", 0, 20, initial_backoff_s=10.0, sleep=sleeps.append
+    )
+    assert page == {"data": []}
+    assert opener.calls["n"] == 3
+    assert sleeps == [2.5, 10.0]
