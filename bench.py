@@ -68,7 +68,9 @@ def bench_merge_upsert(spark, sf_dir: str) -> float:
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
         "o_year", F.year("o_orderdate")
     )
-    max_year = orders.agg(F.max("o_year")).first()[0]
+    max_year, max_key = orders.agg(
+        F.max("o_year"), F.max("o_orderkey")
+    ).first()
     batch_ts = datetime(2026, 1, 1)
     # Staged batch: every latest-year order repriced +5%, plus 1000 new
     # synthetic keys — the reference's daily-scrape shape (update-heavy,
@@ -76,8 +78,11 @@ def bench_merge_upsert(spark, sf_dir: str) -> float:
     repriced = orders.where(F.col("o_year") == max_year).withColumn(
         "o_totalprice", F.round(F.col("o_totalprice") * 1.05, 2)
     )
-    new_keys = repriced.limit(1000).withColumn(
-        "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+    # Deterministic insert rows (orderBy before limit), offset past the
+    # true max key — a fixed +10M constant collides with real keys at
+    # sf>=2 and would silently stop exercising the insert path.
+    new_keys = repriced.orderBy("o_orderkey").limit(1000).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(int(max_key) + 1)
     )
     staged = repriced.unionByName(new_keys)
     staged.cache().count()  # staged batch is input, not the thing timed
@@ -108,9 +113,53 @@ def bench_merge_upsert(spark, sf_dir: str) -> float:
     return round(best, 3)
 
 
+def run_headline(spark, sf_dir: str, label: str) -> dict[str, float]:
+    """Best-of-N_REPS wall time per headline query against ``sf_dir``."""
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = registry.REGISTRY[name]
+        best = float("inf")
+        for _ in range(N_REPS):
+            t0 = time.perf_counter()
+            df = q.spark_fn(spark, sf_dir)
+            # noop sink: full execution of every column, nothing
+            # collected — count() would let Catalyst prune the computed
+            # columns away.
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        print(f"  [{label}] {name}: {timings[name]}s (best of {N_REPS})", file=sys.stderr)
+    return timings
+
+
+def stage_multifile(spark, sf_dir: str, scratch: str, n_files: int = 32) -> str:
+    """Rewrite each table as ``n_files`` parquet files (facts) so scans
+    parallelize across cores.
+
+    The driver's testdata is one file / one row group per table, which
+    pins every Spark scan to a single task no matter how many cores
+    exist — the single-file ratio vs DuckDB measures that artifact, not
+    engine throughput. This staging step is the shape real 100 TB input
+    already has (thousands of files); dims stay single-file.
+    """
+    from etl_mudah_spark.tables import BROADCAST_DIMS, TABLES
+
+    dst_dir = os.path.join(scratch, "multifile")
+    os.makedirs(dst_dir, exist_ok=True)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for name in TABLES:
+        src = f"{sf_dir}/{name}.parquet"
+        dst = f"{dst_dir}/{name}.parquet"
+        df = spark.read.parquet(src)
+        parts = 1 if name in BROADCAST_DIMS or name == "part" else n_files
+        df.repartition(parts).write.mode("overwrite").parquet(dst)
+    return dst_dir
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    multifile = os.environ.get("SPARK_GRAFT_MULTIFILE", "1") != "0"
     spark = get_spark("bench")
 
     # Warm up JVM + codegen + parquet footer caches.
@@ -127,39 +176,37 @@ def main() -> None:
 
     spark.range(64).select(_warm(F.col("id").cast("double"))).collect()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        q = registry.REGISTRY[name]
-        best = float("inf")
-        for _ in range(N_REPS):
-            t0 = time.perf_counter()
-            df = q.spark_fn(spark, sf_dir)
-            # noop sink: full execution of every column, nothing
-            # collected — count() would let Catalyst prune the computed
-            # columns away.
-            df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        print(f"  {name}: {timings[name]}s (best of {N_REPS})", file=sys.stderr)
-
-    timings["merge_upsert_batch"] = bench_merge_upsert(spark, sf_dir)
-    print(
-        f"  merge_upsert_batch: {timings['merge_upsert_batch']}s (best of {N_REPS})",
-        file=sys.stderr,
-    )
-
+    timings = run_headline(spark, sf_dir, "1file")
+    # Headline total stays on the same 14-query set as rounds 1-3 for
+    # round-over-round comparability; merge is reported separately.
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    merge_sec = bench_merge_upsert(spark, sf_dir)
+    print(f"  merge_upsert_batch: {merge_sec}s (best of {N_REPS})", file=sys.stderr)
+
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "merge_upsert_batch": merge_sec,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "methodology": {"reps": N_REPS, "stat": "best", "sink": "noop"},
+    }
+
+    if multifile:
+        # Second scale point: same queries, same data, 32-file layout —
+        # isolates scan parallelism from the single-file artifact.
+        scratch = tempfile.mkdtemp(prefix="bench_multifile_")
+        try:
+            mf_dir = stage_multifile(spark, sf_dir, scratch)
+            mf_timings = run_headline(spark, mf_dir, "32file")
+            result["queries_multifile"] = mf_timings
+            result["value_multifile"] = round(sum(mf_timings.values()), 3)
+            result["multifile_files_per_table"] = 32
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    print(json.dumps(result))
     spark.stop()
 
 

@@ -129,3 +129,25 @@ def synonym_remap(col: Column | str, mapping: dict[str, str]) -> Column:
     for k, v in mapping.items():
         pairs.extend([F.lit(k), F.lit(v)])
     return F.coalesce(F.element_at(F.create_map(*pairs), c), c)
+
+
+def format_currency(col: Column | str, symbol: str = "RM ", decimals: int = 0) -> Column:
+    """Presentation-layer currency string (F8): ``RM 12,345`` style.
+
+    Parity with the reference's f-string formatting ``'RM {:,.0f}'``
+    (streamlit/pages/regional_analysis.py:162-164) and
+    ``RM %{text:,.0f}`` (:136). ``format_number`` rounds HALF_UP and
+    inserts thousands separators JVM-side — no UDF. Presentation-only:
+    never feed the string back into arithmetic; keep the numeric column
+    alongside.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.concat(F.lit(symbol), F.format_number(c, decimals))
+
+
+def format_pct(col: Column | str, decimals: int = 1) -> Column:
+    """Presentation-layer percent string (F8): ``12.3%`` style, parity
+    with the reference's ``'{:.1f}%'`` (regional_analysis.py:164,183-184).
+    Input is already in percent units (e.g. from :func:`share_pct`)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.concat(F.format_number(c, decimals), F.lit("%"))

@@ -29,12 +29,12 @@ practice. Scale notes:
   giant components form, and ``collect_list`` of a million-doc
   component would build one executor-OOM row. Survivor selection is a
   comparison against the cluster id (= min member), not an array scan.
-- For adversarial graphs (long chains, giant components) the
-  O(log n)-round alternating large-star/small-star algorithm
+- For adversarial graphs (long chains, giant components) pass
+  ``algorithm="star"``: the alternating large-star/small-star algorithm
   [Kiveris et al., "Connected Components in MapReduce and Beyond",
-  SoCC'14] drops in behind the same signature; min-label propagation is
-  chosen here because dup graphs are shallow and the constant factor per
-  round is half.
+  SoCC'14] converges in O(log n) rounds instead of O(diameter).
+  Min-label propagation stays the default because dup graphs are
+  shallow and the constant factor per round is half.
 
 Reference parity: the reference app has no graph operator — this extends
 the dedup family (SURVEY.md §2 D1-D3) to the cluster-resolution step a
@@ -53,12 +53,97 @@ class ConvergenceError(RuntimeError):
     """Min-label propagation exhausted max_iter before the fixpoint."""
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round: every node connects its strictly-larger
+    neighbors to the minimum of its closed neighborhood."""
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    mins = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("_mn"))
+        .select("a", F.least(F.col("_mn"), F.col("a")).alias("m"))
+    )
+    return (
+        sym.join(mins, "a")
+        .where(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: edges point large→small; every node connects
+    itself and its (smaller) neighbors to the neighborhood minimum."""
+    directed = edges.select(
+        F.greatest(F.col("a"), F.col("b")).alias("a"),
+        F.least(F.col("a"), F.col("b")).alias("b"),
+    )
+    mins = directed.groupBy("a").agg(F.min("b").alias("m"))
+    closed = directed.union(
+        directed.select(F.col("a"), F.col("a").alias("b")).distinct()
+    )
+    return (
+        closed.join(mins, "a")
+        .where(F.col("b") != F.col("m"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Canonical undirected form (max, min), self-loops dropped."""
+    return (
+        edges.where(F.col("a") != F.col("b"))
+        .select(
+            F.greatest(F.col("a"), F.col("b")).alias("a"),
+            F.least(F.col("a"), F.col("b")).alias("b"),
+        )
+        .distinct()
+    )
+
+
+def _cc_star(sym: DataFrame, max_iter: int) -> tuple[DataFrame, bool]:
+    """Alternating large-star/small-star contraction [Kiveris et al.,
+    SoCC'14]. Converges in O(log n) rounds regardless of diameter —
+    the deep-chain / giant-component escape hatch for min-label
+    propagation. Returns (per-node labels, converged)."""
+    nodes = sym.select(F.col("a").alias("node")).distinct().localCheckpoint(eager=True)
+    edges = _canon(sym).localCheckpoint(eager=True)
+    converged = False
+    for _ in range(max_iter):
+        new_edges = _canon(_small_star(_large_star(edges))).localCheckpoint(eager=True)
+        # Fixpoint = edge set unchanged (both sets are canonical+distinct,
+        # so two anti-joins decide equality).
+        changed = (
+            new_edges.join(edges, ["a", "b"], "left_anti")
+            .union(edges.join(new_edges, ["a", "b"], "left_anti"))
+            .limit(1)
+            .count()
+        )
+        edges.unpersist()
+        edges = new_edges
+        if changed == 0:
+            converged = True
+            break
+    # At the fixpoint every surviving edge is (member, component-min);
+    # groupBy-min also degrades gracefully on a partial result.
+    comp = edges.groupBy("a").agg(F.min("b").alias("_c"))
+    labels = (
+        nodes.join(comp, nodes["node"] == comp["a"], "left")
+        .select("node", F.coalesce(F.col("_c"), F.col("node")).alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    edges.unpersist()
+    nodes.unpersist()
+    return labels, converged
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
     on_nonconverged: str = "warn",
+    algorithm: str = "label",
 ) -> DataFrame:
     """Label every node in the pair graph with its component's min id.
 
@@ -66,13 +151,18 @@ def connected_components(
     ----------
     edges : DataFrame with two id columns (undirected pairs; duplicates
         and self-loops tolerated).
-    max_iter : propagation-round cap (rounds needed ~ graph diameter).
+    max_iter : round cap. For ``algorithm="label"`` rounds needed ~
+        graph diameter; for ``"star"`` ~ log2(largest component).
     on_nonconverged : what to do if ``max_iter`` rounds pass without a
         fixpoint — ``"warn"`` (default) emits a ``RuntimeWarning`` and
         returns the partial labels (one true component may appear as
         several), ``"raise"`` raises :class:`ConvergenceError`. A silent
         partial result would surface as duplicate survivors downstream
         with no signal anything went wrong.
+    algorithm : ``"label"`` (min-label propagation, default — cheapest
+        per round, right for shallow dup graphs) or ``"star"``
+        (large-star/small-star, O(log n) rounds — right for deep chains
+        and giant components).
 
     Returns ``(node, component)`` — component = min node id reachable.
     The result is localCheckpointed (materialized); callers may
@@ -80,9 +170,27 @@ def connected_components(
     """
     if on_nonconverged not in ("warn", "raise"):
         raise ValueError(f"on_nonconverged must be 'warn' or 'raise', got {on_nonconverged!r}")
+    if algorithm not in ("label", "star"):
+        raise ValueError(f"algorithm must be 'label' or 'star', got {algorithm!r}")
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     sym = sym.localCheckpoint(eager=True)
+
+    if algorithm == "star":
+        try:
+            labels, converged = _cc_star(sym, max_iter)
+        finally:
+            sym.unpersist()
+        if not converged:
+            msg = (
+                f"connected_components(star) did not converge within "
+                f"max_iter={max_iter} rounds; labels are PARTIAL."
+            )
+            if on_nonconverged == "raise":
+                labels.unpersist()
+                raise ConvergenceError(msg)
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
+        return labels
 
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -145,6 +253,7 @@ def duplicate_clusters(
     dst: str = "doc_b",
     max_iter: int = 25,
     on_nonconverged: str = "warn",
+    algorithm: str = "label",
 ) -> DataFrame:
     """Resolve near-dup pairs into clusters as a per-node mapping:
     ``(node, cluster_id, n_docs, is_survivor)``.
@@ -155,7 +264,7 @@ def duplicate_clusters(
     are ever materialized (a giant boilerplate-chained component stays
     distributed instead of building one OOM-sized collect_list row).
     """
-    comp = connected_components(edges, src, dst, max_iter, on_nonconverged)
+    comp = connected_components(edges, src, dst, max_iter, on_nonconverged, algorithm)
     sizes = comp.groupBy("component").agg(F.count("*").cast("bigint").alias("n_docs"))
     return (
         comp.join(sizes, "component")

@@ -15,9 +15,10 @@ crawl and tokenizer:
   the shuffle at one row per (doc, term), not per occurrence; the
   corpus size N folds in as a 1-row broadcast, not a driver scalar.
 - ``emb_label_centroids``: per-label element-wise embedding mean
-  (class centroids for probing/clustering). posexplode → two-level
-  agg keeps everything in codegen; the re-assembled array is ordered
-  by position, never by collection order.
+  (class centroids for probing/clustering). posexplode → single agg,
+  all in codegen; output is long form (label, pos, centroid_val) —
+  the distributed representation — with ``centroid_assemble`` as the
+  presentation-layer array re-assembly.
 
 All four have exact DuckDB oracle twins (tokenization contract shared
 with plans/datapipe.py: whitespace split of trim(text)).
@@ -141,28 +142,33 @@ def term_idf_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
         SELECT label, i AS pos, embedding[i + 1]::DOUBLE AS val
         FROM embeddings, UNNEST(range(len(embedding))) AS t(i)
-    ), per AS (
-        SELECT label, pos, AVG(val) AS v FROM e GROUP BY label, pos
     )
-    SELECT label, COUNT(*) AS dim, list(ROUND(v, 6) ORDER BY pos) AS centroid
-    FROM per GROUP BY label
+    SELECT label, CAST(pos AS INT) AS pos, ROUND(AVG(val), 6) AS centroid_val
+    FROM e GROUP BY label, pos
     """,
-    doc="Per-label element-wise embedding mean (class centroids).",
+    doc="Per-label element-wise embedding mean (class centroids), long form.",
 )
 def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-form (label, pos, centroid_val) rather than array<double> rows:
+    scalar columns survive any downstream canonicalizer/sort, and at scale
+    the long form IS the distributed representation — re-assembly into one
+    array per label is a presentation step (see ``centroid_assemble``)."""
     emb = load(spark, sf_dir, "embeddings")
-    per = (
+    return (
         emb.select("label", F.posexplode(as_double(F.col("embedding"))).alias("pos", "val"))
         .groupBy("label", "pos")
-        .agg(F.avg("val").alias("v"))
+        .agg(F.round(F.avg("val"), 6).alias("centroid_val"))
+        .select("label", F.col("pos").cast("int").alias("pos"), "centroid_val")
     )
-    return (
-        per.groupBy("label")
-        .agg(
-            F.count("*").alias("dim"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "v"))),
-                lambda s: F.round(s["v"], 6),
-            ).alias("centroid"),
-        )
+
+
+def centroid_assemble(per: DataFrame) -> DataFrame:
+    """Presentation-layer re-assembly of long-form centroids into one
+    ``array<double>`` row per label, ordered by position."""
+    return per.groupBy("label").agg(
+        F.count("*").alias("dim"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "centroid_val"))),
+            lambda s: s["centroid_val"],
+        ).alias("centroid"),
     )

@@ -4,9 +4,11 @@ The reference's incremental contract (SURVEY.md §2.8) is a 12-h batch
 re-scrape with idempotent upsert — here expressed as real streams:
 
 - ``stream_hourly_event_counts``: file-source stream → watermarked
-  tumbling-window aggregation → memory sink (complete mode), driven to
-  completion synchronously with ``processAllAvailable`` so the result
-  is comparable against a batch/DuckDB oracle.
+  tumbling-window aggregation → foreachBatch parquet staging (complete
+  mode), driven to completion synchronously with
+  ``processAllAvailable``; the returned DataFrame is a lazy read of the
+  staged files (never a driver-side collect), comparable against a
+  batch/DuckDB oracle.
 - ``stream_dedup_events``: watermark + dropDuplicatesWithinWatermark —
   the streaming twin of SURVEY §2 D1.
 
@@ -17,7 +19,8 @@ different source — that is the point of Structured Streaming).
 
 from __future__ import annotations
 
-import uuid
+import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -26,6 +29,37 @@ EVENTS_SCHEMA = (
     "event_id bigint, ts bigint, user_id bigint, event_type string, "
     "value double, props string"
 )
+
+
+def drain_to_parquet(stream_df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
+    """Run a bounded stream to completion, staging micro-batch output to
+    parquet via ``foreachBatch``, and return a lazy batch read of the
+    staged files.
+
+    This is the scale-safe hand-off from a finished stream to batch
+    consumers: the driver only ever holds a path — output lands as
+    executor-parallel parquet, never as collected rows (a memory-sink
+    ``collect`` is O(result) driver memory, which for e.g. sessionization
+    output is O(users × sessions)). ``complete`` mode overwrites the
+    staging dir each micro-batch (last batch = full result); ``append``
+    mode accumulates per-batch files.
+    """
+    out_dir = tempfile.mkdtemp(prefix="stream_stage_")
+    path = os.path.join(out_dir, "result")
+    write_mode = "overwrite" if mode == "complete" else "append"
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode(write_mode).parquet(path)
+
+    q = stream_df.writeStream.outputMode(mode).foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    if not os.path.exists(path):
+        # No micro-batch produced output: empty result, stream's schema.
+        return spark.createDataFrame([], stream_df.schema)
+    return spark.read.parquet(path)
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -44,10 +78,9 @@ def stream_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windowed counts/sums per event_type, computed by a
     real streaming query and returned as a batch DataFrame.
 
-    Complete output mode + memory sink; a 10-minute watermark bounds
-    state in the append-mode production variant.
+    Complete output mode, staged to parquet; a 10-minute watermark
+    bounds state in the append-mode production variant.
     """
-    name = f"hourly_events_{uuid.uuid4().hex[:8]}"
     agg = (
         _events_stream(spark, sf_dir)
         .withWatermark("ts", "10 minutes")
@@ -58,45 +91,18 @@ def stream_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("hour_start"), "event_type", "cnt", "total_value")
     )
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    # Materialize before the memory sink is dropped.
-    out = spark.table(name)
-    result = spark.createDataFrame(out.collect(), out.schema)
-    return result
+    return drain_to_parquet(agg, spark, "complete")
 
 
 def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup on event_id within a watermark, counted per type."""
-    name = f"dedup_events_{uuid.uuid4().hex[:8]}"
     deduped = (
         _events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["event_id"])
     )
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    out = spark.table(name)
-    result = spark.createDataFrame(out.collect(), out.schema) if out.count() else out
-    return (
-        result.groupBy("event_type").agg(F.count("*").alias("cnt"))
-    )
+    result = drain_to_parquet(deduped, spark, "append")
+    return result.groupBy("event_type").agg(F.count("*").alias("cnt"))
 
 
 def stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -111,7 +117,6 @@ def stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     forever. Output: per-user attributed-purchase counts, comparable
     to the batch/DuckDB interval-join oracle.
     """
-    name = f"vp_join_{uuid.uuid4().hex[:8]}"
     views = (
         _events_stream(spark, sf_dir)
         .where(F.col("event_type") == "view")
@@ -134,18 +139,7 @@ def stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") >= F.col("v_ts"))
         & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
     )
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    out = spark.table(name)
-    result = spark.createDataFrame(out.collect(), out.schema) if out.count() else out
+    result = drain_to_parquet(joined, spark, "append")
     # one row per attributed (view, purchase) pair -> distinct purchases
     # per user (a purchase may match several prior views)
     return (

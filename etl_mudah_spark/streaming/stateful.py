@@ -28,7 +28,6 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
-import uuid
 from typing import Any, Iterator
 
 import pandas as pd
@@ -36,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from etl_mudah_spark.streaming.pipeline import EVENTS_SCHEMA
+from etl_mudah_spark.streaming.pipeline import EVENTS_SCHEMA, drain_to_parquet
 
 OUT_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
@@ -146,7 +145,6 @@ def stream_sessionize_stateful(
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     staging = tempfile.mkdtemp(prefix="sessionize_")
-    name = f"sessions_{uuid.uuid4().hex[:8]}"
     try:
         _stage_with_sentinels(spark, sf_dir, staging)
         stream = (
@@ -163,17 +161,10 @@ def stream_sessionize_stateful(
             "append",
             GroupStateTimeout.EventTimeTimeout,
         )
-        q = (
-            sessions.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-        out = spark.table(name).where(F.col("user_id") != _SENTINEL_USER)
-        return spark.createDataFrame(out.collect(), out.schema)
+        # Stage to parquet (executor-parallel) and return a lazy read:
+        # session output is O(users × sessions) — collecting it through
+        # the driver is the one thing this path must never do at scale.
+        out = drain_to_parquet(sessions, spark, "append")
+        return out.where(F.col("user_id") != _SENTINEL_USER)
     finally:
         shutil.rmtree(staging, ignore_errors=True)

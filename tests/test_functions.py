@@ -44,3 +44,19 @@ def test_synonym_remap_with_identity_fallback(spark):
     df = spark.createDataFrame([("Penang",), ("KL",), ("Johor",)], "loc string")
     out = [r.n for r in df.select(synonym_remap("loc", mapping).alias("n")).collect()]
     assert out == ["Pulau Pinang", "W.P. Kuala Lumpur", "Johor"]
+
+
+def test_format_currency_and_pct(spark):
+    from etl_mudah_spark.functions.core import format_currency, format_pct
+
+    df = spark.createDataFrame([(12345.678, 12.34)], "price double, pct double")
+    row = df.select(
+        format_currency("price").alias("c0"),
+        format_currency("price", decimals=2).alias("c2"),
+        format_pct("pct").alias("p"),
+    ).first()
+    # parity with the reference's 'RM {:,.0f}' / '{:.1f}%' f-strings
+    # (regional_analysis.py:162-164,183-184)
+    assert row["c0"] == "RM 12,346"
+    assert row["c2"] == "RM 12,345.68"
+    assert row["p"] == "12.3%"

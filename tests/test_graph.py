@@ -97,3 +97,37 @@ def test_convergence_within_diameter_rounds(spark):
 def test_bad_on_nonconverged_rejected(spark):
     with pytest.raises(ValueError, match="on_nonconverged"):
         connected_components(_edges(spark, [(1, 2)]), on_nonconverged="ignore")
+
+
+def test_star_matches_label_on_small_graphs(spark):
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (5, 5), (9, 2)]
+    lbl = _labels(connected_components(_edges(spark, pairs)))
+    star = _labels(connected_components(_edges(spark, pairs), algorithm="star"))
+    assert star == lbl
+
+
+def test_star_converges_on_deep_chain_past_label_budget(spark):
+    # chain of 60 nodes: diameter 59 > default max_iter=25, so label
+    # propagation cannot finish — the O(log n) star algorithm must.
+    pairs = [(i, i + 1) for i in range(60)]
+    comp = connected_components(
+        _edges(spark, pairs), on_nonconverged="raise", algorithm="star"
+    )
+    labels = _labels(comp)
+    assert set(labels) == set(range(61))
+    assert set(labels.values()) == {0}
+
+
+def test_star_singletons_and_random_graph(spark):
+    import random
+
+    rng = random.Random(7)
+    pairs = [(rng.randrange(40), rng.randrange(40)) for _ in range(55)]
+    lbl = _labels(connected_components(_edges(spark, pairs), max_iter=50))
+    star = _labels(connected_components(_edges(spark, pairs), algorithm="star"))
+    assert star == lbl
+
+
+def test_bad_algorithm_rejected(spark):
+    with pytest.raises(ValueError, match="algorithm"):
+        connected_components(_edges(spark, [(1, 2)]), algorithm="pregel")
