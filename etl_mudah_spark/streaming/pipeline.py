@@ -19,7 +19,9 @@ different source — that is the point of Structured Streaming).
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -45,6 +47,9 @@ def drain_to_parquet(stream_df: DataFrame, spark: SparkSession, mode: str) -> Da
     mode accumulates per-batch files.
     """
     out_dir = tempfile.mkdtemp(prefix="stream_stage_")
+    # The returned DataFrame lazily references these files, so they must
+    # outlive this call; reclaim them at interpreter exit instead.
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
     path = os.path.join(out_dir, "result")
     write_mode = "overwrite" if mode == "complete" else "append"
 

@@ -97,3 +97,24 @@ def test_ngram_jaccard_registered_form_is_df_capped(spark):
     # no such aggregate before the pair join).
     plan = _plan(spark, "doc_ngram_jaccard")
     assert plan.count("HashAggregate") >= 4  # df filter + sizes + common + partials
+
+
+def test_emb_label_centroids_long_form_and_assembly(spark):
+    """Long-form output is scalar-only (driver-canonicalizer-safe) and
+    centroid_assemble reconstructs position-ordered arrays from it."""
+    from etl_mudah_spark.plans.llmprep import centroid_assemble
+
+    per = registry.REGISTRY["emb_label_centroids"].spark_fn(spark, SF_SMOKE)
+    assert [f.dataType.simpleString() for f in per.schema.fields] == [
+        "int", "int", "double"
+    ]
+    wide = {r["label"]: r for r in centroid_assemble(per).collect()}
+    long_rows = per.collect()
+    dims = {}
+    for r in long_rows:
+        dims.setdefault(r["label"], set()).add(r["pos"])
+    for label, row in wide.items():
+        assert row["dim"] == len(dims[label])
+        # array is ordered by pos: spot-check against the long form
+        by_pos = {r["pos"]: r["centroid_val"] for r in long_rows if r["label"] == label}
+        assert row["centroid"] == [by_pos[p] for p in sorted(by_pos)]
