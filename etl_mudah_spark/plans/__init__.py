@@ -31,6 +31,9 @@ _PRIORITY = [
     "emb_label_centroids",
     "price_model_r2",
     "doc_dup_clusters",
+    # new in round 4: deterministic split + shard packing
+    "doc_train_split",
+    "doc_shard_pack",
     # parity tail displaced from the r3 window
     "monthly_order_volume",
     "customer_order_links",

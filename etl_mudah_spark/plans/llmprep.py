@@ -20,7 +20,12 @@ crawl and tokenizer:
   the distributed representation — with ``centroid_assemble`` as the
   presentation-layer array re-assembly.
 
-All four have exact DuckDB oracle twins (tokenization contract shared
+- ``doc_train_split``: deterministic hash-bucket train/val/test
+  assignment — a pure function of doc_id, not an RNG sample.
+- ``doc_shard_pack``: greedy sequential packing into ~4096-token
+  shards per source (running-sum window partitioned by source).
+
+All six have exact DuckDB oracle twins (tokenization contract shared
 with plans/datapipe.py: whitespace split of trim(text)).
 """
 
@@ -171,4 +176,101 @@ def centroid_assemble(per: DataFrame) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("pos", "centroid_val"))),
             lambda s: s["centroid_val"],
         ).alias("centroid"),
+    )
+
+
+SPLIT_BUCKETS = (80, 90)  # doc_id % 100: <80 train, <90 val, else test
+SHARD_TOKENS = 4096  # target tokens per packed shard
+
+
+@register(
+    "doc_train_split",
+    oracle=f"""
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(len({_WORDS_SQL})) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+        SELECT CASE WHEN doc_id % 100 < {SPLIT_BUCKETS[0]} THEN 'train'
+                    WHEN doc_id % 100 < {SPLIT_BUCKETS[1]} THEN 'val'
+                    ELSE 'test' END AS split,
+               text, n_chars
+        FROM documents
+    )
+    GROUP BY split ORDER BY split
+    """,
+    doc="Deterministic hash-bucket train/val/test split with per-split token totals.",
+)
+def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible dataset splitting, the way a 100 TB pipeline must do
+    it: assignment is a pure function of the stable key (doc_id % 100
+    buckets), NOT an RNG sample — re-running on grown data keeps every
+    old doc in its old split (no train/test leakage across runs), needs
+    no seed bookkeeping, and is a map-only expression (zero shuffle
+    beyond the final 3-group agg)."""
+    docs = load(spark, sf_dir, "documents")
+    split = (
+        F.when(F.col("doc_id") % 100 < SPLIT_BUCKETS[0], "train")
+        .when(F.col("doc_id") % 100 < SPLIT_BUCKETS[1], "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(
+            split.alias("split"),
+            F.size(tx.words("text")).cast("bigint").alias("n_tok"),
+            "n_chars",
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "doc_shard_pack",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, doc_id, len({_WORDS_SQL}) AS n_tok FROM documents
+    ), c AS (
+        SELECT source, n_tok,
+               SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        FROM t
+    )
+    SELECT source, CAST(FLOOR((cum - 1) / {SHARD_TOKENS}) AS INT) AS shard_id,
+           COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS shard_tokens
+    FROM c GROUP BY source, shard_id
+    ORDER BY source, shard_id
+    """,
+    doc=f"Greedy sequential shard packing (~{SHARD_TOKENS} tokens) per source.",
+)
+def doc_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into ~SHARD_TOKENS-token training shards, greedily
+    in stable doc_id order within each source — the step between
+    dedup/filtering and tokenizer output.
+
+    Scale: the running sum windows over (source), so packing
+    parallelizes across sources and each source streams through one
+    task in one pass. A single giant source would serialize; at real
+    scale the partition key becomes (source, date_bucket) — same plan
+    shape, finer key — because shard assignment inside a bucket must
+    stay sequential to be deterministic. Integer-only arithmetic: the
+    oracle comparison is exact."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(tx.words("text")).cast("bigint").alias("n_tok")
+    )
+    cum = docs.withColumn(
+        "cum", F.sum("n_tok").over(W.partitionBy("source").orderBy("doc_id"))
+    )
+    return (
+        cum.withColumn(
+            "shard_id", F.floor((F.col("cum") - 1) / SHARD_TOKENS).cast("int")
+        )
+        .groupBy("source", "shard_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("shard_tokens"))
+        .orderBy("source", "shard_id")
     )
