@@ -118,3 +118,20 @@ def test_emb_label_centroids_long_form_and_assembly(spark):
         # array is ordered by pos: spot-check against the long form
         by_pos = {r["pos"]: r["centroid_val"] for r in long_rows if r["label"] == label}
         assert row["centroid"] == [by_pos[p] for p in sorted(by_pos)]
+
+
+def test_doc_shard_pack_window_is_partitioned(spark):
+    """The packing window must hash-partition by source — a global
+    (single-partition) window would serialize the whole corpus through
+    one task at scale."""
+    plan = _plan(spark, "doc_shard_pack")
+    assert "hashpartitioning(source" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_doc_train_split_is_map_plus_one_agg_shuffle(spark):
+    """Split assignment is a pure projection; the only exchange is the
+    3-group aggregation (plus AQE's final sort for the orderBy)."""
+    plan = _plan(spark, "doc_train_split")
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
