@@ -51,10 +51,12 @@ def exact_dedup(
 # Shingling
 # ---------------------------------------------------------------------------
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column (array<string>).
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Word n-grams of a text column, in order, WITH repeats
+    (array<string>) — the raw sequence (repetition analysis needs the
+    multiplicities; set semantics are :func:`word_shingles`).
 
-    Pure array algebra: split → sequence → transform/slice → distinct.
+    Pure array algebra: split → sequence → transform/slice.
 
     The split result is bound to a lambda variable (via a 1-element
     transform) so it is evaluated ONCE per row. Referencing the split
@@ -71,7 +73,12 @@ def word_shingles(text: Column, n: int = 3) -> Column:
             F.transform(idx, lambda i: F.concat_ws(" ", F.slice(wb, i, n))),
         ).otherwise(F.array().cast("array<string>"))
 
-    return F.array_distinct(F.element_at(F.transform(F.array(w), shingle), 1))
+    return F.element_at(F.transform(F.array(w), shingle), 1)
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (array<string>)."""
+    return F.array_distinct(word_ngrams(text, n))
 
 
 # ---------------------------------------------------------------------------
@@ -114,6 +121,39 @@ def minhash_signatures(
     )
 
 
+def minhash_band_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH bucket rows ``(id, band_id, band_hash)`` — the join-key
+    surface shared by batch self-dedup (:func:`minhash_lsh_candidates`)
+    and the persisted-index incremental path
+    (:func:`minhash_index_build` / :func:`minhash_dedup_incremental`)."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(F.col(id_col), F.explode(band_arr).alias("band")).select(
+        F.col(id_col), F.col("band.band_id"), F.col("band.band_hash")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -134,25 +174,7 @@ def minhash_lsh_candidates(
     handles moderate cases; pathological buckets should be count-capped
     upstream.
     """
-    rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)],
-                    )
-                ).alias("band_hash"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select(F.col(id_col), F.explode(band_arr).alias("band")).select(
-        F.col(id_col), F.col("band.band_id"), F.col("band.band_hash")
-    )
+    banded = minhash_band_buckets(df, id_col, text_col, num_hashes, bands, shingle_n)
     # shuffle_hash (not broadcast): both sides of the self-join are the
     # same plan shuffled on the same keys, so Spark computes the whole
     # signature pipeline ONCE and reuses the exchange; a broadcast join
@@ -172,6 +194,106 @@ def minhash_lsh_candidates(
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against a persisted index
+# ---------------------------------------------------------------------------
+
+def minhash_index_build(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> None:
+    """One-time O(corpus) job persisting the LSH dedup index:
+    ``{path}/bands`` = (id, band_hash) partitioned by band_id, and
+    ``{path}/shingles`` = (id, shingle array) for Jaccard verification.
+
+    This is how a daily-ingest pipeline stays O(batch) instead of
+    O(corpus) per day at 100 TB: corpus signatures are computed once and
+    every new batch joins against the files. ``partitionBy(band_id)``
+    makes the incremental join prune to matching band partitions at
+    planning time; within a band the join key is the selective
+    band_hash. (The same num_hashes/bands/shingle_n must be passed at
+    query time — hash family and banding are the index's contract.)
+    """
+    buckets = minhash_band_buckets(df, id_col, text_col, num_hashes, bands, shingle_n)
+    buckets.write.mode("overwrite").partitionBy("band_id").parquet(f"{path}/bands")
+    df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh")
+    ).write.mode("overwrite").parquet(f"{path}/shingles")
+
+
+def minhash_dedup_incremental(
+    spark,
+    batch: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    include_batch_pairs: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs of a NEW batch against an indexed corpus,
+    never recomputing corpus signatures.
+
+    Returns ``(doc_a, doc_b, jaccard >= threshold)`` where doc_a is the
+    existing corpus doc and doc_b the batch doc; with
+    ``include_batch_pairs`` the batch's internal pairs (doc_a < doc_b,
+    both in batch) are unioned in — together with the corpus's own
+    build-time pairs that equals a full recompute over corpus ∪ batch
+    (pinned in tests/test_dedup.py).
+
+    Scale: batch buckets shuffle on (band_id, band_hash) against the
+    persisted bucket files — O(batch) new hashing, candidate fan-out
+    bounded by bucket collisions exactly like the self-join path; exact
+    verification reads only the candidate ids' shingle rows.
+    """
+    nb = minhash_band_buckets(batch, id_col, text_col, num_hashes, bands, shingle_n)
+    corpus = spark.read.parquet(f"{index_path}/bands")
+    cands = (
+        corpus.alias("c")
+        .join(
+            nb.alias("n"),
+            (F.col("c.band_id") == F.col("n.band_id"))
+            & (F.col("c.band_hash") == F.col("n.band_hash"))
+            & (F.col(f"c.{id_col}") != F.col(f"n.{id_col}")),
+        )
+        .select(
+            F.col(f"c.{id_col}").alias("doc_a"), F.col(f"n.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    corpus_sh = spark.read.parquet(f"{index_path}/shingles").select(
+        F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    batch_sh = batch.select(
+        F.col(id_col).alias("doc_b"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh_b"),
+    )
+    cross = (
+        cands.join(corpus_sh, "doc_a")
+        .join(batch_sh, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    if include_batch_pairs:
+        internal = minhash_near_duplicates(
+            batch, id_col, text_col, num_hashes, bands, shingle_n, threshold
+        )
+        cross = cross.unionByName(internal)
+    return cross
 
 
 # ---------------------------------------------------------------------------

@@ -31,9 +31,11 @@ _PRIORITY = [
     "emb_label_centroids",
     "price_model_r2",
     "doc_dup_clusters",
-    # new in round 4: deterministic split + shard packing
+    # new in round 4: split/packing, repetition filter, incremental dedup
     "doc_train_split",
     "doc_shard_pack",
+    "doc_repetition_scores",
+    "doc_minhash_incremental",
     # parity tail displaced from the r3 window
     "monthly_order_volume",
     "customer_order_links",

@@ -408,3 +408,73 @@ def emb_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_recall=0.95,
         max_tables=96,
     )
+
+
+@register(
+    "doc_repetition_scores",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+    ), g AS (
+        SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_dw,
+               CASE WHEN len(w) >= 3
+                    THEN list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                    ELSE [] END AS gr
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(CASE WHEN len(gr) = 0 THEN 0.0
+                 ELSE (len(gr) - len(list_distinct(gr))) * 1.0 / len(gr)
+                 END, 6) AS dup_ngram_frac,
+           ROUND((n_tokens - n_dw) * 1.0 / n_tokens, 6) AS dup_word_frac
+    FROM g
+    """,
+    doc="Per-doc repetition metrics: duplicate 3-gram and duplicate-word fractions.",
+)
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition filtering signals: the fraction of a
+    document's word 3-grams (and words) that are repeats. High values
+    mark boilerplate/spam for pretraining filters. Expression-only map
+    work — no shuffle at all; at 100 TB this runs at scan speed."""
+    docs = load(spark, sf_dir, "documents")
+    gr = dd.word_ngrams(F.col("text"), 3)
+    w = tx.words("text")
+    n_gr = F.size(gr)
+    return docs.select(
+        "doc_id",
+        F.size(w).cast("bigint").alias("n_tokens"),
+        F.round(
+            F.when(n_gr == 0, F.lit(0.0)).otherwise(
+                (n_gr - F.size(F.array_distinct(gr))) / n_gr
+            ),
+            6,
+        ).alias("dup_ngram_frac"),
+        F.round((F.size(w) - F.size(F.array_distinct(w))) / F.size(w), 6).alias(
+            "dup_word_frac"
+        ),
+    )
+
+
+@register(
+    "doc_minhash_incremental",
+    oracle=None,  # xxhash64-based sketch: pinned by pytest parity instead
+    doc="Incremental MinHash dedup: batch vs persisted corpus index.",
+)
+def doc_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible smoke of the production daily-ingest shape: index
+    the even-doc_id half of the corpus once, then dedup the odd half
+    against the persisted index (tests/test_dedup.py pins that this
+    equals a full recompute minus corpus-internal pairs)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    scratch = tempfile.mkdtemp(prefix="mh_index_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    dd.minhash_index_build(corpus, scratch)
+    return dd.minhash_dedup_incremental(spark, batch, scratch, threshold=0.5)

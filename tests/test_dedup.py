@@ -110,3 +110,56 @@ def test_simhash_near_duplicates_pairs(spark, docs):
     if (0, 2) in pairs:
         assert pairs[(0, 2)] <= 16
     assert (0, 4) not in pairs
+
+
+def test_incremental_index_equals_full_recompute(spark, tmp_path):
+    """Index-build + incremental batch dedup must find exactly the
+    pairs a full recompute over corpus ∪ batch finds, minus the
+    corpus-internal pairs already known at build time."""
+    from etl_mudah_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_index_build,
+    )
+
+    full_df = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    corpus = full_df.where(F.col("doc_id") % 2 == 0)
+    batch = full_df.where(F.col("doc_id") % 2 == 1)
+
+    def pairset(df):
+        return {
+            (frozenset((r["doc_a"], r["doc_b"])), round(r["jaccard"], 6))
+            for r in df.collect()
+        }
+
+    full = pairset(minhash_near_duplicates(full_df, threshold=0.3))
+    corpus_internal = pairset(minhash_near_duplicates(corpus, threshold=0.3))
+
+    idx = str(tmp_path / "mh_index")
+    minhash_index_build(corpus, idx)
+    incr = pairset(
+        minhash_dedup_incremental(spark, batch, idx, threshold=0.3)
+    )
+    assert incr == full - corpus_internal
+    # sanity: the planted cross pair (0 in corpus, 1 in batch) is found
+    assert any(frozenset((0, 1)) == p for p, _ in incr)
+
+
+def test_incremental_without_batch_pairs_is_cross_only(spark, tmp_path):
+    from etl_mudah_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_index_build,
+    )
+
+    full_df = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    corpus = full_df.where(F.col("doc_id") % 2 == 0)
+    batch = full_df.where(F.col("doc_id") % 2 == 1)
+    idx = str(tmp_path / "mh_index")
+    minhash_index_build(corpus, idx)
+    rows = minhash_dedup_incremental(
+        spark, batch, idx, threshold=0.3, include_batch_pairs=False
+    ).collect()
+    corpus_ids = {0, 2, 4}
+    batch_ids = {1, 3, 5}
+    assert rows
+    for r in rows:
+        assert r["doc_a"] in corpus_ids and r["doc_b"] in batch_ids
