@@ -1,0 +1,65 @@
+"""Eval-set decontamination: flag corpus documents that share word
+n-grams with a benchmark/eval set.
+
+The published pretraining recipe (GPT-3 appendix C / PaLM / Llama data
+cards describe the same shape publicly): build the set of distinct
+n-grams appearing in any eval document, then mark every training
+document containing one. Production uses n=8..13; the synthetic
+test corpus draws from a ~40-word vocabulary, so registered queries use
+n=3 to produce a non-degenerate overlap signal — ``n`` is a parameter.
+
+Scale design (100 TB corpus, MB-scale eval set):
+- The eval n-gram set is tiny relative to the corpus (benchmarks are
+  thousands of documents, not billions) → ``F.broadcast`` it. The
+  corpus side then never shuffles: explode distinct n-grams per doc
+  (map), broadcast-hash semi-join against the eval grams (map), and
+  the only exchange is the final groupBy(doc_id) over the *matching*
+  rows — contamination hits, a vanishing fraction of the corpus.
+- Distinct-before-explode keeps the exploded width at one row per
+  (doc, distinct gram), bounded by document length.
+- For eval sets too large to broadcast, pass ``broadcast_grams=False``
+  and the same plan degrades to a shuffle semi-join on the gram key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_mudah_spark.operators.dedup import word_shingles
+
+
+def ngram_set(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-grams over all rows of ``df`` (1 column: gram)."""
+    return (
+        df.select(F.explode(word_shingles(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    eval_grams: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    broadcast_grams: bool = True,
+) -> DataFrame:
+    """Contaminated corpus docs: ``(id_col, n_shared)`` for every doc
+    sharing >= 1 n-gram with ``eval_grams`` (one ``gram`` column, e.g.
+    from :func:`ngram_set`).
+
+    ``n_shared`` counts the doc's *distinct* n-grams that appear in the
+    eval set — the dedup-style overlap statistic a filter thresholds on.
+    """
+    grams = eval_grams.select("gram")
+    if broadcast_grams:
+        grams = F.broadcast(grams)
+    exploded = corpus.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("gram")
+    )
+    return (
+        exploded.join(grams, "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )

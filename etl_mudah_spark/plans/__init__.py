@@ -31,11 +31,16 @@ _PRIORITY = [
     "emb_label_centroids",
     "price_model_r2",
     "doc_dup_clusters",
-    # new in round 4: split/packing, repetition filter, incremental dedup
+    # new in round 4: split/packing, repetition filter, incremental
+    # dedup, decontamination, domain mixing, PII scrub, composed pipeline
     "doc_train_split",
     "doc_shard_pack",
     "doc_repetition_scores",
     "doc_minhash_incremental",
+    "doc_decontaminate",
+    "doc_domain_mix",
+    "doc_pii_scrub",
+    "doc_clean_pipeline",
     # parity tail displaced from the r3 window
     "monthly_order_volume",
     "customer_order_links",

@@ -16,14 +16,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_mudah_spark.operators import decontam as dc
 from etl_mudah_spark.operators import dedup as dd
 from etl_mudah_spark.operators import graph as gr
+from etl_mudah_spark.operators import pii
+from etl_mudah_spark.operators import sampling as smp
 from etl_mudah_spark.operators import similarity as sim
 from etl_mudah_spark.operators import text as tx
 from etl_mudah_spark.plans.registry import register
 from etl_mudah_spark.tables import load
 
 _WORDS_SQL = r"string_split_regex(trim(text), '\s+')"
+# The pii module's patterns, verbatim — the oracle must run the SAME
+# regexes (they are restricted to the Java-regex/RE2 common subset).
+_PII_EMAIL = pii.EMAIL_RE
+_PII_IP = pii.IPV4_RE
+_PII_PHONE = pii.PHONE_RE
 
 
 # ---------------------------------------------------------------------------
@@ -478,3 +486,213 @@ def doc_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.where(F.col("doc_id") % 2 == 1)
     dd.minhash_index_build(corpus, scratch)
     return dd.minhash_dedup_incremental(spark, batch, scratch, threshold=0.5)
+
+
+# SQL twin of operators/dedup.py word_shingles(text, 3): distinct word
+# 3-grams, empty below 3 tokens.
+_SHINGLE3_SQL = (
+    "list_distinct(CASE WHEN len(w) >= 3 THEN "
+    "list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) "
+    "ELSE [] END)"
+)
+
+
+@register(
+    "doc_decontaminate",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+    ), g AS (
+        SELECT doc_id, UNNEST({_SHINGLE3_SQL}) AS gram FROM t
+    ), ev AS (
+        SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM g
+    WHERE doc_id % 97 <> 0 AND gram IN (SELECT gram FROM ev)
+    GROUP BY doc_id
+    """,
+    doc="Eval-set decontamination: corpus docs sharing a 3-gram with the eval slice.",
+)
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published pretraining decontamination shape (n-gram overlap
+    with benchmark sets): docs with ``doc_id % 97 == 0`` stand in for
+    the eval set, everything else is corpus; output is each corpus doc
+    that shares >= 1 distinct word 3-gram with any eval doc, with the
+    overlap count. Scale: the eval gram set is broadcast, so the 100 TB
+    corpus side never shuffles — only the (tiny) matching rows move for
+    the final per-doc count. See operators/decontam.py."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_docs = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    grams = dc.ngram_set(eval_docs, "text", 3)
+    return dc.ngram_decontaminate(corpus, grams, n=3)
+
+
+@register(
+    "doc_domain_mix",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           CAST(SUM(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT) AS sampled_tokens
+    FROM (
+        SELECT source,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+               doc_id % 10 < (CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                                   THEN 10 ELSE 4 END) AS kept
+        FROM documents
+    )
+    GROUP BY source ORDER BY source
+    """,
+    doc="Deterministic domain mixing: keep 100% of even sources, 40% of odd.",
+)
+def doc_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source re-weighting ("domain mixing") the reproducible way: the
+    keep decision is ``doc_id % buckets < weight*buckets`` — a pure
+    function of the stable key, so re-runs and corpus growth never flip
+    an old row. One scan, conditional aggregation (kept vs total in the
+    same pass), zero pre-agg shuffle. See operators/sampling.py."""
+    docs = load(spark, sf_dir, "documents")
+    weight = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(1.0)
+    ).otherwise(F.lit(0.4))
+    kept = smp.keymod_flag("doc_id", weight, buckets=10)
+    n_tok = F.size(tx.words("text")).cast("bigint")
+    return (
+        docs.select("source", kept.alias("kept"), n_tok.alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("kept").cast("bigint")).alias("n_sampled"),
+            F.sum(F.when(F.col("kept"), F.col("n_tok")).otherwise(F.lit(0))).alias(
+                "sampled_tokens"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "doc_pii_scrub",
+    oracle=rf"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_emails + n_ips + n_phones > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_with_pii,
+           CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+           CAST(SUM(n_ips) AS BIGINT) AS total_ips,
+           CAST(SUM(n_phones) AS BIGINT) AS total_phones,
+           CAST(SUM(length(text) - length(scrubbed)) AS BIGINT) AS chars_removed
+    FROM (
+        SELECT text,
+               len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+               len(regexp_extract_all(text, '{_PII_IP}')) AS n_ips,
+               len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phones,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_IP}', '<IP>', 'g'),
+                   '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed
+        FROM documents
+    )
+    """,
+    doc="PII scrub summary: email/IP/phone detection + redaction over the corpus.",
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level PII accounting: run the full detect+redact pass and
+    aggregate match counts and removed characters. The synthetic corpus
+    is PII-free (all zeros — the oracle checks exactly that the scrubber
+    finds nothing to alter); planted-PII behavior is pinned in
+    tests/test_pii.py. Expression-only map work, scan speed at 100 TB.
+    See operators/pii.py for the Java-regex/RE2 compatibility contract."""
+    docs = load(spark, sf_dir, "documents")
+    scrubbed = pii.pii_scrub(docs, "text")
+    has_pii = (
+        F.col("n_emails") + F.col("n_ips") + F.col("n_phones") > 0
+    ).cast("bigint")
+    return scrubbed.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(has_pii).alias("docs_with_pii"),
+        F.sum("n_emails").cast("bigint").alias("total_emails"),
+        F.sum("n_ips").cast("bigint").alias("total_ips"),
+        F.sum("n_phones").cast("bigint").alias("total_phones"),
+        F.sum(F.length("text") - F.length("text_scrubbed"))
+        .cast("bigint")
+        .alias("chars_removed"),
+    )
+
+
+@register(
+    "doc_clean_pipeline",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, text, {_WORDS_SQL} AS w FROM documents
+    ), m AS (
+        SELECT doc_id, text, len(w) AS n_tok,
+               len(list_distinct(w)) * 1.0 / len(w) AS ttr,
+               CASE WHEN len(w) >= 3
+                    THEN (len(w) - 2 - len(list_distinct(list_transform(
+                             range(1, len(w) - 1),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))))
+                         * 1.0 / (len(w) - 2)
+                    ELSE 0.0 END AS dup3
+        FROM t
+    ), filtered AS (
+        SELECT doc_id, text, n_tok FROM m
+        WHERE n_tok >= 30 AND ttr >= 0.35 AND dup3 <= 0.1
+    ), deduped AS (
+        SELECT doc_id, n_tok FROM (
+            SELECT doc_id, n_tok,
+                   row_number() OVER (PARTITION BY md5(substr(text, 1, 40))
+                                      ORDER BY doc_id ASC) AS rn
+            FROM filtered
+        ) WHERE rn = 1
+    )
+    SELECT CASE WHEN doc_id % 100 < 80 THEN 'train'
+                WHEN doc_id % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM deduped GROUP BY split ORDER BY split
+    """,
+    doc="End-to-end cleaning pipeline: quality filter -> dedup -> split totals.",
+)
+def doc_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-prep pipeline, one declarative plan: quality
+    gate (length, lexical diversity, 3-gram repetition) -> exact dedup
+    on the 40-char-prefix content key (deterministic min-doc_id
+    survivor) -> hash-bucket split -> per-split token accounting.
+    Catalyst fuses the filter stack into the scan; the only exchanges
+    are the dedup key shuffle and the final 3-group agg — the same plan
+    shape a 100 TB run wants."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    w = tx.words("text")
+    gr = dd.word_ngrams(F.col("text"), 3)
+    n_gr = F.size(gr)
+    dup3 = F.when(n_gr <= 0, F.lit(0.0)).otherwise(
+        (n_gr - F.size(F.array_distinct(gr))) / n_gr
+    )
+    metered = docs.select(
+        "doc_id",
+        "text",
+        F.size(w).alias("n_tok"),
+        (F.size(F.array_distinct(w)) / F.size(w)).alias("ttr"),
+        dup3.alias("dup3"),
+    )
+    filtered = metered.where(
+        (F.col("n_tok") >= 30) & (F.col("ttr") >= 0.35) & (F.col("dup3") <= 0.1)
+    ).withColumn("k", F.md5(F.substring("text", 1, 40)))
+    deduped = dd.exact_dedup(filtered, ["k"], ["doc_id"])
+    split = (
+        F.when(F.col("doc_id") % 100 < 80, "train")
+        .when(F.col("doc_id") % 100 < 90, "val")
+        .otherwise("test")
+    )
+    return (
+        deduped.select(split.alias("split"), F.col("n_tok").cast("bigint"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+        .orderBy("split")
+    )

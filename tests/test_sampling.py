@@ -1,0 +1,78 @@
+"""Deterministic sampling / domain-mixing operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_mudah_spark.operators.sampling import (
+    keymod_flag,
+    keymod_sample,
+    stratified_topn,
+)
+
+
+def _df(spark):
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(200)]
+    return spark.createDataFrame(rows, "id bigint, grp string")
+
+
+def test_keymod_sample_exact_rule(spark):
+    df = _df(spark)
+    w = F.when(F.col("grp") == "a", F.lit(1.0)).otherwise(F.lit(0.3))
+    kept = keymod_sample(df, "id", w, buckets=10).collect()
+    for r in kept:
+        if r["grp"] == "b":
+            assert r["id"] % 10 < 3
+    ids = {r["id"] for r in kept}
+    assert all(i in ids for i in range(0, 200, 2))  # weight 1.0 keeps all
+    # weight 0.3 keeps exactly the 0/1/2 residues of the odd ids
+    assert {i for i in ids if i % 2 == 1} == {
+        i for i in range(1, 200, 2) if i % 10 < 3
+    }
+
+
+def test_keymod_sample_is_stable_under_growth(spark):
+    """Growing the corpus must not flip any old row's decision."""
+    df = _df(spark)
+    w = F.lit(0.5)
+    before = {r["id"] for r in keymod_sample(df, "id", w).collect()}
+    grown = spark.createDataFrame(
+        [(i, "c") for i in range(200, 400)], "id bigint, grp string"
+    )
+    after = {
+        r["id"]
+        for r in keymod_sample(df.unionByName(grown), "id", w).collect()
+    }
+    assert before == {i for i in after if i < 200}
+
+
+def test_keymod_is_map_only(spark):
+    plan = (
+        keymod_sample(_df(spark), "id", F.lit(0.5))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_stratified_topn(spark):
+    out = stratified_topn(_df(spark), "grp", 5, "id").collect()
+    by_grp: dict[str, list[int]] = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append(r["id"])
+    assert sorted(by_grp["a"]) == [0, 2, 4, 6, 8]
+    assert sorted(by_grp["b"]) == [1, 3, 5, 7, 9]
+    assert "_rn" not in {f.name for f in stratified_topn(_df(spark), "grp", 5, "id").schema.fields}
+
+
+def test_flag_matches_sample(spark):
+    df = _df(spark)
+    w = F.lit(0.7)
+    flagged = {
+        r["id"]
+        for r in df.select("id", keymod_flag("id", w).alias("k")).collect()
+        if r["k"]
+    }
+    sampled = {r["id"] for r in keymod_sample(df, "id", w).collect()}
+    assert flagged == sampled
