@@ -27,10 +27,36 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-EVENTS_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+EVENTS_SCHEMA_TEMPLATE = (
+    "event_id bigint, ts {ts}, user_id bigint, event_type string, "
     "value double, props string"
 )
+
+
+def events_raw_schema(spark: SparkSession, events_path: str) -> tuple[str, str]:
+    """Streaming reads need a declared schema, but the testdata's
+    ``ts`` physical encoding varies by generation: INT64
+    TIMESTAMP(NANOS) (readable only as ``bigint`` via nanosAsLong),
+    TIMESTAMP(MICROS) with isAdjustedToUTC=false (``timestamp_ntz``),
+    or plain ``timestamp``. Batch-read the footer once (driver-side,
+    metadata only) and return ``(schema_ddl, ts_dtype)`` matching the
+    file."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_dtype = dict(spark.read.parquet(events_path).dtypes)["ts"]
+    return EVENTS_SCHEMA_TEMPLATE.format(ts=ts_dtype), ts_dtype
+
+
+def normalize_ts(df: DataFrame, ts_dtype: str) -> DataFrame:
+    """Convert a raw ``ts`` column (any supported encoding) to the
+    session-timezone TIMESTAMP type. The session runs UTC, so the
+    NTZ→LTZ cast changes no values."""
+    if ts_dtype == "bigint":
+        # nanos-as-long: integer `div`, not `/` — float division loses
+        # precision above 2^53 ns.
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_dtype == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def drain_to_parquet(stream_df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
@@ -68,15 +94,13 @@ def drain_to_parquet(stream_df: DataFrame, spark: SparkSession, mode: str) -> Da
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # ts arrives as INT64 nanos (Spark 4 won't read TIMESTAMP(NANOS)
-    # natively) — declare bigint and convert with integer division.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    ddl, ts_dtype = events_raw_schema(spark, os.path.join(sf_dir, "events.parquet"))
+    raw = (
+        spark.readStream.schema(ddl)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
+    return normalize_ts(raw, ts_dtype)
 
 
 def stream_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -35,7 +35,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from etl_mudah_spark.streaming.pipeline import EVENTS_SCHEMA, drain_to_parquet
+from etl_mudah_spark.streaming.pipeline import (
+    drain_to_parquet,
+    events_raw_schema,
+    normalize_ts,
+)
 
 OUT_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
@@ -107,21 +111,28 @@ def _make_sessionizer(gap_us: int):
     return fn
 
 
-def _stage_with_sentinels(spark: SparkSession, sf_dir: str, staging: str) -> None:
+def _stage_with_sentinels(
+    spark: SparkSession, sf_dir: str, staging: str, ddl: str, ts_dtype: str
+) -> None:
     """Copy events.parquet into ``staging`` and append two sentinel
     files with strictly increasing mtimes (file source orders batches
-    by modification time under maxFilesPerTrigger=1)."""
+    by modification time under maxFilesPerTrigger=1). Sentinels are
+    written in the SAME ts encoding as the source file so one declared
+    stream schema covers all staged files."""
+    import datetime
+
     dst = os.path.join(staging, "000_events.parquet")
     shutil.copyfile(os.path.join(sf_dir, "events.parquet"), dst)
-    max_ts = (
-        spark.read.schema(EVENTS_SCHEMA).parquet(dst).agg(F.max("ts")).first()[0]
-    )
-    day_ns = 24 * 3600 * 10**9
+    max_ts = spark.read.schema(ddl).parquet(dst).agg(F.max("ts")).first()[0]
     base_mtime = os.stat(dst).st_mtime
     for i, offset_days in enumerate((10, 20), start=1):
+        if ts_dtype == "bigint":  # nanos-as-long
+            sentinel_ts = max_ts + offset_days * 24 * 3600 * 10**9
+        else:
+            sentinel_ts = max_ts + datetime.timedelta(days=offset_days)
         sentinel = spark.createDataFrame(
-            [(-(10**9) - i, max_ts + offset_days * day_ns, _SENTINEL_USER, "sentinel", 0.0, "{}")],
-            EVENTS_SCHEMA,
+            [(-(10**9) - i, sentinel_ts, _SENTINEL_USER, "sentinel", 0.0, "{}")],
+            ddl,
         )
         path = os.path.join(staging, f"{i:03d}_sentinel")
         sentinel.coalesce(1).write.parquet(path)
@@ -143,17 +154,18 @@ def stream_sessionize_stateful(
     computed by a stateful streaming query; equals the batch lag-window
     sessionization on the same data."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ddl, ts_dtype = events_raw_schema(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
     staging = tempfile.mkdtemp(prefix="sessionize_")
     try:
-        _stage_with_sentinels(spark, sf_dir, staging)
-        stream = (
-            spark.readStream.schema(EVENTS_SCHEMA)
+        _stage_with_sentinels(spark, sf_dir, staging, ddl, ts_dtype)
+        stream = normalize_ts(
+            spark.readStream.schema(ddl)
             .option("maxFilesPerTrigger", "1")
-            .parquet(staging)
-            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-            .withWatermark("ts", "0 seconds")
-        )
+            .parquet(staging),
+            ts_dtype,
+        ).withWatermark("ts", "0 seconds")
         sessions = stream.groupBy("user_id").applyInPandasWithState(
             _make_sessionizer(gap_minutes * 60 * 1_000_000),
             OUT_SCHEMA,

