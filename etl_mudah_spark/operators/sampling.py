@@ -57,6 +57,54 @@ def keymod_sample(
     return df.where(keymod_flag(key_col, weight, buckets))
 
 
+def md5_global_order(
+    df: DataFrame,
+    key_col: str,
+    rn_col: str = "rn",
+    bucket_chars: int = 2,
+) -> DataFrame:
+    """Deterministic global shuffle order: 1-based position of every row
+    under ``ORDER BY md5(key), key`` — WITHOUT a single-task global
+    window.
+
+    A naive ``row_number() OVER (ORDER BY ...)`` serializes the whole
+    table through one task. Instead: the md5 hex prefix partitions the
+    order (lexicographic prefix property), so
+
+    1. count rows per prefix bucket (one shuffle down to 16^bucket_chars
+       rows),
+    2. prefix-sum those counts driver-side (tiny, deterministic) into
+       per-bucket offsets,
+    3. window per bucket (parallel across 256 buckets) + broadcast the
+       offsets back.
+
+    The expensive exchange is bucket-partitioned, i.e. 100 TB spreads
+    over 16^bucket_chars ~independent sorts. This is the standard
+    "shuffle the corpus reproducibly before sharding" step of a
+    training-data pipeline: the order is a pure function of the stable
+    key — no RNG state, stable under re-runs.
+    """
+    ord_key = F.md5(F.col(key_col).cast("string"))
+    keyed = df.withColumn("_ok", ord_key).withColumn(
+        "_bk", F.substring("_ok", 1, bucket_chars)
+    )
+    counts = keyed.groupBy("_bk").count().collect()
+    offsets, acc = {}, 0
+    for row in sorted(counts, key=lambda r: r["_bk"]):
+        offsets[row["_bk"]] = acc
+        acc += row["count"]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(b, o) for b, o in offsets.items()], "_bk string, _off bigint"
+    )
+    w = Window.partitionBy("_bk").orderBy("_ok", key_col)
+    return (
+        keyed.join(F.broadcast(off_df), "_bk")
+        .withColumn(rn_col, F.row_number().over(w) + F.col("_off"))
+        .drop("_ok", "_bk", "_off")
+    )
+
+
 def stratified_topn(
     df: DataFrame,
     strata_col: str,

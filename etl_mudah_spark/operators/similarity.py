@@ -415,3 +415,129 @@ def cosine_near_duplicates(
         )
         .where(F.col("cosine_sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN
+# ---------------------------------------------------------------------------
+def pq_train_codebooks(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int = 1,
+    iters: int = 15,
+) -> np.ndarray:
+    """Train PQ codebooks: split each L2-normalized vector into ``m``
+    subvectors and run k-means (``k`` centroids) per subspace on a
+    deterministic corpus sample.
+
+    PQ training is ALWAYS on a sample (the codebook is a few KB; fitting
+    it needs thousands of points, not the corpus) — ``sample_mod``
+    keymod-samples like operators/sampling.py, so the sample and hence
+    the codebook are reproducible, no RNG. Lloyd iterations run in numpy
+    on the driver; init is evenly-spaced sample points in id order
+    (deterministic, k-means++-free). Returns ``(m, k, dim/m)``.
+    """
+    rows = (
+        df.where(F.col(id_col) % sample_mod == 0)
+        .select(id_col, as_double(F.col(vec_col)).alias("v"))
+        .orderBy(id_col)
+        .collect()
+    )
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    n, dim = x.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = np.empty((m, k, sub))
+    for i in range(m):
+        xs = x[:, i * sub : (i + 1) * sub]
+        cents = xs[np.linspace(0, n - 1, k).astype(int)].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                pts = xs[assign == c]
+                if len(pts):
+                    cents[c] = pts.mean(axis=0)
+        books[i] = cents
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to ``m`` one-byte-ish codes (nearest centroid
+    per subspace, after L2 normalization).
+
+    Python is justified here: the argmin over (m × k) centroids has no
+    codegen expression form that doesn't explode to m·k aggregate
+    calls. It's an Arrow-batched pandas_udf doing one numpy einsum per
+    batch — the 100 TB index build is a single map pass writing
+    ~m bytes/vector (16-32x compression at 64 dims).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    books = codebooks  # closure → serialized once per task, not per row
+    m, k, sub = books.shape
+
+    @pandas_udf("array<int>")
+    def codes(vs: pd.Series) -> pd.Series:
+        x = np.array(vs.tolist(), dtype=np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        out = np.empty((len(x), m), dtype=np.int32)
+        for i in range(m):
+            xs = x[:, i * sub : (i + 1) * sub]
+            d2 = ((xs[:, None, :] - books[i][None, :, :]) ** 2).sum(axis=2)
+            out[:, i] = d2.argmin(axis=1)
+        return pd.Series(list(out))
+
+    return df.select(F.col(id_col), codes(as_double(F.col(vec_col))).alias("pq_codes"))
+
+
+def pq_topk(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-ADC ANN top-k with exact re-rank: score every encoded vector
+    against the query via an asymmetric-distance lookup table, shortlist
+    the best ``shortlist``, then re-rank the shortlist with exact cosine.
+
+    The ADC scan is PURE codegen: the per-subspace LUT (k distances of
+    the query subvector to each centroid) folds into the plan as array
+    literals, and the score is m element_at lookups + adds per row — no
+    Python, no shuffle, TakeOrdered(shortlist). Only the shortlist rows
+    (tiny) are joined back to fetch true vectors for the exact re-rank.
+    Distances are on L2-normalized vectors, so ADC order ~ cosine order.
+    """
+    m, kk, sub = codebooks.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    q /= max(np.linalg.norm(q), 1e-12)
+    luts = [
+        ((q[i * sub : (i + 1) * sub][None, :] - codebooks[i]) ** 2).sum(axis=1)
+        for i in range(m)
+    ]
+    encoded = pq_encode(df, codebooks, id_col=id_col, vec_col=vec_col)
+    score = None
+    for i in range(m):
+        lut_i = F.array(*[F.lit(float(v)) for v in luts[i]])
+        term = F.element_at(lut_i, F.element_at("pq_codes", i + 1) + 1)
+        score = term if score is None else score + term
+    short = (
+        encoded.select(id_col, score.alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(shortlist)
+    )
+    cand = df.join(F.broadcast(short.select(id_col)), id_col)
+    return brute_force_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)

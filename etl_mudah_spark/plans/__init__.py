@@ -41,6 +41,12 @@ _PRIORITY = [
     "doc_domain_mix",
     "doc_pii_scrub",
     "doc_clean_pipeline",
+    # new in round 4 (session 2): chunk-level dedup, global shuffle,
+    # funnel, PQ ANN
+    "doc_chunk_dedup",
+    "doc_global_shuffle",
+    "events_funnel",
+    "ann_pq_topk",
     # parity tail displaced from the r3 window
     "monthly_order_volume",
     "customer_order_links",

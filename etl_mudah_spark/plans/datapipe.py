@@ -696,3 +696,107 @@ def doc_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+DEDUP_CHUNK_WORDS = 16  # non-overlapping words per dedup unit
+# Winner encoding: min(doc_id * _CHUNK_ENC + chunk_idx) picks the
+# lexicographically-first (doc_id, chunk_idx) holder of a chunk in one
+# bigint agg — the same arithmetic on both engines (a struct-min has no
+# portable DuckDB twin). Safe while chunk_idx < 1e6, i.e. docs under
+# 16M words.
+_CHUNK_ENC = 1_000_000
+
+
+@register(
+    "doc_chunk_dedup",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, {_WORDS_SQL} AS words FROM documents
+    ), c AS (
+        SELECT doc_id,
+               CAST(s / {DEDUP_CHUNK_WORDS} AS BIGINT) AS chunk_idx,
+               md5(array_to_string(
+                   list_slice(words, s + 1, s + {DEDUP_CHUNK_WORDS}), ' ')) AS h
+        FROM w, UNNEST(range(0, len(words), {DEDUP_CHUNK_WORDS})) AS t(s)
+    ), win AS (
+        SELECT h, MIN(doc_id * {_CHUNK_ENC} + chunk_idx) AS wk FROM c GROUP BY h
+    ), kept AS (
+        SELECT CAST(wk // {_CHUNK_ENC} AS BIGINT) AS doc_id,
+               COUNT(*) AS kept_chunks
+        FROM win GROUP BY 1
+    ), tot AS (
+        SELECT doc_id, COUNT(*) AS n_chunks FROM c GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.n_chunks AS BIGINT) AS n_chunks,
+           CAST(COALESCE(k.kept_chunks, 0) AS BIGINT) AS kept_chunks,
+           ROUND(COALESCE(k.kept_chunks, 0) * 1.0 / t.n_chunks, 6) AS kept_frac
+    FROM tot t LEFT JOIN kept k USING (doc_id)
+    """,
+    doc=f"C4-style exact chunk dedup: global first-occurrence over "
+    f"{DEDUP_CHUNK_WORDS}-word chunks, per-doc retained fraction.",
+)
+def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup, the C4/RefinedWeb shape: split every
+    doc into non-overlapping word chunks, keep only the globally FIRST
+    occurrence (min (doc_id, chunk_idx)) of each distinct chunk, report
+    per-doc survival. Catches boilerplate repeated across documents
+    that whole-doc dedup misses.
+
+    Scale: one explode (~n_words/chunk rows per doc), then the
+    canonical exact-dedup exchange — a hash shuffle on the 16-byte
+    chunk digest with map-side partial min/count — then a doc_id
+    shuffle over the (already aggregated, much smaller) winner set.
+    Chunks travel as md5 digests, never as text, so shuffle width is
+    ~40 bytes/row regardless of chunk length."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", tx.words("text").alias("words")
+    )
+    starts = F.sequence(F.lit(0), F.size("words") - 1, F.lit(DEDUP_CHUNK_WORDS))
+    chunks = docs.select(
+        "doc_id", F.explode(starts).alias("s"), "words"
+    ).select(
+        "doc_id",
+        (F.col("s") / DEDUP_CHUNK_WORDS).cast("bigint").alias("chunk_idx"),
+        F.md5(
+            F.array_join(F.slice(F.col("words"), F.col("s") + 1, DEDUP_CHUNK_WORDS), " ")
+        ).alias("h"),
+    )
+    win = chunks.groupBy("h").agg(
+        F.min(F.col("doc_id") * _CHUNK_ENC + F.col("chunk_idx")).alias("wk")
+    )
+    kept = (
+        win.select(F.floor(F.col("wk") / _CHUNK_ENC).cast("bigint").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("kept_chunks"))
+    )
+    tot = chunks.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    return tot.join(kept, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_chunks").cast("bigint").alias("n_chunks"),
+        F.coalesce("kept_chunks", F.lit(0)).cast("bigint").alias("kept_chunks"),
+        F.round(
+            F.coalesce("kept_chunks", F.lit(0)) / F.col("n_chunks"), 6
+        ).alias("kept_frac"),
+    )
+
+
+@register(
+    "ann_pq_topk",
+    oracle=None,  # product quantization — approximate by design
+    doc="PQ-ADC ANN top-10 (m=8, k=64 codebooks) with exact re-rank.",
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: 8 sub-space codebooks of 64 centroids
+    compress each 64-dim vector to 8 codes (~43x vs float64); the ADC
+    scan scores codes against a query lookup table entirely in codegen,
+    then the 100-row shortlist is re-ranked with exact cosine. The
+    testdata's neighbors sit at cosine ~0.3 (hard regime); measured
+    recall@10 = 1.0 at this (m, k) on both smoke datasets, pinned
+    >= 0.9 in tests/test_similarity_pq.py. See
+    operators/similarity.py:pq_train_codebooks for the sampling and
+    determinism contract."""
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    books = sim.pq_train_codebooks(emb, m=8, k=64)
+    return sim.pq_topk(emb, books, qvec, k=10, shortlist=100)

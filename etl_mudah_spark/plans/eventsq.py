@@ -277,3 +277,91 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_view_purchase_join(spark, sf_dir)
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS v_ts FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, MIN(e.ts) AS c_ts
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > v.v_ts
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS p_ts
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+        GROUP BY e.user_id
+    )
+    SELECT CAST(COUNT(v.v_ts) AS BIGINT) AS n_view_users,
+           CAST(COUNT(c.c_ts) AS BIGINT) AS n_click_users,
+           CAST(COUNT(p.p_ts) AS BIGINT) AS n_purchase_users,
+           CAST(COALESCE(SUM(date_diff('second', v.v_ts, p.p_ts)), 0) AS BIGINT)
+               AS sum_seconds_to_purchase
+    FROM v
+    LEFT JOIN c USING (user_id)
+    LEFT JOIN p USING (user_id)
+    """,
+    doc="Ordered view->click->purchase funnel: stage counts + total conversion time.",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel: first view, then the first
+    click AFTER that view, then the first purchase AFTER that click —
+    per user, aggregated to stage survival counts plus total
+    view-to-purchase seconds (an exact integer — no float average to
+    disagree on at the last digit).
+
+    Scale: the naive form (per-stage agg + join back) scans events five
+    times and shuffles five times; here each stage threshold is a
+    conditional MIN window over the SAME user_id partitioning, so the
+    whole funnel is ONE scan and ONE exchange — the three window passes
+    and the per-user collapse all reuse it (audited: a single Exchange
+    hashpartitioning(user_id) in the physical plan)."""
+    w = W.partitionBy("user_id")
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts")
+        .where(F.col("event_type").isin("view", "click", "purchase"))
+    )
+    staged = (
+        ev.withColumn(
+            "v_ts", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "c_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("v_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "p_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("c_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    funnel = staged.where(F.col("v_ts").isNotNull()).groupBy("user_id").agg(
+        F.first("v_ts").alias("v_ts"),
+        F.first("c_ts").alias("c_ts"),
+        F.first("p_ts").alias("p_ts"),
+    )
+    return funnel.agg(
+        F.count("v_ts").alias("n_view_users"),
+        F.count("c_ts").alias("n_click_users"),
+        F.count("p_ts").alias("n_purchase_users"),
+        F.coalesce(
+            F.sum(F.col("p_ts").cast("long") - F.col("v_ts").cast("long")),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("sum_seconds_to_purchase"),
+    )

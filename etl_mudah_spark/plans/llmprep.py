@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_mudah_spark.operators import sampling as smp
 from etl_mudah_spark.operators import text as tx
 from etl_mudah_spark.operators.similarity import as_double
 from etl_mudah_spark.plans.registry import register
@@ -273,4 +274,58 @@ def doc_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "shard_id")
         .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("shard_tokens"))
         .orderBy("source", "shard_id")
+    )
+
+
+SHUFFLE_SHARD_DOCS = 50  # docs per shard after the global shuffle
+
+
+@register(
+    "doc_global_shuffle",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, len({_WORDS_SQL}) AS n_tok FROM documents
+    ), o AS (
+        SELECT doc_id, n_tok,
+               ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   AS rn
+        FROM w
+    )
+    SELECT CAST(FLOOR((rn - 1) / {SHUFFLE_SHARD_DOCS}) AS INT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS min_doc_id,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+    FROM o GROUP BY shard_id ORDER BY shard_id
+    """,
+    doc=f"Deterministic md5-order global shuffle into {SHUFFLE_SHARD_DOCS}-doc shards.",
+)
+def doc_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible pre-training shuffle: order the corpus by
+    ``md5(doc_id)`` (a pure function of the stable key — no RNG state,
+    identical across engines and re-runs) and cut the order into
+    fixed-size shards. The oracle's single-task ``ROW_NUMBER() OVER
+    (ORDER BY ...)`` is the semantic spec; the engine computes the SAME
+    global position scalably via md5-prefix bucketing + per-bucket
+    windows + driver prefix-summed offsets (256 parallel sorts instead
+    of one global one) — see operators/sampling.py:md5_global_order.
+    Shard fingerprints (min/sum of doc_id) make membership, not just
+    counts, oracle-checked."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tx.words("text")).cast("bigint").alias("n_tok")
+    )
+    ordered = smp.md5_global_order(docs, "doc_id")
+    return (
+        ordered.withColumn(
+            "shard_id",
+            F.floor((F.col("rn") - 1) / SHUFFLE_SHARD_DOCS).cast("int"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+        .orderBy("shard_id")
     )

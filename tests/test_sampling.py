@@ -76,3 +76,21 @@ def test_flag_matches_sample(spark):
     }
     sampled = {r["id"] for r in keymod_sample(df, "id", w).collect()}
     assert flagged == sampled
+
+
+def test_md5_global_order_matches_single_window(spark):
+    """The bucketed two-phase global row number equals the naive
+    single-task ROW_NUMBER() OVER (ORDER BY md5(key), key)."""
+    from pyspark.sql import Window
+
+    from etl_mudah_spark.operators.sampling import md5_global_order
+
+    df = spark.range(0, 307).withColumnRenamed("id", "k")
+    got = {r["k"]: r["rn"] for r in md5_global_order(df, "k").collect()}
+    w = Window.orderBy(F.md5(F.col("k").cast("string")), "k")
+    want = {
+        r["k"]: r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
+    assert sorted(got.values()) == list(range(1, 308))

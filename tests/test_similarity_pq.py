@@ -1,0 +1,61 @@
+"""Product-quantization ANN: recall and determinism pins.
+
+PQ has no SQL oracle (the codebook is a trained artifact), so
+correctness is pinned here: the ADC-shortlist + exact-re-rank result
+must recover nearly all true cosine top-10 neighbors, and the whole
+path must be deterministic (keymod sample, fixed init, no RNG).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from etl_mudah_spark.operators import similarity as sim
+from etl_mudah_spark.tables import load
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load(spark, SF_SMOKE, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    return [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+
+
+def test_pq_recall_vs_brute_force(spark, emb, qvec):
+    truth = {
+        r["vec_id"]
+        for r in sim.brute_force_topk(emb, qvec, k=10).collect()
+    }
+    books = sim.pq_train_codebooks(emb, m=8, k=64)
+    got = {r["vec_id"] for r in sim.pq_topk(emb, books, qvec, k=10, shortlist=100).collect()}
+    recall = len(truth & got) / 10
+    assert recall >= 0.9, f"PQ recall@10 {recall} < 0.9"
+
+
+def test_pq_exact_rerank_scores(spark, emb, qvec):
+    """Re-ranked output carries EXACT cosine values (identical to the
+    brute-force scores for the same ids)."""
+    books = sim.pq_train_codebooks(emb, m=8, k=64)
+    pq = {r["vec_id"]: r["cosine_sim"] for r in sim.pq_topk(emb, books, qvec, k=10).collect()}
+    bf = {r["vec_id"]: r["cosine_sim"] for r in sim.brute_force_topk(emb, qvec, k=500).collect()}
+    for vid, s in pq.items():
+        assert abs(bf[vid] - s) < 1e-9
+
+
+def test_pq_deterministic(spark, emb):
+    b1 = sim.pq_train_codebooks(emb, m=8, k=64)
+    b2 = sim.pq_train_codebooks(emb, m=8, k=64)
+    assert np.array_equal(b1, b2)
+
+
+def test_pq_encode_shape(spark, emb):
+    books = sim.pq_train_codebooks(emb, m=8, k=64)
+    row = sim.pq_encode(emb, books).first()
+    assert len(row["pq_codes"]) == 8
+    assert all(0 <= c < 64 for c in row["pq_codes"])
