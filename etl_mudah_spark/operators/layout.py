@@ -80,3 +80,54 @@ def write_partitioned_table(
 
 def drop_table(spark: SparkSession, name: str) -> None:
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+    sort_within_by: Sequence[str] | None = None,
+) -> int:
+    """Compact a parquet directory's small files into ~target-size
+    files, returning the new file count.
+
+    The small-files problem is the dominant operational failure of
+    long-running ingest at scale: a 12-h micro-batch cadence writing a
+    few MB per trigger turns a year of data into ~10^5 files, and scan
+    planning (listing + footer reads + one task per tiny split) starts
+    to cost more than the I/O. Compaction = read → repartition to
+    ceil(bytes/target) → rewrite. With ``sort_within_by``, rows are
+    clustered within each output file so parquet min/max stats become
+    selective again (the layout-level substitute for the reference's
+    btree index on listing_date, SURVEY.md §4).
+
+    Safe rewrite discipline: write to a sibling staging dir, then swap —
+    never rewrite in place under readers. (On a real object store the
+    swap is a metastore/manifest pointer flip; local rename here.)
+    """
+    import math
+    import os
+    import shutil
+
+    size = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if not f.startswith(("_", "."))
+    )
+    n_files = max(1, math.ceil(size / target_file_bytes))
+    df = spark.read.parquet(path)
+    out = df.repartition(n_files)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    staging = path.rstrip("/") + "._compacting"
+    out.write.mode("overwrite").parquet(staging)
+    shutil.rmtree(path)
+    os.rename(staging, path)
+    return len(
+        [
+            f
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+    )

@@ -46,7 +46,9 @@ _PRIORITY = [
     "doc_chunk_dedup",
     "doc_global_shuffle",
     "events_funnel",
+    "events_retention",
     "ann_pq_topk",
+    "doc_quality_model",
     # parity tail displaced from the r3 window
     "monthly_order_volume",
     "customer_order_links",

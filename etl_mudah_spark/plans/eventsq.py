@@ -365,3 +365,49 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_seconds_to_purchase"),
     )
+
+
+@register(
+    "events_retention",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS act_w FROM events
+    ), coh AS (
+        SELECT user_id, act_w,
+               MIN(act_w) OVER (PARTITION BY user_id) AS cohort_week
+        FROM act
+    )
+    SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, act_w) / 7 AS INT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM coh GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Weekly cohort retention: active users per (cohort week, week offset).",
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention, the standard product-analytics triangle: users
+    are cohorted by the week of their first event; each later active
+    week counts them under (cohort_week, week_offset).
+
+    Count(*) over distinct (user, week) pairs IS the distinct-user
+    count — no countDistinct shuffle needed. Plan: one distinct
+    exchange on the (user, week) pair, a window min per user, and the
+    final small agg; cohorting is min-over-window, not a join back to a
+    first-seen table, so the event scan happens exactly once."""
+    act = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("week", "ts").alias("act_w"))
+        .distinct()
+    )
+    coh = act.withColumn(
+        "cohort_week", F.min("act_w").over(W.partitionBy("user_id"))
+    )
+    return (
+        coh.select(
+            "cohort_week",
+            (F.datediff("act_w", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )

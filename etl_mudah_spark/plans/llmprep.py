@@ -24,8 +24,11 @@ crawl and tokenizer:
   assignment — a pure function of doc_id, not an RNG sample.
 - ``doc_shard_pack``: greedy sequential packing into ~4096-token
   shards per source (running-sum window partitioned by source).
+- ``doc_global_shuffle``: reproducible md5-order corpus shuffle into
+  fixed-size shards; global position via md5-prefix bucketing, not a
+  single-task window.
 
-All six have exact DuckDB oracle twins (tokenization contract shared
+All seven have exact DuckDB oracle twins (tokenization contract shared
 with plans/datapipe.py: whitespace split of trim(text)).
 """
 

@@ -78,3 +78,32 @@ def test_partitioned_scan_prunes(spark, sf_dir, tmp_path):
         assert q.count() == orders.where(F.col("o_orderstatus") == "F").count()
     finally:
         drop_table(spark, "orders_p")
+
+
+def test_compact_files_reduces_file_count_and_preserves_rows(spark, sf_dir, tmp_path):
+    from etl_mudah_spark.operators.layout import compact_files
+
+    path = str(tmp_path / "frag")
+    orders = load(spark, sf_dir, "orders")
+    n_rows = orders.count()
+    # Simulate micro-batch fragmentation: 40 tiny files.
+    orders.repartition(40).write.parquet(path)
+    import os
+
+    before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert before >= 40
+    n_after = compact_files(
+        spark, path, target_file_bytes=64 * 1024 * 1024, sort_within_by=["o_orderdate"]
+    )
+    assert n_after < before
+    got = spark.read.parquet(path)
+    assert got.count() == n_rows
+    # sortWithinPartitions clustering: each file is internally ordered
+    # by o_orderdate, so per-file min/max ranges are tight.
+    import pyarrow.parquet as pq
+
+    for f in os.listdir(path):
+        if f.endswith(".parquet"):
+            col = pq.read_table(os.path.join(path, f), columns=["o_orderdate"])
+            vals = col.column(0).to_pylist()
+            assert vals == sorted(vals)

@@ -12,6 +12,7 @@ from etl_mudah_spark.ml.price_model import (
     similar_listings,
     train_price_model,
 )
+from tests.conftest import SF_SMOKE
 
 MAKES = {"Perodua": 30_000, "Proton": 40_000, "Toyota": 90_000, "Honda": 80_000}
 
@@ -117,3 +118,14 @@ def test_model_save_load_roundtrip(spark, trained, tmp_path):
     }
     assert reloaded.predict_one(spark, probe) == trained.predict_one(spark, probe)
     assert reloaded.feature_importances() == trained.feature_importances()
+
+
+def test_doc_quality_model_auc_floor(spark):
+    """The repetition classifier must beat chance comfortably — the
+    quality features genuinely carry signal about 3-gram repetition."""
+    from etl_mudah_spark.plans.registry import REGISTRY
+
+    row = REGISTRY["doc_quality_model"].spark_fn(spark, SF_SMOKE).first()
+    assert row["n_rows"] > 0
+    assert 0 < row["n_positive"] < row["n_rows"]
+    assert row["auc_test"] >= 0.6, f"AUC {row['auc_test']} barely above chance"
