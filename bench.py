@@ -132,17 +132,26 @@ def run_headline(spark, sf_dir: str, label: str) -> dict[str, float]:
     return timings
 
 
-def stage_multifile(spark, sf_dir: str, scratch: str, n_files: int = 32) -> str:
-    """Rewrite each table as ``n_files`` parquet files (facts) so scans
-    parallelize across cores.
+def stage_multifile(
+    spark, sf_dir: str, scratch: str, target_bytes: int = 512 * 1024, cap: int = 32
+) -> str:
+    """Rewrite each table as multiple parquet files sized to
+    ``target_bytes`` so scans parallelize across cores.
 
     The driver's testdata is one file / one row group per table, which
     pins every Spark scan to a single task no matter how many cores
     exist — the single-file ratio vs DuckDB measures that artifact, not
-    engine throughput. This staging step is the shape real 100 TB input
-    already has (thousands of files); dims stay single-file.
+    engine throughput. File count follows SIZE, never a fixed fan-out:
+    a fixed 32-way split was measured to HURT (a 0.8 MB embeddings
+    table as 32 near-empty files costs a task + Python-worker spin-up
+    per file in the UDF-bearing queries, +70% on the LSH query). That
+    is the same files-track-bytes policy production compaction uses
+    (operators/layout.py:compact_files, ~256 MB files), scaled to the
+    ~MB tables of sf0.1.
     """
-    from etl_mudah_spark.tables import BROADCAST_DIMS, TABLES
+    import math
+
+    from etl_mudah_spark.tables import TABLES
 
     dst_dir = os.path.join(scratch, "multifile")
     os.makedirs(dst_dir, exist_ok=True)
@@ -151,7 +160,7 @@ def stage_multifile(spark, sf_dir: str, scratch: str, n_files: int = 32) -> str:
         src = f"{sf_dir}/{name}.parquet"
         dst = f"{dst_dir}/{name}.parquet"
         df = spark.read.parquet(src)
-        parts = 1 if name in BROADCAST_DIMS or name == "part" else n_files
+        parts = min(cap, max(1, math.ceil(os.path.getsize(src) / target_bytes)))
         df.repartition(parts).write.mode("overwrite").parquet(dst)
     return dst_dir
 
@@ -202,7 +211,7 @@ def main() -> None:
             mf_timings = run_headline(spark, mf_dir, "32file")
             result["queries_multifile"] = mf_timings
             result["value_multifile"] = round(sum(mf_timings.values()), 3)
-            result["multifile_files_per_table"] = 32
+            result["multifile_policy"] = {"target_bytes": 512 * 1024, "cap": 32}
         finally:
             shutil.rmtree(scratch, ignore_errors=True)
 

@@ -49,6 +49,7 @@ _PRIORITY = [
     "events_retention",
     "ann_pq_topk",
     "doc_quality_model",
+    "vocab_cms_topk",
     # parity tail displaced from the r3 window
     "monthly_order_volume",
     "customer_order_links",

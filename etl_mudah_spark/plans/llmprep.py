@@ -332,3 +332,53 @@ def doc_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+CMS_EPS = 0.001  # relative-error bound: est <= exact + eps * N
+CMS_CONFIDENCE = 0.99
+
+
+@register(
+    "vocab_cms_topk",
+    oracle=None,  # sketch estimates — bound-checked in tests/test_sketches.py
+    doc="Count-min-sketch term frequencies vs exact counts for the top-10 terms.",
+)
+def vocab_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third mergeable sketch next to HLL (events_user_hll) and GK
+    quantiles (events_value_quantiles): a count-min sketch of corpus
+    term frequencies. The sketch is a fixed-size 2-d counter array that
+    merges associatively, so per-partition partials roll up in one
+    reduce — heavy-hitter tracking at 100 TB without the full
+    term->count shuffle an exact count needs.
+
+    The query builds the sketch distributed (count_min_sketch partial
+    agg), then probes it driver-side (the deserialized sketch is a few
+    hundred KB) for the exact top-10 terms, returning exact vs estimate
+    side by side. CMS guarantees est >= exact and, w.p. >= confidence,
+    est <= exact + eps*N — pinned in tests/test_sketches.py."""
+    docs = load(spark, sf_dir, "documents")
+    terms = docs.select(F.explode(tx.words("text")).alias("t")).select(
+        F.lower("t").alias("term")
+    )
+    exact = (
+        terms.groupBy("term")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("term"))
+        .limit(10)
+        .collect()
+    )
+    sk_bytes = terms.agg(
+        F.expr(
+            f"count_min_sketch(term, {CMS_EPS}d, {CMS_CONFIDENCE}d, 42)"
+        ).alias("sk")
+    ).first()["sk"]
+    jsk = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(sk_bytes)
+    )
+    rows = [
+        (r["term"], int(r["exact_cnt"]), int(jsk.estimateCount(r["term"])))
+        for r in exact
+    ]
+    return spark.createDataFrame(
+        rows, "term string, exact_cnt bigint, cms_est bigint"
+    )

@@ -80,3 +80,21 @@ def test_ngram_frequency_cutoff_prunes_but_preserves(spark):
         for r in ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=2).collect()
     }
     assert tight <= exact
+
+
+def test_cms_bounds(spark):
+    """Count-min sketch: est >= exact always; est <= exact + eps*N with
+    prob >= confidence (all 10 rows, generous at this N)."""
+    from etl_mudah_spark.operators import text as tx
+    from etl_mudah_spark.plans.llmprep import CMS_EPS
+
+    rows = registry.REGISTRY["vocab_cms_topk"].spark_fn(spark, SF_CORRECT).collect()
+    assert len(rows) == 10
+    n_terms = (
+        load(spark, SF_CORRECT, "documents")
+        .select(F.explode(tx.words("text")).alias("t"))
+        .count()
+    )
+    for r in rows:
+        assert r["cms_est"] >= r["exact_cnt"], "CMS must never underestimate"
+        assert r["cms_est"] <= r["exact_cnt"] + CMS_EPS * n_terms
