@@ -50,6 +50,7 @@ _PRIORITY = [
     "ann_pq_topk",
     "doc_quality_model",
     "vocab_cms_topk",
+    "events_anomaly",
     # parity tail displaced from the r3 window
     "monthly_order_volume",
     "customer_order_links",

@@ -411,3 +411,57 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_active"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "events_anomaly",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type,
+               AVG(value) AS mu,
+               STDDEV_SAMP(value) AS sigma,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(s.n AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN ABS(e.value - s.mu) > 3 * s.sigma
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(MAX(CASE WHEN ABS(e.value - s.mu) > 3 * s.sigma
+                         THEN e.value END) AS DOUBLE) AS max_outlier_value
+    FROM events e JOIN stats s USING (event_type)
+    GROUP BY e.event_type, s.n
+    ORDER BY e.event_type
+    """,
+    doc="Per-type 3-sigma outlier counts (z-score anomaly detection).",
+)
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly flagging, the monitoring-pipeline staple: per
+    event type, count values beyond 3 sample standard deviations of
+    that type's mean.
+
+    The per-type (mu, sigma, n) table is 5 rows — computed with one
+    grouped agg and BROADCAST back onto the fact scan, so the second
+    pass is map-only: no re-shuffle of events, and at 100 TB the two
+    passes are two scans (or one, if the consumer caches). Integer
+    outlier counts compare exactly; the only float column is the max
+    outlier value (an input datum, not an accumulated float)."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+        F.count("*").alias("n_events"),
+    )
+    is_out = F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "n_events")
+        .agg(
+            F.sum(F.when(is_out, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+            F.max(F.when(is_out, F.col("value"))).cast("double").alias(
+                "max_outlier_value"
+            ),
+        )
+        .select("event_type", F.col("n_events").cast("bigint"), "n_outliers", "max_outlier_value")
+        .orderBy("event_type")
+    )
