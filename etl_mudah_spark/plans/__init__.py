@@ -51,6 +51,7 @@ _PRIORITY = [
     "doc_quality_model",
     "vocab_cms_topk",
     "events_anomaly",
+    "waiting_sole_late_supplier",
     # parity tail displaced from the r3 window
     "monthly_order_volume",
     "customer_order_links",

@@ -551,3 +551,67 @@ def customers_churned(spark: SparkSession, sf_dir: str) -> DataFrame:
 def salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return salted_sum_count(ev, ["event_type"], "value", n_salts=16, salt_from="event_id")
+
+
+@register(
+    "waiting_sole_late_supplier",
+    oracle="""
+    WITH lo AS (
+        SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lo l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 75 DAY
+      AND EXISTS (
+          SELECT 1 FROM lo l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+          SELECT 1 FROM lo l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > l3.o_orderdate + INTERVAL 75 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 10
+    """,
+    doc="TPC-H Q21 shape: sole-late-supplier wait counts (EXISTS + NOT EXISTS).",
+)
+def waiting_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Q21 shape — which suppliers alone held up multi-supplier
+    orders ("late" = shipped > 75 days after the order date, the
+    receipt/commit-date predicate adapted to this schema). The oracle
+    states it declaratively with correlated EXISTS / NOT EXISTS
+    self-joins over the order's line items; executing it that way
+    means three passes over the fact join. The engine reformulates
+    both subqueries into ONE per-order aggregation — EXISTS(other
+    supplier) == distinct suppliers > 1, NOT EXISTS(other late
+    supplier) == distinct LATE suppliers == 1, and when exactly one
+    supplier is late, max(late suppkey) IS that supplier — so the
+    whole query is: fact-fact equi-join on orderkey (the canonical
+    sort-merge shuffle at 100 TB), one grouped agg, a broadcast
+    supplier-name join on the tiny qualifying set, TakeOrdered."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 75)
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supps"),
+        F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+        F.sum(F.when(late, 1).otherwise(0)).alias("n_late_lines"),
+    )
+    qualifying = per_order.where(
+        (F.col("n_supps") > 1) & (F.col("n_late_supps") == 1)
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        qualifying.join(F.broadcast(supp), qualifying.late_supp == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.sum("n_late_lines").cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
