@@ -52,6 +52,7 @@ _PRIORITY = [
     "vocab_cms_topk",
     "events_anomaly",
     "waiting_sole_late_supplier",
+    "idle_rich_customers_by_nation",
     # parity tail displaced from the r3 window
     "monthly_order_volume",
     "customer_order_links",

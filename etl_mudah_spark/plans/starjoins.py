@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from etl_mudah_spark.functions.core import dsum, oracle_dsum
+from etl_mudah_spark.functions.core import davg, dsum, oracle_davg, oracle_dsum
 from etl_mudah_spark.operators.skew import salted_sum_count
 from etl_mudah_spark.plans.registry import register
 from etl_mudah_spark.tables import load
@@ -614,4 +614,50 @@ def waiting_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n_late_lines").cast("bigint").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(10)
+    )
+
+
+@register(
+    "idle_rich_customers_by_nation",
+    oracle=f"""
+    WITH thresh AS (
+        SELECT {oracle_davg('c_acctbal')} AS avg_bal
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           {oracle_dsum('c_acctbal')} AS totacctbal
+    FROM customer, thresh
+    WHERE c_acctbal > thresh.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    doc="TPC-H Q22 shape: above-average-balance customers with no orders, per nation.",
+)
+def idle_rich_customers_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Q22 shape (nationkey standing in for the phone country
+    code): customers whose balance beats the positive-balance average
+    but who never ordered, counted per nation. The scalar subquery
+    folds in as a 1-row broadcast crossJoin (no eager .first() job —
+    the repo-wide pattern for scalar lookups), the NOT EXISTS is a
+    left_anti join against only the o_custkey column (column-pruned
+    build side), and the threshold uses the order-independent decimal
+    mean so the filter boundary is bit-identical to the oracle's."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    thresh = cust.where(F.col("c_acctbal") > 0).agg(
+        davg("c_acctbal").alias("avg_bal")
+    )
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(thresh))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
     )
