@@ -53,6 +53,7 @@ _PRIORITY = [
     "events_anomaly",
     "waiting_sole_late_supplier",
     "idle_rich_customers_by_nation",
+    "part_name_fuzzy_pairs",
     # parity tail displaced from the r3 window
     "monthly_order_volume",
     "customer_order_links",

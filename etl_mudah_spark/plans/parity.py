@@ -812,3 +812,60 @@ def customer_order_links(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.coalesce(F.col("total_spent"), F.lit(0.0)), 2).alias("total_spent"),
         )
     )
+
+
+@register(
+    "part_name_fuzzy_pairs",
+    oracle="""
+    WITH p AS (
+        SELECT p_partkey, p_name,
+               string_split(p_name, ' ')[2] AS noun
+        FROM part
+    )
+    SELECT a.noun,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN levenshtein(a.p_name, b.p_name) = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN levenshtein(a.p_name, b.p_name) = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dist1
+    FROM p a JOIN p b
+      ON a.noun = b.noun AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    GROUP BY a.noun ORDER BY a.noun
+    """,
+    doc="Blocked fuzzy self-join: near-identical part names (levenshtein<=2) per noun block.",
+)
+def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution by blocked edit distance — the fuzzy-matching
+    pattern the dedup family lacks a string-metric member of: block
+    candidates on a cheap equality key (here the head noun of the part
+    name) so the quadratic comparison runs only INSIDE blocks, then
+    filter pairs by levenshtein. At 100 TB the all-pairs form is
+    unrunnable; the blocked form is one equi-join shuffle on the block
+    key plus per-block pair work — the same candidates-meet-in-buckets
+    discipline as the MinHash/SimHash sketches, with the string metric
+    exact instead of approximate. Both engines implement the same
+    standard Levenshtein distance, so the oracle comparison is exact."""
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.split("p_name", " ").getItem(1).alias("noun"),
+    )
+    a = p.alias("a")
+    b = p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.noun") == F.col("b.noun"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .where(dist <= 2)
+        .groupBy(F.col("a.noun").alias("noun"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.when(dist == 0, 1).otherwise(0)).cast("bigint").alias("n_exact"),
+            F.sum(F.when(dist == 1, 1).otherwise(0)).cast("bigint").alias("n_dist1"),
+        )
+        .orderBy("noun")
+    )
