@@ -54,6 +54,8 @@ _PRIORITY = [
     "waiting_sole_late_supplier",
     "idle_rich_customers_by_nation",
     "part_name_fuzzy_pairs",
+    "events_hourly_dense",
+    "customer_balance_deciles",
     # parity tail displaced from the r3 window
     "monthly_order_volume",
     "customer_order_links",

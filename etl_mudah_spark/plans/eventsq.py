@@ -465,3 +465,57 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", F.col("n_events").cast("bigint"), "n_outliers", "max_outlier_value")
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_hourly_dense",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ), spine AS (
+        SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+        FROM bounds
+    ), agg AS (
+        SELECT date_trunc('hour', ts) AS hour_start,
+               COUNT(*) AS cnt
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT s.hour_start, CAST(COALESCE(a.cnt, 0) AS BIGINT) AS cnt
+    FROM spine s LEFT JOIN agg a USING (hour_start)
+    ORDER BY s.hour_start
+    """,
+    doc="Gap-filled hourly purchase counts over a generated time spine.",
+)
+def events_hourly_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense (zero-filled) time series — the shape every monitoring
+    chart and forecasting model needs, and a grouped count alone can't
+    produce: hours with no purchases must appear as 0, so the hour
+    spine is GENERATED (sequence + explode over the min/max bounds)
+    and the sparse aggregate left-joins onto it.
+
+    Scale: the bounds are a 1-row agg, the spine is O(hours) rows
+    exploded from that one row (a few thousand rows per year —
+    driver-free and broadcast-size), and the sparse agg left-joins
+    broadcast onto it. The events scan is the only big input and it
+    aggregates before any join."""
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_start")
+    )
+    agg = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_start"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        spine.join(agg, "hour_start", "left")
+        .select("hour_start", F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt"))
+        .orderBy("hour_start")
+    )

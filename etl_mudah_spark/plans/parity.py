@@ -869,3 +869,46 @@ def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("noun")
     )
+
+
+@register(
+    "customer_balance_deciles",
+    oracle="""
+    WITH d AS (
+        SELECT c_acctbal,
+               NTILE(10) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS decile
+        FROM customer
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(MIN(c_acctbal) AS DOUBLE) AS lo,
+           CAST(MAX(c_acctbal) AS DOUBLE) AS hi
+    FROM d GROUP BY decile ORDER BY decile
+    """,
+    doc="NTILE(10) balance deciles with per-decile bounds.",
+)
+def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-population bucketing via NTILE — the rank-based sibling of
+    the fixed-width bins (A8): every decile holds n/10 +-1 customers
+    regardless of the value distribution. The window is a GLOBAL order
+    (single-task at scale); deciles per nation/segment — partitioning
+    the window — is the production form, and for a global rank at
+    corpus scale the md5-prefix two-phase trick
+    (operators/sampling.py:md5_global_order) replaces the single sort.
+    Deterministic tie-break on c_custkey keeps both engines' tile
+    boundaries identical. min/max per decile are input data, not
+    accumulated floats — the comparison is exact."""
+    from pyspark.sql import Window as W
+
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    w = W.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("c_acctbal").cast("double").alias("lo"),
+            F.max("c_acctbal").cast("double").alias("hi"),
+        )
+        .orderBy("decile")
+    )
