@@ -56,6 +56,7 @@ _PRIORITY = [
     "part_name_fuzzy_pairs",
     "events_hourly_dense",
     "customer_balance_deciles",
+    "orders_per_customer_dist",
     # parity tail displaced from the r3 window
     "monthly_order_volume",
     "customer_order_links",

@@ -661,3 +661,43 @@ def idle_rich_customers_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "orders_per_customer_dist",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 shape: distribution of customers by order count (zeros kept).",
+)
+def orders_per_customer_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Q13 shape — a histogram of engagement: how many customers
+    placed 0, 1, 2, ... orders. Two-level aggregation where the LEFT
+    join is load-bearing: COUNT(o_orderkey) over the outer join keeps
+    zero-order customers as c_count = 0 (an inner join would silently
+    drop the most interesting bucket).
+
+    Scale: the join and the first groupBy share the c_custkey
+    partitioning (one exchange covers both), and the second aggregate
+    reduces O(customers) rows to O(distinct counts) — map-side combine
+    makes the final exchange trivial."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
