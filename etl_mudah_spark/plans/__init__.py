@@ -8,11 +8,13 @@ Importing this package registers every declared query into
 # queries per round, so window membership is controlled EXPLICITLY via
 # ``_PRIORITY`` below rather than by import-order side effects. Round 4
 # front-loads: the round-3 red row (emb_label_centroids, reshaped to
-# scalar long form), the two queries that have never had a driver row
-# (price_model_r2 is new; doc_dup_clusters was registered past the r3
-# window), and the 26 queries displaced from the r3 window (parity tail
-# + the whole datapipe/eventsq families). Everything displaced THIS
-# round (starjoins/llmprep/profile/geoq/temporal) is r3-green and stays
+# scalar long form), every query that has never had a driver row (all
+# round-4 additions), and the queries displaced from the r3 window
+# (parity tail + the datapipe/eventsq families). The priority list is
+# 51 names, so its last entry (events_stream_attribution — r2-green,
+# oracle identical to the in-window events_attribution, pytest-pinned)
+# sits just outside the window; everything else displaced
+# (starjoins/llmprep/profile/geoq/temporal) is r3-green and stays
 # covered by the identical DuckDB-oracle comparison in
 # tests/test_oracle.py.
 from etl_mudah_spark.plans import registry  # noqa: F401
@@ -57,6 +59,7 @@ _PRIORITY = [
     "events_hourly_dense",
     "customer_balance_deciles",
     "orders_per_customer_dist",
+    "parts_pareto_80",
     # parity tail displaced from the r3 window
     "monthly_order_volume",
     "customer_order_links",

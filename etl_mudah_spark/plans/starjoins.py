@@ -701,3 +701,63 @@ def orders_per_customer_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
+
+
+@register(
+    "parts_pareto_80",
+    oracle=f"""
+    WITH per_part AS (
+        SELECT l_partkey, {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS rev
+        FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+        SELECT rev,
+               SUM(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+                              ROWS UNBOUNDED PRECEDING) AS cum_rev,
+               SUM(rev) OVER () AS total_rev
+        FROM per_part
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS total_parts,
+           CAST(SUM(CASE WHEN cum_rev - rev < 0.8 * total_rev
+                         THEN 1 ELSE 0 END) AS BIGINT) AS parts_to_80pct
+    FROM ranked
+    """,
+    doc="Pareto/ABC analysis: parts needed to cover 80% of discounted revenue.",
+)
+def parts_pareto_80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pareto/ABC inventory question: how many top parts account
+    for 80% of revenue. A part counts while the revenue BEFORE it
+    (cum - own) is still under the threshold, so the part that crosses
+    80% is included — the standard ABC cutoff rule, and one that makes
+    the count invariant to how ties inside the cumulative sum are
+    ordered (the deterministic (rev desc, partkey) order pins it
+    anyway). Revenue sums are exact decimals on both engines, so the
+    0.8 boundary comparison cannot flip on float noise.
+
+    Scale: the per-part agg is the only big shuffle; the window runs
+    over O(parts) aggregated rows. A global ordered window serializes
+    through one task — at real scale the same two-pass trick as
+    operators/sampling.py:md5_global_order (range-bucket the revenue,
+    prefix-sum bucket totals) keeps it parallel; at O(parts) row
+    counts the single task is the right plan."""
+    li = load(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    w_cum = (
+        W.orderBy(F.desc("rev"), F.asc("l_partkey"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ranked = per_part.select(
+        "rev",
+        F.sum("rev").over(w_cum).alias("cum_rev"),
+        F.sum("rev").over(W.partitionBy()).alias("total_rev"),
+    )
+    return ranked.agg(
+        F.count("*").alias("total_parts"),
+        F.sum(
+            F.when(F.col("cum_rev") - F.col("rev") < 0.8 * F.col("total_rev"), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("parts_to_80pct"),
+    )
