@@ -798,5 +798,12 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism contract."""
     emb = load(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
-    books = sim.pq_train_codebooks(emb, m=8, k=64)
+    # Cap the driver-side training sample at ~8k vectors whatever the
+    # corpus size: keymod sampling keeps it deterministic, and codebook
+    # quality saturates long before that (the codebook is 8x64x8
+    # doubles — training it on 100 TB of vectors would be waste, not
+    # rigor).
+    n = emb.count()
+    sample_mod = max(1, n // 8192)
+    books = sim.pq_train_codebooks(emb, m=8, k=64, sample_mod=sample_mod)
     return sim.pq_topk(emb, books, qvec, k=10, shortlist=100)
