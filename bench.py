@@ -208,7 +208,7 @@ def main() -> None:
         scratch = tempfile.mkdtemp(prefix="bench_multifile_")
         try:
             mf_dir = stage_multifile(spark, sf_dir, scratch)
-            mf_timings = run_headline(spark, mf_dir, "32file")
+            mf_timings = run_headline(spark, mf_dir, "multifile")
             result["queries_multifile"] = mf_timings
             result["value_multifile"] = round(sum(mf_timings.values()), 3)
             result["multifile_policy"] = {"target_bytes": 512 * 1024, "cap": 32}

@@ -101,9 +101,12 @@ def compact_files(
     selective again (the layout-level substitute for the reference's
     btree index on listing_date, SURVEY.md §4).
 
-    Safe rewrite discipline: write to a sibling staging dir, then swap —
-    never rewrite in place under readers. (On a real object store the
-    swap is a metastore/manifest pointer flip; local rename here.)
+    Safe rewrite discipline: write to a sibling staging dir, then swap
+    by renames — the original moves aside intact before the staging dir
+    takes its place, so a crash anywhere leaves a complete copy under
+    a well-known name and the dataset-missing window is one rename, not
+    a full delete. (On a real object store the swap is a metastore/
+    manifest pointer flip.)
     """
     import math
     import os
@@ -121,9 +124,12 @@ def compact_files(
     if sort_within_by:
         out = out.sortWithinPartitions(*sort_within_by)
     staging = path.rstrip("/") + "._compacting"
+    retired = path.rstrip("/") + "._precompact"
     out.write.mode("overwrite").parquet(staging)
-    shutil.rmtree(path)
+    shutil.rmtree(retired, ignore_errors=True)
+    os.rename(path, retired)
     os.rename(staging, path)
+    shutil.rmtree(retired)
     return len(
         [
             f

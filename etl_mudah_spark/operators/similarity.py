@@ -426,7 +426,7 @@ def pq_train_codebooks(
     k: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    sample_mod: int = 1,
+    sample_mod: int | None = None,
     iters: int = 15,
 ) -> np.ndarray:
     """Train PQ codebooks: split each L2-normalized vector into ``m``
@@ -436,10 +436,15 @@ def pq_train_codebooks(
     PQ training is ALWAYS on a sample (the codebook is a few KB; fitting
     it needs thousands of points, not the corpus) — ``sample_mod``
     keymod-samples like operators/sampling.py, so the sample and hence
-    the codebook are reproducible, no RNG. Lloyd iterations run in numpy
-    on the driver; init is evenly-spaced sample points in id order
-    (deterministic, k-means++-free). Returns ``(m, k, dim/m)``.
+    the codebook are reproducible, no RNG. The default (None) sizes the
+    modulus from the corpus count to cap the driver collect at ~8k
+    vectors — codebook quality saturates far below that, and an
+    unbounded collect is a driver OOM at scale. Lloyd iterations run in
+    numpy on the driver; init is evenly-spaced sample points in id
+    order (deterministic, k-means++-free). Returns ``(m, k, dim/m)``.
     """
+    if sample_mod is None:
+        sample_mod = max(1, df.count() // 8192)
     rows = (
         df.where(F.col(id_col) % sample_mod == 0)
         .select(id_col, as_double(F.col(vec_col)).alias("v"))
@@ -501,6 +506,34 @@ def pq_encode(
     return df.select(F.col(id_col), codes(as_double(F.col(vec_col))).alias("pq_codes"))
 
 
+def _pq_adc_shortlist(
+    encoded: DataFrame,
+    codebooks: np.ndarray,
+    query_vec: list[float],
+    shortlist: int,
+    id_col: str,
+) -> DataFrame:
+    """ADC scoring core shared by :func:`pq_topk` and
+    :func:`pq_query_index`: fold the per-subspace query→centroid
+    distance tables into the plan as array literals and score each
+    code row with m element_at lookups + adds — pure codegen, no
+    Python, no shuffle, TakeOrdered(shortlist)."""
+    m, kk, sub = codebooks.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    q /= max(np.linalg.norm(q), 1e-12)
+    score = None
+    for i in range(m):
+        lut = ((q[i * sub : (i + 1) * sub][None, :] - codebooks[i]) ** 2).sum(axis=1)
+        lut_i = F.array(*[F.lit(float(v)) for v in lut])
+        term = F.element_at(lut_i, F.element_at("pq_codes", i + 1) + 1)
+        score = term if score is None else score + term
+    return (
+        encoded.select(id_col, score.alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(shortlist)
+    )
+
+
 def pq_topk(
     df: DataFrame,
     codebooks: np.ndarray,
@@ -514,31 +547,13 @@ def pq_topk(
     against the query via an asymmetric-distance lookup table, shortlist
     the best ``shortlist``, then re-rank the shortlist with exact cosine.
 
-    The ADC scan is PURE codegen: the per-subspace LUT (k distances of
-    the query subvector to each centroid) folds into the plan as array
-    literals, and the score is m element_at lookups + adds per row — no
-    Python, no shuffle, TakeOrdered(shortlist). Only the shortlist rows
-    (tiny) are joined back to fetch true vectors for the exact re-rank.
-    Distances are on L2-normalized vectors, so ADC order ~ cosine order.
+    Only the shortlist rows (tiny) are joined back to fetch true
+    vectors for the exact re-rank. Distances are on L2-normalized
+    vectors, so ADC order ~ cosine order. See :func:`_pq_adc_shortlist`
+    for the codegen scoring core.
     """
-    m, kk, sub = codebooks.shape
-    q = np.asarray(query_vec, dtype=np.float64)
-    q /= max(np.linalg.norm(q), 1e-12)
-    luts = [
-        ((q[i * sub : (i + 1) * sub][None, :] - codebooks[i]) ** 2).sum(axis=1)
-        for i in range(m)
-    ]
     encoded = pq_encode(df, codebooks, id_col=id_col, vec_col=vec_col)
-    score = None
-    for i in range(m):
-        lut_i = F.array(*[F.lit(float(v)) for v in luts[i]])
-        term = F.element_at(lut_i, F.element_at("pq_codes", i + 1) + 1)
-        score = term if score is None else score + term
-    short = (
-        encoded.select(id_col, score.alias("adc_dist"))
-        .orderBy(F.asc("adc_dist"), F.asc(id_col))
-        .limit(shortlist)
-    )
+    short = _pq_adc_shortlist(encoded, codebooks, query_vec, shortlist, id_col)
     cand = df.join(F.broadcast(short.select(id_col)), id_col)
     return brute_force_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
@@ -550,7 +565,7 @@ def pq_build_index(
     k: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    sample_mod: int = 1,
+    sample_mod: int | None = None,
 ) -> None:
     """Materialize the PQ index: codebooks + per-vector codes on disk.
 
@@ -603,22 +618,7 @@ def pq_query_index(
     books = np.empty((mm, kk, sub))
     for r in cb:
         books[r["subspace"], r["code"]] = r["centroid"]
-    q = np.asarray(query_vec, dtype=np.float64)
-    q /= max(np.linalg.norm(q), 1e-12)
-    luts = [
-        ((q[i * sub : (i + 1) * sub][None, :] - books[i]) ** 2).sum(axis=1)
-        for i in range(mm)
-    ]
     encoded = spark.read.parquet(index_path)
-    score = None
-    for i in range(mm):
-        lut_i = F.array(*[F.lit(float(v)) for v in luts[i]])
-        term = F.element_at(lut_i, F.element_at("pq_codes", i + 1) + 1)
-        score = term if score is None else score + term
-    short = (
-        encoded.select(id_col, score.alias("adc_dist"))
-        .orderBy(F.asc("adc_dist"), F.asc(id_col))
-        .limit(shortlist)
-    )
+    short = _pq_adc_shortlist(encoded, books, query_vec, shortlist, id_col)
     cand = source_df.join(F.broadcast(short.select(id_col)), id_col)
     return brute_force_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)

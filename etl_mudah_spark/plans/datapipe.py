@@ -766,7 +766,9 @@ def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("doc_id") * _CHUNK_ENC + F.col("chunk_idx")).alias("wk")
     )
     kept = (
-        win.select(F.floor(F.col("wk") / _CHUNK_ENC).cast("bigint").alias("doc_id"))
+        # integer `div`, not `/`: float division rounds above 2^53,
+        # i.e. for doc_id beyond ~9e9 (same rule as tables.py).
+        win.select(F.expr(f"wk div {_CHUNK_ENC}").cast("bigint").alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count("*").alias("kept_chunks"))
     )
@@ -798,12 +800,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism contract."""
     emb = load(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
-    # Cap the driver-side training sample at ~8k vectors whatever the
-    # corpus size: keymod sampling keeps it deterministic, and codebook
-    # quality saturates long before that (the codebook is 8x64x8
-    # doubles — training it on 100 TB of vectors would be waste, not
-    # rigor).
-    n = emb.count()
-    sample_mod = max(1, n // 8192)
-    books = sim.pq_train_codebooks(emb, m=8, k=64, sample_mod=sample_mod)
+    # Default sampling auto-caps the driver-side training collect at
+    # ~8k vectors whatever the corpus size (see pq_train_codebooks).
+    books = sim.pq_train_codebooks(emb, m=8, k=64)
     return sim.pq_topk(emb, books, qvec, k=10, shortlist=100)

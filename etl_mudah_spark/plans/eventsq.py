@@ -418,16 +418,19 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH stats AS (
         SELECT event_type,
-               AVG(value) AS mu,
-               STDDEV_SAMP(value) AS sigma,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mu,
+               (CAST(SUM(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE)
+                - CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                  * CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+               / (COUNT(*) - 1) AS sigma2,
                COUNT(*) AS n
         FROM events GROUP BY event_type
     )
     SELECT e.event_type,
            CAST(s.n AS BIGINT) AS n_events,
-           CAST(SUM(CASE WHEN ABS(e.value - s.mu) > 3 * s.sigma
+           CAST(SUM(CASE WHEN (e.value - s.mu) * (e.value - s.mu) > 9 * s.sigma2
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-           CAST(MAX(CASE WHEN ABS(e.value - s.mu) > 3 * s.sigma
+           CAST(MAX(CASE WHEN (e.value - s.mu) * (e.value - s.mu) > 9 * s.sigma2
                          THEN e.value END) AS DOUBLE) AS max_outlier_value
     FROM events e JOIN stats s USING (event_type)
     GROUP BY e.event_type, s.n
@@ -440,19 +443,29 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     event type, count values beyond 3 sample standard deviations of
     that type's mean.
 
-    The per-type (mu, sigma, n) table is 5 rows — computed with one
+    The per-type (mu, sigma², n) table is 5 rows — computed with one
     grouped agg and BROADCAST back onto the fact scan, so the second
     pass is map-only: no re-shuffle of events, and at 100 TB the two
-    passes are two scans (or one, if the consumer caches). Integer
-    outlier counts compare exactly; the only float column is the max
-    outlier value (an input datum, not an accumulated float)."""
+    passes are two scans (or one, if the consumer caches). The exact-
+    bigint outlier counts demand a bit-identical 3σ boundary, so mu
+    and sigma² derive from ORDER-INDEPENDENT decimal sums (Σx, Σx²) —
+    native avg/stddev accumulate doubles in engine-specific order and
+    can flip a borderline event (the davg/dsum discipline,
+    functions/core.py). The predicate squares both sides ((v−mu)² >
+    9σ²): identical IEEE double ops on identical inputs, no abs/sqrt."""
     ev = load(spark, sf_dir, "events").select("event_type", "value")
+    sum_x = F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+    sum_x2 = F.sum(
+        (F.col("value") * F.col("value")).cast("decimal(28,10)")
+    ).cast("double")
+    n = F.count("*")
     stats = ev.groupBy("event_type").agg(
-        F.avg("value").alias("mu"),
-        F.stddev_samp("value").alias("sigma"),
-        F.count("*").alias("n_events"),
+        (sum_x / n).alias("mu"),
+        ((sum_x2 - sum_x * sum_x / n) / (n - 1)).alias("sigma2"),
+        n.alias("n_events"),
     )
-    is_out = F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sigma")
+    dev = F.col("value") - F.col("mu")
+    is_out = dev * dev > 9 * F.col("sigma2")
     return (
         ev.join(F.broadcast(stats), "event_type")
         .groupBy("event_type", "n_events")

@@ -705,9 +705,10 @@ def orders_per_customer_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "parts_pareto_80",
-    oracle=f"""
+    oracle="""
     WITH per_part AS (
-        SELECT l_partkey, {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS rev
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS rev
         FROM lineitem GROUP BY l_partkey
     ), ranked AS (
         SELECT rev,
@@ -717,7 +718,7 @@ def orders_per_customer_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM per_part
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS total_parts,
-           CAST(SUM(CASE WHEN cum_rev - rev < 0.8 * total_rev
+           CAST(SUM(CASE WHEN 10 * (cum_rev - rev) < 8 * total_rev
                          THEN 1 ELSE 0 END) AS BIGINT) AS parts_to_80pct
     FROM ranked
     """,
@@ -730,8 +731,12 @@ def parts_pareto_80(spark: SparkSession, sf_dir: str) -> DataFrame:
     80% is included — the standard ABC cutoff rule, and one that makes
     the count invariant to how ties inside the cumulative sum are
     ordered (the deterministic (rev desc, partkey) order pins it
-    anyway). Revenue sums are exact decimals on both engines, so the
-    0.8 boundary comparison cannot flip on float noise.
+    anyway). Revenue stays DECIMAL end-to-end — through the per-part
+    agg AND both window sums — and the threshold compares
+    10*(cum-own) < 8*total in integer-scaled decimals, so no double
+    accumulation (whose association order differs between Spark's
+    running frame and DuckDB's segment-tree windows) can flip the
+    boundary.
 
     Scale: the per-part agg is the only big shuffle; the window runs
     over O(parts) aggregated rows. A global ordered window serializes
@@ -741,7 +746,11 @@ def parts_pareto_80(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts the single task is the right plan."""
     li = load(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(
-        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        ).alias("rev")
     )
     w_cum = (
         W.orderBy(F.desc("rev"), F.asc("l_partkey"))
@@ -755,8 +764,9 @@ def parts_pareto_80(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.agg(
         F.count("*").alias("total_parts"),
         F.sum(
-            F.when(F.col("cum_rev") - F.col("rev") < 0.8 * F.col("total_rev"), 1)
-            .otherwise(0)
+            F.when(
+                10 * (F.col("cum_rev") - F.col("rev")) < 8 * F.col("total_rev"), 1
+            ).otherwise(0)
         )
         .cast("bigint")
         .alias("parts_to_80pct"),

@@ -40,7 +40,11 @@ def events_raw_schema(spark: SparkSession, events_path: str) -> tuple[str, str]:
     TIMESTAMP(MICROS) with isAdjustedToUTC=false (``timestamp_ntz``),
     or plain ``timestamp``. Batch-read the footer once (driver-side,
     metadata only) and return ``(schema_ddl, ts_dtype)`` matching the
-    file."""
+    file. Pins the session to UTC while here: every streaming reader
+    funnels through this, and the NTZ→LTZ normalization (plus window
+    bucketing downstream) must not depend on the host timezone — same
+    discipline as tables.load."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ts_dtype = dict(spark.read.parquet(events_path).dtypes)["ts"]
     return EVENTS_SCHEMA_TEMPLATE.format(ts=ts_dtype), ts_dtype
