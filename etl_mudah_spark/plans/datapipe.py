@@ -192,6 +192,74 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NGRAM_MAX_SHINGLE_DF = 50
 
 
+def _jaccard_pairs_ctes(threshold: float, pair_where: str = "TRUE") -> str:
+    """CTE chain computing the df-capped exact 3-gram-Jaccard pair set
+    (same semantics as ``dd.ngram_jaccard_pairs(max_shingle_df=50)``) —
+    the SQL twin every sketch-recall invariant below measures against.
+    Ends with a ``pairs(doc_a, doc_b)`` CTE; callers append their own
+    final SELECT (and may prefix WITH RECURSIVE)."""
+    return rf"""words AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ), shingles AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+        FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+        WHERE len(w) >= 3
+    ), counts AS (
+        SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
+    ), idx AS (
+        SELECT doc_id, sh FROM shingles
+        WHERE sh IN (
+            SELECT sh FROM shingles GROUP BY sh
+            HAVING COUNT(*) <= {_NGRAM_MAX_SHINGLE_DF}
+        )
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        FROM idx a
+        JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN counts na ON na.doc_id = doc_a
+        JOIN counts nb ON nb.doc_id = doc_b
+        WHERE common * 1.0 / (na.n + nb.n - common) >= {threshold}
+          AND ({pair_where})
+    )"""
+
+
+def _recall_row(
+    exact: DataFrame,
+    found: DataFrame,
+    bound: float,
+    keys: tuple[str, str] = ("doc_a", "doc_b"),
+    exact_col: str = "exact_pairs",
+) -> DataFrame:
+    """One-row recall invariant: ``(exact_col, recall_ok)`` where
+    recall_ok ⇔ |found ∩ exact| >= bound * |exact|.
+
+    The exact side is the DuckDB-reproducible twin; the boolean carries
+    the sketch signal — recall degrading below the bound flips it and
+    hash-mismatches the driver row. No collect: two 1-row aggregates
+    meet in a crossJoin."""
+    hits = exact.join(found, list(keys), "left_semi").agg(
+        F.count("*").alias("hits")
+    )
+    tot = exact.agg(F.count("*").cast("bigint").alias(exact_col))
+    return tot.crossJoin(hits).select(
+        exact_col,
+        (F.col("hits") >= F.lit(bound) * F.col(exact_col)).alias("recall_ok"),
+    )
+
+
+# Recall floors for the sketch-vs-exact invariants. Measured at sf0.01:
+# MinHash 25/25, SimHash 23/25, incremental 19/19, SRP-LSH 14/14 — the
+# floors leave ~20% slack for testdata drift while still catching any
+# real banding/verification regression.
+MINHASH_RECALL_FLOOR = 0.8
+SIMHASH_RECALL_FLOOR = 0.8
+LSH_COSINE_RECALL_FLOOR = 0.85
+
+
 @register(
     "doc_ngram_jaccard",
     oracle=rf"""
@@ -239,44 +307,115 @@ def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_minhash_near_dup",
-    oracle=None,  # xxhash64-seeded sketch — pinned by pytest oracle instead
-    doc="MinHash(32)+LSH(8 bands) candidates, exact-Jaccard verified ≥0.2.",
+    oracle=f"""
+    WITH {_jaccard_pairs_ctes(0.2)}
+    SELECT CAST(COUNT(*) AS BIGINT) AS exact_pairs, TRUE AS recall_ok
+    FROM pairs
+    """,
+    doc=(
+        "MinHash(32)+LSH(8 bands) recall invariant vs the exact "
+        "df-capped Jaccard pair set at threshold 0.2."
+    ),
 )
 def doc_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.minhash_near_duplicates(
-        load(spark, sf_dir, "documents"), num_hashes=32, bands=8, threshold=0.2
-    )
+    """Round-5 invariant shape: the xxhash64-seeded sketch output is not
+    SQL-reproducible, so the row the driver hashes is the EXACT pair
+    count (DuckDB twin: df-capped inverted-index Jaccard, same as
+    doc_ngram_jaccard) plus a boolean asserting the LSH pipeline
+    recovers >= 80% of those pairs (measured 25/25 at sf0.01; per-pair
+    membership pinned in tests/test_dedup.py). The exact side is the
+    verification twin — at 100 TB the MinHash path is the product and
+    the df-capped exact join is what you run on samples to audit it."""
+    docs = load(spark, sf_dir, "documents")
+    exact = dd.ngram_jaccard_pairs(
+        docs, threshold=0.2, max_shingle_df=_NGRAM_MAX_SHINGLE_DF
+    ).select("doc_a", "doc_b")
+    found = dd.minhash_near_duplicates(
+        docs, num_hashes=32, bands=8, threshold=0.2
+    ).select("doc_a", "doc_b")
+    return _recall_row(exact, found, MINHASH_RECALL_FLOOR)
 
 
 @register(
     "doc_simhash_near_dup",
-    oracle=None,
-    doc="SimHash-64 near-duplicate pairs, Hamming ≤ 12 via chunk LSH.",
+    oracle=f"""
+    WITH {_jaccard_pairs_ctes(0.8)}
+    SELECT CAST(COUNT(*) AS BIGINT) AS exact_hi_pairs, TRUE AS recall_ok
+    FROM pairs
+    """,
+    doc=(
+        "SimHash-64 (Hamming <= 12, chunk LSH) recall invariant vs the "
+        "exact Jaccard >= 0.8 pair set."
+    ),
 )
 def doc_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.simhash_near_duplicates(
-        load(spark, sf_dir, "documents"), max_hamming=12
+    """Cross-sketch invariant: SimHash signatures are xxhash64-derived
+    (not SQL-reproducible), but near-exact duplicates (Jaccard >= 0.8)
+    must land within Hamming 12 of each other for the fingerprint to be
+    useful at all. The driver row is the exact high-Jaccard pair count
+    plus a boolean asserting SimHash recovers >= 80% of them (measured
+    23/25 at sf0.01; Hamming-distance unit pins in
+    tests/test_dedup.py)."""
+    docs = load(spark, sf_dir, "documents")
+    exact_hi = dd.ngram_jaccard_pairs(
+        docs, threshold=0.8, max_shingle_df=_NGRAM_MAX_SHINGLE_DF
+    ).select("doc_a", "doc_b")
+    found = dd.simhash_near_duplicates(docs, max_hamming=12).select(
+        "doc_a", "doc_b"
+    )
+    return _recall_row(
+        exact_hi, found, SIMHASH_RECALL_FLOOR, exact_col="exact_hi_pairs"
     )
 
 
 @register(
     "doc_dup_clusters",
-    oracle=None,  # iterative fixpoint over xxhash64-derived pairs — no SQL form;
-    # cluster memberships are pinned by a union-find Python oracle in
-    # tests/test_graph_clusters.py
+    oracle=f"""
+    WITH RECURSIVE {_jaccard_pairs_ctes(0.2)}, edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ), nodes AS (
+        SELECT DISTINCT s AS node FROM edges
+    ), reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node
+    ), comp AS (
+        SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+    ), sizes AS (
+        SELECT cluster_id, COUNT(*) AS n_docs FROM comp GROUP BY cluster_id
+    )
+    SELECT comp.node AS doc_id, comp.cluster_id,
+           CAST(sizes.n_docs AS BIGINT) AS n_docs,
+           comp.node = comp.cluster_id AS is_survivor
+    FROM comp JOIN sizes USING (cluster_id)
+    """,
     doc=(
-        "Full dedup-resolution pipeline: MinHash-LSH near-dup pairs -> "
-        "connected components -> per-node (cluster_id, n_docs, is_survivor) "
-        "mapping. Transitive closure, so A~B~C collapses to one survivor "
-        "even when A~C was never a candidate pair."
+        "Dedup resolution: exact near-dup pairs -> connected components "
+        "-> per-node (cluster_id, n_docs, is_survivor) mapping; oracle "
+        "is a recursive-CTE transitive closure."
     ),
 )
 def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Pairs -> clusters is the step between detection and curation: the
-    # mapping output (never per-cluster arrays) keeps giant boilerplate
-    # components distributed; see operators/graph.py.
-    pairs = dd.minhash_near_duplicates(
-        load(spark, sf_dir, "documents"), num_hashes=32, bands=8, threshold=0.2
+    """Pairs -> clusters is the step between detection and curation: the
+    mapping output (never per-cluster arrays) keeps giant boilerplate
+    components distributed; see operators/graph.py (large-star/
+    small-star, the alternating fixpoint from the Google CC-in-MapReduce
+    paper).
+
+    Round 5: edges come from the EXACT df-capped Jaccard pair set (the
+    deterministic, SQL-reproducible twin) rather than MinHash-LSH
+    candidates, so the driver hash-checks the distributed CC
+    implementation itself against a DuckDB recursive-CTE closure —
+    transitivity included (A~B~C collapses even when A~C is no edge).
+    The production composition (LSH candidates -> clusters) is the same
+    two operators chained — its recall invariant is
+    doc_minhash_near_dup's row; union-find pins stay in
+    tests/test_graph_clusters.py."""
+    pairs = dd.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"),
+        threshold=0.2,
+        max_shingle_df=_NGRAM_MAX_SHINGLE_DF,
     )
     return gr.duplicate_clusters(pairs).select(
         F.col("node").alias("doc_id"), "cluster_id", "n_docs", "is_survivor"
@@ -330,21 +469,61 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.brute_force_topk(emb, [float(x) for x in qvec], k=10)
 
 
+# Minimum hits@10 for the ANN recall invariants: the approximate index
+# must recover >= 9 of the exact top-10 (measured 10/10 for both SRP
+# and PQ at sf0.01; one-neighbor slack for testdata drift).
+ANN_MIN_HITS_AT_10 = 9
+
+
+def _ann_recall_rows(brute: DataFrame, approx: DataFrame) -> DataFrame:
+    """Exact top-k rows + a recall invariant boolean.
+
+    The rows the driver hashes are the brute-force top-10 (vec_id,
+    cosine_sim — fully SQL-reproducible); ``recall_ok`` asserts the
+    approximate index recovered >= ANN_MIN_HITS_AT_10 of them. The
+    1-row hits aggregate broadcasts onto the 10-row result."""
+    hits = brute.join(approx.select("vec_id"), "vec_id", "left_semi").agg(
+        F.count("*").alias("hits")
+    )
+    return brute.crossJoin(F.broadcast(hits)).select(
+        "vec_id",
+        "cosine_sim",
+        (F.col("hits") >= ANN_MIN_HITS_AT_10).alias("recall_ok"),
+    )
+
+
+_BRUTE_TOPK_ORACLE = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id, ROUND({_COS_SQL}, 4) AS cosine_sim, TRUE AS recall_ok
+    FROM e a, (SELECT v FROM e WHERE vec_id = 0) b
+    ORDER BY cosine_sim DESC, a.vec_id ASC
+    LIMIT 10
+"""
+
+
 @register(
     "ann_srp_topk",
-    oracle=None,  # SRP bucket pruning — approximate by design
-    doc="SRP-LSH ANN top-10 (24-table OR-amplified, multiprobe<=1).",
+    oracle=_BRUTE_TOPK_ORACLE,
+    doc=(
+        "SRP-LSH ANN top-10 recall invariant (24-table OR-amplified, "
+        "multiprobe<=1) vs the exact cosine top-10."
+    ),
 )
 def ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 invariant shape: SRP bucket membership is plane-seed
+    specific, so the driver row set is the EXACT top-10 (DuckDB twin)
+    with ``recall_ok`` asserting the SRP index recovered >= 9 of them.
+    b=8/t=24/probe<=1: the testdata's true neighbors sit at cosine
+    ~0.28-0.37 (p ~ 0.6) — a deliberately hard LSH regime, so wide
+    OR-amplification is needed; measured recall@10 = 1.0 at sf0.01
+    (also pinned in tests/test_similarity_srp.py)."""
     emb = load(spark, sf_dir, "embeddings")
-    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
-    # b=8/t=24/probe<=1: the testdata's true neighbors sit at cosine
-    # ~0.28-0.37 (p ~ 0.6) — a deliberately hard LSH regime, so wide
-    # OR-amplification is needed; measured recall@10 = 1.0 at sf0.01
-    # (pinned in tests/test_similarity_srp.py).
-    return sim.srp_topk(
-        emb, [float(x) for x in qvec], k=10, n_planes=8, n_tables=24, multiprobe=1
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    brute = sim.brute_force_topk(emb, qvec, k=10)
+    approx = sim.srp_topk(
+        emb, qvec, k=10, n_planes=8, n_tables=24, multiprobe=1
     )
+    return _ann_recall_rows(brute, approx)
 
 
 # Hard ceiling for the exact all-pairs cosine twin: ~100k rows ⇒ ~5e9
@@ -399,22 +578,40 @@ def emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_cosine_near_dup_lsh",
-    oracle=None,  # SRP-blocked variant: the 100 TB path, recall < 1
-    doc="SRP-LSH-blocked embedding near-dup pairs (OR-amplified scale path).",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT CAST(COUNT(*) AS BIGINT) AS exact_pairs, TRUE AS recall_ok
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= 0.45
+    """,
+    doc=(
+        "SRP-LSH-blocked embedding near-dup recall invariant vs the "
+        "exact all-pairs cosine twin (threshold 0.45)."
+    ),
 )
 def emb_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # (b, t) auto-tuned from the threshold for >=0.95 expected recall.
-    # max_tables=96 lets the tuner pick (b=8, t=95) instead of the
-    # default cap's (b=5, t=25): candidate volume scales ~t/2^b of all
-    # pairs (0.37 vs 0.78 — the join is the O(n²)-ish term), while t
-    # only multiplies the ids-only explode (~8t bytes/row). Measured at
-    # sf0.1: 2.8 s vs 4.7 s with recall 0.958 vs 0.931; recall vs the
-    # exact twin is pinned >= 0.95 in tests/test_similarity_srp.py.
-    return sim.cosine_near_duplicates(
+    """Round-5 invariant shape: the driver row is the exact-twin pair
+    count plus a boolean asserting the SRP-blocked path recovers >= 85%
+    of those pairs (measured 14/14 at sf0.01; >= 0.95 pinned at sf0.001
+    in tests/test_similarity_srp.py). The exact side reuses the guarded
+    all-pairs twin (emb_cosine_near_dup) — verification harness only;
+    the LSH path is the product at scale.
+
+    (b, t) auto-tuned from the threshold for >=0.95 expected recall.
+    max_tables=96 lets the tuner pick (b=8, t=95) instead of the
+    default cap's (b=5, t=25): candidate volume scales ~t/2^b of all
+    pairs (0.37 vs 0.78 — the join is the O(n²)-ish term), while t
+    only multiplies the ids-only explode (~8t bytes/row). Measured at
+    sf0.1: 2.8 s vs 4.7 s with recall 0.958 vs 0.931."""
+    exact = emb_cosine_near_dup(spark, sf_dir).select("id_a", "id_b")
+    found = sim.cosine_near_duplicates(
         load(spark, sf_dir, "embeddings"),
         threshold=0.45,
         target_recall=0.95,
         max_tables=96,
+    ).select("id_a", "id_b")
+    return _recall_row(
+        exact, found, LSH_COSINE_RECALL_FLOOR, keys=("id_a", "id_b")
     )
 
 
@@ -467,14 +664,27 @@ def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_minhash_incremental",
-    oracle=None,  # xxhash64-based sketch: pinned by pytest parity instead
-    doc="Incremental MinHash dedup: batch vs persisted corpus index.",
+    oracle=f"""
+    WITH {_jaccard_pairs_ctes(0.5, "NOT (doc_a % 2 = 0 AND doc_b % 2 = 0)")}
+    SELECT CAST(COUNT(*) AS BIGINT) AS exact_pairs, TRUE AS recall_ok
+    FROM pairs
+    """,
+    doc=(
+        "Incremental MinHash dedup (batch vs persisted corpus index) "
+        "recall invariant vs the exact batch-touching pair set."
+    ),
 )
 def doc_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible smoke of the production daily-ingest shape: index
     the even-doc_id half of the corpus once, then dedup the odd half
     against the persisted index (tests/test_dedup.py pins that this
-    equals a full recompute minus corpus-internal pairs)."""
+    equals a full recompute minus corpus-internal pairs).
+
+    Round-5 invariant shape: the driver row is the exact count of
+    Jaccard >= 0.5 pairs touching the batch (at least one odd doc_id —
+    exactly the pairs the incremental path is responsible for; df-capped
+    twin) plus a boolean asserting the index join recovers >= 80% of
+    them (measured 19/19 at sf0.01)."""
     import atexit
     import shutil
     import tempfile
@@ -485,7 +695,19 @@ def doc_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.where(F.col("doc_id") % 2 == 0)
     batch = docs.where(F.col("doc_id") % 2 == 1)
     dd.minhash_index_build(corpus, scratch)
-    return dd.minhash_dedup_incremental(spark, batch, scratch, threshold=0.5)
+    incr = dd.minhash_dedup_incremental(spark, batch, scratch, threshold=0.5)
+    # Corpus-vs-batch pairs come back (corpus_id, batch_id); the exact
+    # twin is canonical doc_a < doc_b, so normalize before the semi-join.
+    found = incr.select(
+        F.least("doc_a", "doc_b").alias("doc_a"),
+        F.greatest("doc_a", "doc_b").alias("doc_b"),
+    )
+    exact = dd.ngram_jaccard_pairs(
+        docs, threshold=0.5, max_shingle_df=_NGRAM_MAX_SHINGLE_DF
+    ).where(~((F.col("doc_a") % 2 == 0) & (F.col("doc_b") % 2 == 0))).select(
+        "doc_a", "doc_b"
+    )
+    return _recall_row(exact, found, MINHASH_RECALL_FLOOR)
 
 
 # SQL twin of operators/dedup.py word_shingles(text, 3): distinct word
@@ -785,8 +1007,11 @@ def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_pq_topk",
-    oracle=None,  # product quantization — approximate by design
-    doc="PQ-ADC ANN top-10 (m=8, k=64 codebooks) with exact re-rank.",
+    oracle=_BRUTE_TOPK_ORACLE,
+    doc=(
+        "PQ-ADC ANN top-10 recall invariant (m=8, k=64 codebooks, exact "
+        "re-rank) vs the exact cosine top-10."
+    ),
 )
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: 8 sub-space codebooks of 64 centroids
@@ -797,10 +1022,16 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall@10 = 1.0 at this (m, k) on both smoke datasets, pinned
     >= 0.9 in tests/test_similarity_pq.py. See
     operators/similarity.py:pq_train_codebooks for the sampling and
-    determinism contract."""
+    determinism contract.
+
+    Round-5 invariant shape: kmeans centroids are not SQL-reproducible,
+    so the driver rows are the exact top-10 (DuckDB twin) with
+    ``recall_ok`` asserting the PQ index recovered >= 9 of them."""
     emb = load(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
     # Default sampling auto-caps the driver-side training collect at
     # ~8k vectors whatever the corpus size (see pq_train_codebooks).
     books = sim.pq_train_codebooks(emb, m=8, k=64)
-    return sim.pq_topk(emb, books, qvec, k=10, shortlist=100)
+    brute = sim.brute_force_topk(emb, qvec, k=10)
+    approx = sim.pq_topk(emb, books, qvec, k=10, shortlist=100)
+    return _ann_recall_rows(brute, approx)

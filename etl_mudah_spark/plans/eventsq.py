@@ -171,54 +171,136 @@ def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # WITHOUT rescanning the fact table. The query demonstrates both
 # levels: per-event-type estimates plus a global estimate obtained by
 # hll_union_agg over the per-type sketches (never re-reading events).
-# Approximate by design (no SQL oracle — DuckDB's HLL differs);
-# tests/test_sketches.py pins relative error vs the exact count.
+#
+# Driver-checkable invariant shape (round 5): the sketch estimate
+# itself is engine-specific, so the query emits the EXACT distinct
+# count (which DuckDB reproduces) plus a boolean asserting the HLL
+# estimate lands within HLL_REL_ERR of it — the estimate degrading
+# flips the boolean and hash-mismatches the row. The exact twin is the
+# verification harness, not the scale path; at 100 TB you'd run the
+# sketch columns alone. Absolute error also pinned in
+# tests/test_sketches.py.
 # ---------------------------------------------------------------------------
+HLL_REL_ERR = 0.05
+
+_HLL_ORACLE = """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(COUNT(*) AS BIGINT) AS events,
+           TRUE AS hll_ok
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '__all__',
+           CAST(COUNT(DISTINCT user_id) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT),
+           TRUE
+    FROM events
+"""
+
+
 @register(
     "events_user_hll",
-    oracle=None,
-    doc="Distinct users per event type + rolled-up total via mergeable HLL sketches.",
+    oracle=_HLL_ORACLE,
+    doc=(
+        "Distinct users per event type + rolled-up total: exact counts "
+        "with a mergeable-HLL-estimate-within-5% invariant boolean."
+    ),
 )
 def events_user_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
-    per_type = (
-        events.groupBy("event_type")
-        .agg(F.hll_sketch_agg("user_id").alias("sk"), F.count("*").alias("events"))
+    # One shuffle on (event_type, user_id); everything downstream
+    # (per-type exact + sketch, global exact + sketch-union) re-aggs
+    # the distinct-pair frame without touching the fact table again.
+    base = events.groupBy("event_type", "user_id").agg(F.count("*").alias("n"))
+    per_type = base.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count("*").alias("exact_users"),  # base rows are distinct users
+        F.sum("n").alias("events"),
     )
+    def ok(approx, exact):
+        return (F.abs(approx - exact) <= F.lit(HLL_REL_ERR) * exact).alias("hll_ok")
+
     typed = per_type.select(
         "event_type",
-        F.hll_sketch_estimate("sk").alias("approx_users"),
+        "exact_users",
         "events",
+        ok(F.hll_sketch_estimate("sk"), F.col("exact_users")),
     )
-    total = per_type.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
-        F.sum("events").alias("events"),
-    ).select(F.lit("__all__").alias("event_type"), "approx_users", "events")
+    # Global estimate via sketch UNION (never re-reading events); the
+    # global exact twin re-aggs `base`, not the fact table.
+    gapprox = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    )
+    gexact = base.agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.sum("n").alias("events"),
+    )
+    total = (
+        gapprox.crossJoin(gexact)  # 1 row x 1 row
+        .select(
+            F.lit("__all__").alias("event_type"),
+            "exact_users",
+            "events",
+            ok(F.col("approx_users"), F.col("exact_users")),
+        )
+    )
     return typed.unionByName(total)
+
+
+# Rank-error band for the approx-percentile invariant: accuracy=10000
+# bounds rank error at 1e-4, so the estimate must land between the
+# exact (p-0.01) and (p+0.01) percentiles with two orders of margin.
+_Q_PS = (0.5, 0.95, 0.99)
+_Q_LO = (0.49, 0.94, 0.98)
+_Q_HI = (0.51, 0.96, 1.0)
 
 
 @register(
     "events_value_quantiles",
-    oracle=None,
-    doc="p50/p95/p99 of event value per type via approx_percentile sketches.",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4) AS p50,
+           ROUND(quantile_cont(value, 0.95), 4) AS p95,
+           ROUND(quantile_cont(value, 0.99), 4) AS p99,
+           CAST(COUNT(*) AS BIGINT) AS events,
+           TRUE AS approx_ok
+    FROM events GROUP BY event_type
+    """,
+    doc=(
+        "Exact p50/p95/p99 of event value per type plus a boolean "
+        "asserting the GK approx_percentile sketch lands inside the "
+        "±0.01 rank band."
+    ),
 )
 def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile sketches (GK) — like HLL, a bounded-size mergeable
     partial whose error is tunable via accuracy; the exact percentile
-    needs a full sort per group. Tolerance pinned in
-    tests/test_sketches.py."""
+    needs a full per-group sort and is the verification twin here (the
+    sketch is the 100 TB path). `approx_ok` asserts each sketch value
+    sits between the exact (p-0.01) and (p+0.01) percentiles —
+    accuracy=10000 guarantees rank error <= 1e-4, so the band has two
+    orders of slack. Tolerances also pinned in tests/test_sketches.py."""
     events = load(spark, sf_dir, "events")
-    q = F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10_000)
-    return (
-        events.groupBy("event_type")
-        .agg(q.alias("qs"), F.count("*").alias("events"))
-        .select(
-            "event_type",
-            F.round(F.col("qs")[0], 4).alias("p50"),
-            F.round(F.col("qs")[1], 4).alias("p95"),
-            F.round(F.col("qs")[2], 4).alias("p99"),
-            "events",
-        )
+    arr = lambda ps: F.array(*[F.lit(p) for p in ps])  # noqa: E731
+    agg = events.groupBy("event_type").agg(
+        F.percentile_approx("value", arr(_Q_PS), 10_000).alias("a"),
+        F.percentile("value", arr(_Q_PS)).alias("e"),
+        F.percentile("value", arr(_Q_LO)).alias("lo"),
+        F.percentile("value", arr(_Q_HI)).alias("hi"),
+        F.count("*").alias("events"),
+    )
+    in_band = [
+        (F.col("a")[i] >= F.col("lo")[i]) & (F.col("a")[i] <= F.col("hi")[i])
+        for i in range(len(_Q_PS))
+    ]
+    ok = in_band[0] & in_band[1] & in_band[2]
+    return agg.select(
+        "event_type",
+        F.round(F.col("e")[0], 4).alias("p50"),
+        F.round(F.col("e")[1], 4).alias("p95"),
+        F.round(F.col("e")[2], 4).alias("p99"),
+        "events",
+        ok.alias("approx_ok"),
     )
 
 

@@ -34,6 +34,8 @@ with plans/datapipe.py: whitespace split of trim(text)).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -340,8 +342,19 @@ CMS_CONFIDENCE = 0.99
 
 @register(
     "vocab_cms_topk",
-    oracle=None,  # sketch estimates — bound-checked in tests/test_sketches.py
-    doc="Count-min-sketch term frequencies vs exact counts for the top-10 terms.",
+    oracle=rf"""
+    WITH terms AS (
+        SELECT lower(UNNEST({{words}})) AS term FROM documents
+    )
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_cnt, TRUE AS cms_ok
+    FROM terms GROUP BY term
+    ORDER BY exact_cnt DESC, term ASC LIMIT 10
+    """.replace("{words}", r"string_split_regex(trim(text), '\s+')"),
+    doc=(
+        "Exact top-10 term counts plus a boolean asserting the "
+        "count-min-sketch estimate is within its guaranteed band "
+        "(exact <= est <= exact + 2*eps*N)."
+    ),
 )
 def vocab_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The third mergeable sketch next to HLL (events_user_hll) and GK
@@ -353,9 +366,15 @@ def vocab_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The query builds the sketch distributed (count_min_sketch partial
     agg), then probes it driver-side (the deserialized sketch is a few
-    hundred KB) for the exact top-10 terms, returning exact vs estimate
-    side by side. CMS guarantees est >= exact and, w.p. >= confidence,
-    est <= exact + eps*N — pinned in tests/test_sketches.py."""
+    hundred KB) for the exact top-10 terms. Driver-checkable invariant
+    shape (round 5): the estimate itself is hash-seeded and
+    engine-specific, so the output carries the exact count (DuckDB
+    reproduces it) plus ``cms_ok`` asserting the estimate obeys the CMS
+    contract — est >= exact always, and est <= exact + 2*eps*N (double
+    the one-sided eps*N bound, giving P(violation) ~ (2e)^-depth ~ 2e-4
+    per term at depth 5; the hash family is seeded, so at fixed data
+    the value is deterministic). Tighter per-term bounds pinned in
+    tests/test_sketches.py."""
     docs = load(spark, sf_dir, "documents")
     terms = docs.select(F.explode(tx.words("text")).alias("t")).select(
         F.lower("t").alias("term")
@@ -367,18 +386,21 @@ def vocab_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .collect()
     )
-    sk_bytes = terms.agg(
+    agg = terms.agg(
         F.expr(
             f"count_min_sketch(term, {CMS_EPS}d, {CMS_CONFIDENCE}d, 42)"
-        ).alias("sk")
-    ).first()["sk"]
+        ).alias("sk"),
+        F.count("*").alias("n"),
+    ).first()
     jsk = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        bytes(sk_bytes)
+        bytes(agg["sk"])
     )
-    rows = [
-        (r["term"], int(r["exact_cnt"]), int(jsk.estimateCount(r["term"])))
-        for r in exact
-    ]
+    slack = 2 * math.ceil(CMS_EPS * agg["n"])
+    rows = []
+    for r in exact:
+        est = int(jsk.estimateCount(r["term"]))
+        ok = r["exact_cnt"] <= est <= r["exact_cnt"] + slack
+        rows.append((r["term"], int(r["exact_cnt"]), bool(ok)))
     return spark.createDataFrame(
-        rows, "term string, exact_cnt bigint, cms_est bigint"
+        rows, "term string, exact_cnt bigint, cms_ok boolean"
     )

@@ -1,12 +1,14 @@
-"""ML smoke query: exercises the full pyspark.ml training path
-(StringIndexer alphabetAsc parity → VectorAssembler → RandomForest →
-R² evaluation, SURVEY.md §2.7 M1-M4) from the driver's registry.
+"""ML smoke queries: exercise the full pyspark.ml training path
+(StringIndexer alphabetAsc parity → VectorAssembler → RandomForest /
+LogisticRegression → metric evaluation, SURVEY.md §2.7 M1-M4) from the
+driver's registry.
 
-No SQL oracle — tree ensembles are not SQL-expressible; the driver
-records a rows-only check (1 row) and the statistical pins live in
-tests/test_ml.py. The training set is a deterministic slice of the
-``part`` table (predict p_retailprice from brand/container/size), so
-the run is reproducible at any sf.
+Tree ensembles are not SQL-expressible, so the driver-hashed rows are
+invariant-shaped (round 5): exact input/label-set counts that DuckDB
+reproduces, plus booleans asserting the seeded metrics land in fixed
+bands. Statistical and determinism pins live in tests/test_ml.py. The
+training sets are deterministic slices of the parquet tables, so every
+run is reproducible at any sf.
 """
 
 from __future__ import annotations
@@ -18,10 +20,30 @@ from etl_mudah_spark.plans.registry import register
 from etl_mudah_spark.tables import load
 
 
+# R² sanity bands for the seeded RF smoke. The synthetic part table has
+# NO learnable price signal (measured corr(features, label) ~ 0.003 at
+# sf0.01), so the honest bands are "train fit is nonnegative-ish and
+# bounded" / "test fit is not absurdly negative" — they catch NaN
+# metrics, evaluator breakage, and train/test leakage-style r2>1, not
+# model quality (doc_quality_model carries the "pipeline learns real
+# signal" gate, AUC 1.0 on its derivable label). Exact determinism of
+# the seeded training is pinned in tests/test_ml.py.
+R2_TRAIN_BAND = (-0.1, 1.0)
+R2_TEST_BAND = (-1.0, 1.0)
+
+
 @register(
     "price_model_r2",
-    oracle=None,
-    doc="RF regression smoke: train on part, emit (r2_train, r2_test, n_rows).",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS r2_train_ok,
+           TRUE AS r2_test_ok
+    FROM part
+    """,
+    doc=(
+        "RF regression smoke: train on part (seeded), emit n_rows + "
+        "R²-within-band invariant booleans."
+    ),
 )
 def price_model_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part").select(
@@ -36,16 +58,46 @@ def price_model_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=42,
     )
     n = part.count()
+    train_ok = R2_TRAIN_BAND[0] <= pm.r2_train <= R2_TRAIN_BAND[1]
+    test_ok = R2_TEST_BAND[0] <= pm.r2_test <= R2_TEST_BAND[1]
     return spark.createDataFrame(
-        [(round(pm.r2_train, 4), round(pm.r2_test, 4), n)],
-        "r2_train double, r2_test double, n_rows bigint",
+        [(n, bool(train_ok), bool(test_ok))],
+        "n_rows bigint, r2_train_ok boolean, r2_test_ok boolean",
     )
 
 
+# AUC floor for the quality classifier: the label is derived from the
+# same document the features come from, so a working pipeline separates
+# the extremes near-perfectly (measured AUC 1.0 at sf0.01 and sf0.001).
+QUALITY_AUC_FLOOR = 0.8
+
 @register(
     "doc_quality_model",
-    oracle=None,
-    doc="LogisticRegression smoke: classify high-repetition docs from quality features.",
+    oracle=r"""
+    WITH q AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+               len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_types
+        FROM documents
+    ), f AS (
+        SELECT doc_id, 1 - n_types * 1.0 / n_tokens AS dup_word FROM q
+    ), b AS (
+        SELECT quantile_cont(dup_word, 0.25) AS p25,
+               quantile_cont(dup_word, 0.75) AS p75
+        FROM f
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN dup_word >= p75 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_positive,
+           TRUE AS auc_ok
+    FROM f, b
+    WHERE dup_word >= p75 OR dup_word <= p25
+    """,
+    doc=(
+        "LogisticRegression smoke: classify high-repetition docs from "
+        "quality features; emits label-set counts (exact twin) + an "
+        "AUC-floor invariant boolean."
+    ),
 )
 def doc_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classification twin of price_model_r2: predict whether a doc's
@@ -61,8 +113,9 @@ def doc_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     p25 = negative, middle half dropped) — a median split would ask
     the model to separate docs that differ by noise. Deterministic:
     thresholds are exact percentiles, the split is randomSplit(seed=42),
-    and LR is convex (no init sensitivity). Rows-only driver check
-    (1 row); AUC sanity floor pinned in tests/test_ml.py."""
+    and LR is convex (no init sensitivity). The driver hashes the exact
+    labeled-set counts vs a DuckDB percentile twin plus the AUC-floor
+    boolean; the floor is also pinned in tests/test_ml.py."""
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.evaluation import BinaryClassificationEvaluator
     from pyspark.ml.feature import VectorAssembler
@@ -98,7 +151,10 @@ def doc_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pos = labeled.agg(F.sum("label")).first()[0]
     n = labeled.count()
+    # Driver-hashable invariant row: the labeled-set counts are exact
+    # (DuckDB recomputes them from the same percentile thresholds); the
+    # AUC itself is engine-specific, so it rides as a floor boolean.
     return spark.createDataFrame(
-        [(round(float(auc), 4), int(pos), n)],
-        "auc_test double, n_positive bigint, n_rows bigint",
+        [(n, int(pos), bool(float(auc) >= QUALITY_AUC_FLOOR))],
+        "n_rows bigint, n_positive bigint, auc_ok boolean",
     )

@@ -1,14 +1,16 @@
 """End-to-end pin for the registered doc_dup_clusters query: the Spark
-pipeline (MinHash pairs -> connected components -> survivor mapping)
-must agree with a driver-side union-find over the SAME pair list at
-smoke scale. Pair detection itself is pinned separately against an
-exact-Python MinHash oracle in tests/test_dedup.py."""
+pipeline (exact Jaccard pairs -> connected components -> survivor
+mapping) must agree with a driver-side union-find over the SAME pair
+list at smoke scale. Pair detection itself is pinned separately against
+an exact-Python oracle in tests/test_dedup.py; the driver additionally
+hash-checks the whole mapping against a DuckDB recursive-CTE closure."""
 
 from __future__ import annotations
 
 import pytest
 
-from etl_mudah_spark.operators.dedup import minhash_near_duplicates
+from etl_mudah_spark.operators.dedup import ngram_jaccard_pairs
+from etl_mudah_spark.plans.datapipe import _NGRAM_MAX_SHINGLE_DF
 from etl_mudah_spark.plans.registry import REGISTRY
 from etl_mudah_spark.tables import load
 from tests.conftest import SF_SMOKE
@@ -35,8 +37,10 @@ def _union_find_clusters(pairs: list[tuple[int, int]]) -> dict[int, int]:
 def expected(spark):
     pairs = [
         (r["doc_a"], r["doc_b"])
-        for r in minhash_near_duplicates(
-            load(spark, SF_SMOKE, "documents"), num_hashes=32, bands=8, threshold=0.2
+        for r in ngram_jaccard_pairs(
+            load(spark, SF_SMOKE, "documents"),
+            threshold=0.2,
+            max_shingle_df=_NGRAM_MAX_SHINGLE_DF,
         ).collect()
     ]
     assert pairs, "smoke corpus must contain planted near-dups"

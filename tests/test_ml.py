@@ -128,4 +128,4 @@ def test_doc_quality_model_auc_floor(spark):
     row = REGISTRY["doc_quality_model"].spark_fn(spark, SF_SMOKE).first()
     assert row["n_rows"] > 0
     assert 0 < row["n_positive"] < row["n_rows"]
-    assert row["auc_test"] >= 0.6, f"AUC {row['auc_test']} barely above chance"
+    assert row["auc_ok"], "AUC below the QUALITY_AUC_FLOOR band"
