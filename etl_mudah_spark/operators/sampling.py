@@ -57,6 +57,54 @@ def keymod_sample(
     return df.where(keymod_flag(key_col, weight, buckets))
 
 
+def bucketed_global_rank(
+    df: DataFrame,
+    bucket: Column,
+    order_cols: list[str],
+    rn_col: str = "rn",
+) -> DataFrame:
+    """Global 1-based ``row_number() OVER (ORDER BY order_cols)`` —
+    WITHOUT a single-task window and WITHOUT a driver collect.
+
+    ``bucket`` must be a NON-NULL, order-preserving coarsening of the
+    leading order column (rows in a lower bucket always order before
+    rows in a higher one — e.g. ``floor(value)`` for a numeric sort
+    key, or an md5 hex prefix for a hash order). A NULL bucket would
+    silently drop its rows at the equi-join below — callers must
+    coalesce nulls into a real bucket first.
+
+    Plan shape (two exchanges over the big table, both parallel):
+
+    1. per-bucket counts — one hash-partitioned aggregation, output is
+       #buckets rows;
+    2. running-sum window over those counts, ordered by bucket. This IS
+       a single-partition window, but over the aggregated relation
+       (bounded by the bucket-domain size, e.g. <= 16^2 md5 prefixes or
+       ~11k floor(acctbal) degrees), never over the data;
+    3. per-bucket row_number (hash-partitioned window) + broadcast-join
+       of the offsets back onto the rows.
+
+    Everything is one lazy plan — no ``collect()``, so there is no
+    two-job window for a non-deterministic source to corrupt positions
+    (the plan executes the scan once per action like any other query).
+    """
+    keyed = df.withColumn("_bk", bucket)
+    counts = keyed.groupBy("_bk").agg(F.count("*").alias("_cnt"))
+    wcum = (
+        Window.orderBy("_bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        "_bk", F.coalesce(F.sum("_cnt").over(wcum), F.lit(0)).alias("_off")
+    )
+    w = Window.partitionBy("_bk").orderBy(*order_cols)
+    return (
+        keyed.join(F.broadcast(offs), "_bk")
+        .withColumn(rn_col, F.row_number().over(w) + F.col("_off"))
+        .drop("_bk", "_off")
+    )
+
+
 def md5_global_order(
     df: DataFrame,
     key_col: str,
@@ -68,41 +116,26 @@ def md5_global_order(
     window.
 
     A naive ``row_number() OVER (ORDER BY ...)`` serializes the whole
-    table through one task. Instead: the md5 hex prefix partitions the
-    order (lexicographic prefix property), so
+    table through one task. Instead the md5 hex prefix partitions the
+    order (lexicographic prefix property) and
+    :func:`bucketed_global_rank` does the two-level rank: per-prefix
+    counts, a cumsum window over the 16^bucket_chars count rows, and a
+    parallel per-prefix ranking window. 100 TB spreads over
+    16^bucket_chars ~independent sorts. This is the standard "shuffle
+    the corpus reproducibly before sharding" step of a training-data
+    pipeline: the order is a pure function of the stable key — no RNG
+    state, stable under re-runs, and single-pass lazy (no collect), so
+    it is safe even over a source that is not re-read-deterministic.
 
-    1. count rows per prefix bucket (one shuffle down to 16^bucket_chars
-       rows),
-    2. prefix-sum those counts driver-side (tiny, deterministic) into
-       per-bucket offsets,
-    3. window per bucket (parallel across 256 buckets) + broadcast the
-       offsets back.
-
-    The expensive exchange is bucket-partitioned, i.e. 100 TB spreads
-    over 16^bucket_chars ~independent sorts. This is the standard
-    "shuffle the corpus reproducibly before sharding" step of a
-    training-data pipeline: the order is a pure function of the stable
-    key — no RNG state, stable under re-runs.
+    NULL keys are ordered first (md5('') bucket, NULL tiebreak) rather
+    than dropped — the key column should still be unique-non-null for
+    the order to be meaningful.
     """
-    ord_key = F.md5(F.col(key_col).cast("string"))
-    keyed = df.withColumn("_ok", ord_key).withColumn(
-        "_bk", F.substring("_ok", 1, bucket_chars)
-    )
-    counts = keyed.groupBy("_bk").count().collect()
-    offsets, acc = {}, 0
-    for row in sorted(counts, key=lambda r: r["_bk"]):
-        offsets[row["_bk"]] = acc
-        acc += row["count"]
-    spark = df.sparkSession
-    off_df = spark.createDataFrame(
-        [(b, o) for b, o in offsets.items()], "_bk string, _off bigint"
-    )
-    w = Window.partitionBy("_bk").orderBy("_ok", key_col)
-    return (
-        keyed.join(F.broadcast(off_df), "_bk")
-        .withColumn(rn_col, F.row_number().over(w) + F.col("_off"))
-        .drop("_ok", "_bk", "_off")
-    )
+    ord_key = F.md5(F.coalesce(F.col(key_col).cast("string"), F.lit("")))
+    keyed = df.withColumn("_ok", ord_key)
+    return bucketed_global_rank(
+        keyed, F.substring("_ok", 1, bucket_chars), ["_ok", key_col], rn_col
+    ).drop("_ok")
 
 
 def stratified_topn(

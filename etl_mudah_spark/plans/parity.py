@@ -31,6 +31,7 @@ from etl_mudah_spark.functions.core import (
     oracle_dsum,
     share_pct,
 )
+from etl_mudah_spark.operators import sampling as smp
 from etl_mudah_spark.plans.registry import register
 from etl_mudah_spark.tables import load
 
@@ -814,13 +815,25 @@ def customer_order_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hot-block exclusion bound for the fuzzy self-join: per-block pair
+# work is quadratic in block size, so blocks larger than this are
+# boilerplate, not entity variation, and are dropped on BOTH engines.
+FUZZY_MAX_BLOCK = 10_000
+
+
 @register(
     "part_name_fuzzy_pairs",
-    oracle="""
-    WITH p AS (
+    oracle=f"""
+    WITH p0 AS (
         SELECT p_partkey, p_name,
                string_split(p_name, ' ')[2] AS noun
         FROM part
+    ), p AS (
+        SELECT * FROM p0
+        WHERE noun IN (
+            SELECT noun FROM p0 GROUP BY noun
+            HAVING COUNT(*) <= {FUZZY_MAX_BLOCK}
+        )
     )
     SELECT a.noun,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
@@ -833,7 +846,11 @@ def customer_order_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE levenshtein(a.p_name, b.p_name) <= 2
     GROUP BY a.noun ORDER BY a.noun
     """,
-    doc="Blocked fuzzy self-join: near-identical part names (levenshtein<=2) per noun block.",
+    doc=(
+        "Blocked fuzzy self-join: near-identical part names "
+        "(levenshtein<=2) per noun block, hot blocks (>10k members) "
+        "excluded on both engines."
+    ),
 )
 def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution by blocked edit distance — the fuzzy-matching
@@ -844,13 +861,34 @@ def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrunnable; the blocked form is one equi-join shuffle on the block
     key plus per-block pair work — the same candidates-meet-in-buckets
     discipline as the MinHash/SimHash sketches, with the string metric
-    exact instead of approximate. Both engines implement the same
-    standard Levenshtein distance, so the oracle comparison is exact."""
-    p = load(spark, sf_dir, "part").select(
+    exact instead of approximate.
+
+    Round 5 de-scale-kill: per-block pair work is quadratic in block
+    size, so one hot block (a boilerplate noun shared by a million
+    parts) would own the job. Blocks above FUZZY_MAX_BLOCK members are
+    excluded from pairing entirely — the same explicit-exclusion
+    discipline as the shingle df cap in plans/datapipe.py (a 10k block
+    at levenshtein<=2 is boilerplate, not entity variation). The
+    oracle applies the SAME cap, so both engines compute identical
+    capped semantics; the bound is pinned by a skewed-fixture test in
+    tests/test_plans.py. Both engines implement the same standard
+    Levenshtein distance, so the oracle comparison is exact."""
+    return _fuzzy_name_pairs(load(spark, sf_dir, "part"))
+
+
+def _fuzzy_name_pairs(part: DataFrame, max_block: int = FUZZY_MAX_BLOCK) -> DataFrame:
+    p0 = part.select(
         "p_partkey",
         "p_name",
         F.split("p_name", " ").getItem(1).alias("noun"),
     )
+    small = (
+        p0.groupBy("noun")
+        .agg(F.count("*").alias("_sz"))
+        .where(F.col("_sz") <= max_block)
+        .select("noun")
+    )
+    p = p0.join(small, "noun")
     a = p.alias("a")
     b = p.alias("b")
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
@@ -888,22 +926,38 @@ def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="NTILE(10) balance deciles with per-decile bounds.",
 )
 def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equal-population bucketing via NTILE — the rank-based sibling of
-    the fixed-width bins (A8): every decile holds n/10 +-1 customers
-    regardless of the value distribution. The window is a GLOBAL order
-    (single-task at scale); deciles per nation/segment — partitioning
-    the window — is the production form, and for a global rank at
-    corpus scale the md5-prefix two-phase trick
-    (operators/sampling.py:md5_global_order) replaces the single sort.
-    Deterministic tie-break on c_custkey keeps both engines' tile
-    boundaries identical. min/max per decile are input data, not
-    accumulated floats — the comparison is exact."""
-    from pyspark.sql import Window as W
+    """Equal-population bucketing via NTILE semantics — the rank-based
+    sibling of the fixed-width bins (A8): every decile holds n/10 +-1
+    customers regardless of the value distribution.
 
+    Round 5 de-scale-kill: NTILE over a global ORDER BY serializes the
+    table through ONE task, so the global rank comes from
+    operators/sampling.py:bucketed_global_rank instead —
+    floor(c_acctbal) is an order-preserving bucket (~11k degrees for
+    the TPC-H balance domain), per-bucket counts cumsum into offsets,
+    and the only full-data window is hash-partitioned by bucket. The
+    NTILE tile assignment is then pure arithmetic on (rank, n): with
+    n = 10q + r, the first r tiles hold q+1 rows. Deterministic
+    tie-break on c_custkey keeps both engines' tile boundaries
+    identical; min/max per decile are input data, not accumulated
+    floats — the comparison is exact."""
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    w = W.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    ranked = smp.bucketed_global_rank(
+        cust, F.floor("c_acctbal"), ["c_acctbal", "c_custkey"], rn_col="rn"
+    )
+    total = cust.agg(F.count("*").alias("n"))
     return (
-        cust.withColumn("decile", F.ntile(10).over(w))
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn("q", F.expr("n DIV 10"))
+        .withColumn("r", F.expr("n % 10"))
+        .withColumn(
+            "decile",
+            F.expr(
+                "CAST(CASE WHEN rn <= r * (q + 1)"
+                "     THEN (rn - 1) DIV (q + 1) + 1"
+                "     ELSE r + (rn - r * (q + 1) - 1) DIV q + 1 END AS INT)"
+            ),
+        )
         .groupBy("decile")
         .agg(
             F.count("*").alias("n_customers"),

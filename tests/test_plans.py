@@ -135,3 +135,29 @@ def test_doc_train_split_is_map_plus_one_agg_shuffle(spark):
     plan = _plan(spark, "doc_train_split")
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, plan
+
+
+def test_balance_deciles_window_is_partitioned(spark):
+    """Round-5 de-scale-kill: the decile assignment must come from the
+    two-phase bucketed rank, never a global NTILE — the only window
+    over customer rows is hash-partitioned by the balance bucket. (The
+    cumsum window over the ~11k bucket-count rows is the one permitted
+    SinglePartition exchange — it runs on aggregated data, not the
+    table.)"""
+    plan = _plan(spark, "customer_balance_deciles")
+    assert "ntile" not in plan.lower()
+    assert "hashpartitioning(_bk" in plan
+
+
+def test_fuzzy_pairs_hot_block_is_excluded(spark):
+    """A block larger than max_block must be dropped entirely (bounded
+    per-block pair work), while small blocks still pair — pinned on a
+    skewed fixture where one noun owns most rows."""
+    from etl_mudah_spark.plans.parity import _fuzzy_name_pairs
+
+    rows = [(i, "prefix hot suffix%d" % (i % 7)) for i in range(40)]
+    rows += [(100, "alpha cold beta"), (101, "alpha cold betaX")]
+    part = spark.createDataFrame(rows, "p_partkey int, p_name string")
+    got = {r["noun"]: r for r in _fuzzy_name_pairs(part, max_block=10).collect()}
+    assert "hot" not in got, "hot block must be excluded, not paired"
+    assert got["cold"]["n_pairs"] == 1 and got["cold"]["n_dist1"] == 1
