@@ -105,13 +105,19 @@ def compact_files(
     by renames — the original moves aside intact before the staging dir
     takes its place, so a crash anywhere leaves a complete copy under
     a well-known name and the dataset-missing window is one rename, not
-    a full delete. (On a real object store the swap is a metastore/
-    manifest pointer flip.)
+    a full delete. Callers MUST quiesce readers for the swap: a reader
+    opening the path between the two renames sees it missing. A crash
+    in that window is self-healing — :func:`recover_compaction` runs
+    first on every call (and can be invoked standalone at startup) and
+    renames the intact ``._precompact`` copy back if the dataset is
+    absent. (On a real object store the swap is a metastore/manifest
+    pointer flip and none of this applies.)
     """
     import math
     import os
     import shutil
 
+    recover_compaction(path)
     size = sum(
         os.path.getsize(os.path.join(dp, f))
         for dp, _, fs in os.walk(path)
@@ -137,3 +143,29 @@ def compact_files(
             if f.endswith(".parquet") and not f.startswith(("_", "."))
         ]
     )
+
+
+def recover_compaction(path: str) -> bool:
+    """Heal an interrupted :func:`compact_files` swap; True if healed.
+
+    Crash matrix: (a) dataset present — any leftover ``._compacting`` /
+    ``._precompact`` dirs are incomplete or already-superseded garbage,
+    delete them; (b) dataset MISSING with ``._precompact`` present —
+    the crash hit between the two swap renames; the retired copy is the
+    complete original, rename it back. Run at startup (or rely on the
+    call at the top of every compact_files) so a crashed compaction
+    never needs manual surgery.
+    """
+    import os
+    import shutil
+
+    staging = path.rstrip("/") + "._compacting"
+    retired = path.rstrip("/") + "._precompact"
+    healed = False
+    if not os.path.exists(path) and os.path.exists(retired):
+        os.rename(retired, path)
+        healed = True
+    if os.path.exists(path):
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(retired, ignore_errors=True)
+    return healed

@@ -325,6 +325,7 @@ def cosine_near_duplicates(
     n_tables: int | None = None,
     target_recall: float = 0.95,
     max_tables: int = 32,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via OR-amplified SRP-LSH
     blocking + exact cosine verification.
@@ -363,8 +364,12 @@ def cosine_near_duplicates(
         n_tables = auto_t if n_tables is None else n_tables
     elif n_tables is None:
         n_tables = 1
-    sample = df.select(vec_col).first()
-    dim = len(sample[0])
+    if dim is None:
+        # Fallback probe: array columns don't carry their length in the
+        # schema. Callers that know the embedding width should pass
+        # ``dim`` — it keeps the whole plan lazy (this .first() is the
+        # only driver action the operator would otherwise run).
+        dim = len(df.select(vec_col).first()[0])
     buckets = srp_buckets_udf(dim, n_planes, n_tables)
     base = df.select(
         F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v")
@@ -439,7 +444,13 @@ def pq_train_codebooks(
     the codebook are reproducible, no RNG. The default (None) sizes the
     modulus from the corpus count to cap the driver collect at ~8k
     vectors — codebook quality saturates far below that, and an
-    unbounded collect is a driver OOM at scale. Lloyd iterations run in
+    unbounded collect is a driver OOM at scale.
+
+    The keymod rule assumes ``id_col`` is a roughly DENSE integer
+    sequence (the testdata contract): for sparse or clustered id
+    spaces ``id % mod == 0`` can select far fewer rows than intended,
+    so the sample size is validated below — pass ``sample_mod``
+    explicitly (e.g. 1) for non-dense ids. Lloyd iterations run in
     numpy on the driver; init is evenly-spaced sample points in id
     order (deterministic, k-means++-free). Returns ``(m, k, dim/m)``.
     """
@@ -451,6 +462,14 @@ def pq_train_codebooks(
         .orderBy(id_col)
         .collect()
     )
+    if len(rows) < k:
+        raise ValueError(
+            f"PQ training sample has {len(rows)} vectors < k={k} centroids "
+            f"(sample_mod={sample_mod}). The default keymod sampling "
+            f"assumes {id_col!r} is a dense integer sequence — for sparse "
+            "or offset id spaces pass sample_mod explicitly (sample_mod=1 "
+            "trains on every row)."
+        )
     x = np.array([r["v"] for r in rows], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     n, dim = x.shape

@@ -27,6 +27,11 @@ from etl_mudah_spark.plans.registry import register
 from etl_mudah_spark.tables import load
 
 _WORDS_SQL = r"string_split_regex(trim(text), '\s+')"
+# Embedding width of the testdata contract (embeddings.embedding is a
+# fixed 64-float array at every sf). Passing it to the similarity entry
+# points skips their schema-probe .first() — array columns don't carry
+# length in the schema — keeping those plans action-free until execute.
+EMB_DIM = 64
 # The pii module's patterns, verbatim — the oracle must run the SAME
 # regexes (they are restricted to the Java-regex/RE2 common subset).
 _PII_EMAIL = pii.EMAIL_RE
@@ -609,6 +614,7 @@ def emb_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.45,
         target_recall=0.95,
         max_tables=96,
+        dim=EMB_DIM,  # known testdata width — keeps the plan fully lazy
     ).select("id_a", "id_b")
     return _recall_row(
         exact, found, LSH_COSINE_RECALL_FLOOR, keys=("id_a", "id_b")

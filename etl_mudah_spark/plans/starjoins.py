@@ -617,6 +617,12 @@ def waiting_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# "Idle" threshold for the Q22-shape query: fewer orders than this.
+# The synthetic data gives every customer >= 1 order (median ~10), so a
+# literal "no orders" predicate matches nothing anywhere.
+IDLE_MAX_ORDERS = 5
+
+
 @register(
     "idle_rich_customers_by_nation",
     oracle=f"""
@@ -629,31 +635,50 @@ def waiting_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
            {oracle_dsum('c_acctbal')} AS totacctbal
     FROM customer, thresh
     WHERE c_acctbal > thresh.avg_bal
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND c_custkey NOT IN (
+          SELECT o_custkey FROM orders GROUP BY o_custkey
+          HAVING COUNT(*) >= {IDLE_MAX_ORDERS}
+      )
     GROUP BY c_nationkey ORDER BY c_nationkey
     """,
-    doc="TPC-H Q22 shape: above-average-balance customers with no orders, per nation.",
+    doc=(
+        "TPC-H Q22 shape: above-average-balance customers with fewer "
+        "than 5 orders, per nation."
+    ),
 )
 def idle_rich_customers_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Q22 shape (nationkey standing in for the phone country
     code): customers whose balance beats the positive-balance average
-    but who never ordered, counted per nation. The scalar subquery
-    folds in as a 1-row broadcast crossJoin (no eager .first() job —
-    the repo-wide pattern for scalar lookups), the NOT EXISTS is a
-    left_anti join against only the o_custkey column (column-pruned
-    build side), and the threshold uses the order-independent decimal
-    mean so the filter boundary is bit-identical to the oracle's."""
+    but who barely order, counted per nation.
+
+    Round 5: the original "never ordered" predicate was VACUOUS on the
+    synthetic data (every customer has >= 1 order — both engines
+    returned 0 rows, so the driver's hash check exercised nothing).
+    "Idle" is now "fewer than IDLE_MAX_ORDERS orders", which qualifies
+    a real set (27 customers at sf0.01) while keeping the Q22 anti-join
+    shape: the busy-customer set comes from one partial-aggregated
+    count on the column-pruned o_custkey, and the NOT IN is a left_anti
+    join against it. The scalar subquery folds in as a 1-row broadcast
+    crossJoin (no eager .first() job — the repo-wide pattern for scalar
+    lookups), and the threshold uses the order-independent decimal mean
+    so the filter boundary is bit-identical to the oracle's."""
     cust = load(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_acctbal"
     )
     thresh = cust.where(F.col("c_acctbal") > 0).agg(
         davg("c_acctbal").alias("avg_bal")
     )
-    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    busy = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .where(F.col("n_orders") >= IDLE_MAX_ORDERS)
+        .select("o_custkey")
+    )
     return (
         cust.crossJoin(F.broadcast(thresh))
         .where(F.col("c_acctbal") > F.col("avg_bal"))
-        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(busy, cust.c_custkey == busy.o_custkey, "left_anti")
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("numcust"),

@@ -37,6 +37,14 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Pin UTC on EVERY load, not only when events is first touched:
+    # the grading driver uses a vanilla session, and without this a
+    # session's timestamp semantics would depend on whether an
+    # events-loading query happened to run first (load-order-dependent
+    # behavior). Only events carries timestamps today, but the pin is a
+    # session-wide invariant of the engine, so it is asserted at the
+    # one chokepoint every query passes through.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts encoding varies across testdata generations: INT64
         # TIMESTAMP(NANOS) (which Spark 4 rejects outright unless read as
@@ -44,12 +52,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Spark reads as TIMESTAMP_NTZ, breaking epoch casts downstream).
         # Normalize both to the session-timezone TIMESTAMP type; the
         # session runs UTC, so NTZ→LTZ changes no values and DuckDB-
-        # oracle parity holds.
-        # Pin UTC at query time, not only in session.get_spark: the
-        # grading driver uses a vanilla session, and epoch arithmetic
-        # (window buckets, session gaps) on the normalized ts must not
-        # depend on the host timezone.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # oracle parity holds. Epoch arithmetic (window buckets, session
+        # gaps) on the normalized ts must not depend on the host
+        # timezone.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         ts_type = dict(df.dtypes).get("ts")

@@ -107,3 +107,30 @@ def test_compact_files_reduces_file_count_and_preserves_rows(spark, sf_dir, tmp_
             col = pq.read_table(os.path.join(path, f), columns=["o_orderdate"])
             vals = col.column(0).to_pylist()
             assert vals == sorted(vals)
+
+
+def test_recover_compaction_heals_interrupted_swap(spark, sf_dir, tmp_path):
+    """Crash between the two swap renames leaves the dataset missing and
+    the intact copy under ._precompact; recovery must rename it back.
+    With the dataset present, stale scratch dirs are just deleted."""
+    import os
+
+    from etl_mudah_spark.operators.layout import recover_compaction
+
+    path = str(tmp_path / "ds")
+    nation = load(spark, sf_dir, "nation")
+    n_rows = nation.count()
+    nation.write.parquet(path)
+    # simulate the mid-swap crash: dataset renamed aside, staging gone
+    retired = path + "._precompact"
+    os.rename(path, retired)
+    assert recover_compaction(path) is True
+    assert os.path.exists(path) and not os.path.exists(retired)
+    assert spark.read.parquet(path).count() == n_rows
+    # healthy dataset + leftover scratch dirs -> scratch removed, no heal
+    os.makedirs(path + "._compacting")
+    os.makedirs(retired)
+    assert recover_compaction(path) is False
+    assert not os.path.exists(path + "._compacting")
+    assert not os.path.exists(retired)
+    assert spark.read.parquet(path).count() == n_rows
