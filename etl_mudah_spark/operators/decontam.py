@@ -23,10 +23,10 @@ Scale design (100 TB corpus, MB-scale eval set):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from etl_mudah_spark.operators.dedup import word_shingles
+from etl_mudah_spark.operators.dedup import word_ngrams, word_shingles
 
 
 def ngram_set(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
@@ -62,4 +62,71 @@ def ngram_decontaminate(
         exploded.join(grams, "gram", "left_semi")
         .groupBy(id_col)
         .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+
+
+def ngram_positions(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Every word n-gram of every doc WITH its 1-based token position:
+    ``(id_col, pos, gram)``. Map-only (posexplode of the in-order gram
+    array) — position is what span reporting needs and what the
+    set-based :func:`ngram_set` deliberately discards."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(word_ngrams(F.col(text_col), n)).alias("pos0", "gram"),
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "gram")
+
+
+def ngram_decontaminate_spans(
+    corpus: DataFrame,
+    eval_grams: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    broadcast_grams: bool = True,
+) -> DataFrame:
+    """Span-level decontamination report: contiguous contaminated token
+    ranges per corpus doc, one row per span —
+    ``(id_col, span_id, span_start, span_end, n_matched_grams)``.
+
+    Doc-level overlap counts (:func:`ngram_decontaminate`) tell you
+    WHETHER a doc is contaminated; the published surgical remedy
+    removes just the overlapping spans (plus margin) instead of the
+    whole document, and that needs token ranges. A matched n-gram at
+    position p covers tokens [p, p+n-1]; matches whose windows overlap
+    or touch (gap <= n positions) merge into one span — the classic
+    gaps-and-islands: break-flag via lag(pos), span_id via running sum.
+
+    Scale: eval grams broadcast exactly as in the doc-level op; the
+    gaps-and-islands window partitions by doc over the MATCHING
+    positions only (contamination hits, a vanishing fraction of the
+    corpus) — no unpartitioned window anywhere.
+    """
+    grams = eval_grams.select("gram")
+    if broadcast_grams:
+        grams = F.broadcast(grams)
+    hits = ngram_positions(corpus, id_col, text_col, n).join(
+        grams, "gram", "left_semi"
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev = F.lag("pos").over(w)
+    brk = F.when(prev.isNull() | (F.col("pos") - prev > n), 1).otherwise(0)
+    spans = hits.withColumn("_brk", brk).withColumn(
+        "span_id",
+        F.sum("_brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("int"),
+    )
+    return (
+        spans.groupBy(id_col, "span_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).alias("span_end"),
+            F.count("*").cast("bigint").alias("n_matched_grams"),
+        )
+        .select(id_col, "span_id", "span_start", "span_end", "n_matched_grams")
     )

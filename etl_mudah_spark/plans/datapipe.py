@@ -757,6 +757,71 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dc.ngram_decontaminate(corpus, grams, n=3)
 
 
+# Span-level decontamination runs at the production 13-gram granularity.
+# The eval slice is doc_id % 7 (not % 97): 13-token exact overlap only
+# occurs between planted near-duplicates, and % 7 is the smallest-count
+# slice whose overlap is non-empty at BOTH sf0.001 and sf0.01 (7 and 8
+# contaminated docs) — a sparser slice would make the driver row
+# vacuously green.
+DECONTAM_SPAN_N = 13
+DECONTAM_SPAN_EVAL_MOD = 7
+
+
+@register(
+    "doc_decontaminate_spans",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+    ), g AS (
+        SELECT doc_id, i AS pos,
+               list_aggregate(w[i:i+{DECONTAM_SPAN_N - 1}], 'string_agg', ' ') AS gram
+        FROM t, UNNEST(range(1, len(w) - {DECONTAM_SPAN_N - 2})) AS u(i)
+        WHERE len(w) >= {DECONTAM_SPAN_N}
+    ), ev AS (
+        SELECT DISTINCT gram FROM g WHERE doc_id % {DECONTAM_SPAN_EVAL_MOD} = 0
+    ), hits AS (
+        SELECT doc_id, pos FROM g
+        WHERE doc_id % {DECONTAM_SPAN_EVAL_MOD} <> 0
+          AND gram IN (SELECT gram FROM ev)
+    ), flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN LAG(pos) OVER w IS NULL
+                         OR pos - LAG(pos) OVER w > {DECONTAM_SPAN_N}
+                    THEN 1 ELSE 0 END AS brk
+        FROM hits
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), spans AS (
+        SELECT doc_id, pos,
+               CAST(SUM(brk) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS UNBOUNDED PRECEDING) AS INT) AS span_id
+        FROM flagged
+    )
+    SELECT doc_id, span_id,
+           MIN(pos) AS span_start,
+           MAX(pos) + {DECONTAM_SPAN_N - 1} AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_matched_grams
+    FROM spans GROUP BY doc_id, span_id
+    """,
+    doc=(
+        "Span-level eval decontamination: contiguous contaminated token "
+        "ranges per corpus doc at 13-gram granularity."
+    ),
+)
+def doc_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The surgical decontamination shape: instead of dropping every
+    doc that overlaps the eval set (doc_decontaminate), report the
+    contiguous contaminated token RANGES so a filter can excise just
+    the spans. Runs at the published 13-gram granularity; span merging
+    and scale notes in operators/decontam.py:ngram_decontaminate_spans
+    (broadcast eval grams, matches-only windows)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_docs = docs.where(F.col("doc_id") % DECONTAM_SPAN_EVAL_MOD == 0)
+    corpus = docs.where(F.col("doc_id") % DECONTAM_SPAN_EVAL_MOD != 0)
+    grams = dc.ngram_set(eval_docs, "text", DECONTAM_SPAN_N)
+    return dc.ngram_decontaminate_spans(corpus, grams, n=DECONTAM_SPAN_N)
+
+
 @register(
     "doc_domain_mix",
     oracle="""

@@ -67,3 +67,35 @@ def test_shuffle_fallback_same_result(spark):
     b = ngram_decontaminate(corpus, ngram_set(ev), broadcast_grams=True)
     s = ngram_decontaminate(corpus, ngram_set(ev), broadcast_grams=False)
     assert sorted(map(tuple, b.collect())) == sorted(map(tuple, s.collect()))
+
+
+def test_span_reporting_merges_overlapping_windows(spark):
+    """Span semantics on a hand-built corpus: matched 3-gram windows
+    merge when they overlap or touch (gap <= n positions) and split
+    otherwise; boundaries are [first_pos, last_pos + n - 1]."""
+    from etl_mudah_spark.operators.decontam import ngram_decontaminate_spans
+
+    # eval doc contributes grams "a b c", "b c d", ..., "x y z"
+    eval_df = spark.createDataFrame(
+        [(0, "a b c d q q q x y z")], "doc_id int, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            # "a b c" at pos 1 and "b c d" at pos 2 (overlap -> one
+            # span, tokens 1..4); "x y z" at pos 9 (gap 7 > n=3 ->
+            # second span, tokens 9..11)
+            (1, "a b c d u u u u x y z"),
+            (2, "no contamination here at all"),
+        ],
+        "doc_id int, text string",
+    )
+    grams = ngram_set(eval_df, "text", 3)
+    rows = sorted(
+        ngram_decontaminate_spans(corpus, grams, n=3).collect(),
+        key=lambda r: (r["doc_id"], r["span_id"]),
+    )
+    got = [
+        (r["doc_id"], r["span_id"], r["span_start"], r["span_end"], r["n_matched_grams"])
+        for r in rows
+    ]
+    assert got == [(1, 1, 1, 4, 2), (1, 2, 9, 11, 1)]
