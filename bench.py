@@ -28,9 +28,11 @@ from etl_mudah_spark.operators.merge import merge_upsert
 from etl_mudah_spark.plans import registry
 from etl_mudah_spark.session import get_spark
 
-# Best-of-N timing: per-query noise on local[32] is ~±10%, which made
-# round-over-round regression attribution guesswork at n=2.
-N_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+# Median-of-N timing (round 5; was best-of-3): per-query SESSION noise
+# at sub-second magnitudes measured ±30% across rounds, which made
+# regression attribution guesswork — the median of 5 is stable to ~10%
+# between sessions while still absorbing warm-up stragglers.
+N_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
 
 # Headline set: the queries whose shape dominates 100 TB workloads —
 # full-scan agg, star join, window, dedup sketching, ANN.
@@ -50,6 +52,40 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "emb_cosine_near_dup_lsh",
 ]
+
+
+def _minhash_production(spark, sf_dir: str):
+    from etl_mudah_spark.operators import dedup as dd
+    from etl_mudah_spark.tables import load
+
+    return dd.minhash_near_duplicates(
+        load(spark, sf_dir, "documents"), num_hashes=32, bands=8, threshold=0.2
+    )
+
+
+def _lsh_cosine_production(spark, sf_dir: str):
+    from etl_mudah_spark.operators import similarity as sim
+    from etl_mudah_spark.plans.datapipe import EMB_DIM
+    from etl_mudah_spark.tables import load
+
+    return sim.cosine_near_duplicates(
+        load(spark, sf_dir, "embeddings"),
+        threshold=0.45,
+        target_recall=0.95,
+        max_tables=96,
+        dim=EMB_DIM,
+    )
+
+
+# Round 5 turned the registered sketch queries into invariant harnesses
+# that ALSO run an exact verification twin — correct for the driver's
+# hash check, wrong for throughput measurement. The bench times the
+# production operators themselves (the plans a user runs at scale),
+# keeping the series comparable with rounds 1-4.
+BENCH_FNS = {
+    "doc_minhash_near_dup": _minhash_production,
+    "emb_cosine_near_dup_lsh": _lsh_cosine_production,
+}
 
 
 def bench_merge_upsert(spark, sf_dir: str) -> float:
@@ -114,21 +150,26 @@ def bench_merge_upsert(spark, sf_dir: str) -> float:
 
 
 def run_headline(spark, sf_dir: str, label: str) -> dict[str, float]:
-    """Best-of-N_REPS wall time per headline query against ``sf_dir``."""
+    """Median-of-N_REPS wall time per headline query against ``sf_dir``."""
+    import statistics
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        q = registry.REGISTRY[name]
-        best = float("inf")
+        fn = BENCH_FNS.get(name) or registry.REGISTRY[name].spark_fn
+        reps = []
         for _ in range(N_REPS):
             t0 = time.perf_counter()
-            df = q.spark_fn(spark, sf_dir)
+            df = fn(spark, sf_dir)
             # noop sink: full execution of every column, nothing
             # collected — count() would let Catalyst prune the computed
             # columns away.
             df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        print(f"  [{label}] {name}: {timings[name]}s (best of {N_REPS})", file=sys.stderr)
+            reps.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(reps), 3)
+        print(
+            f"  [{label}] {name}: {timings[name]}s (median of {N_REPS})",
+            file=sys.stderr,
+        )
     return timings
 
 
@@ -144,13 +185,14 @@ def stage_multifile(
     engine throughput. File count follows SIZE, never a fixed fan-out:
     a fixed 32-way split was measured to HURT (a 0.8 MB embeddings
     table as 32 near-empty files costs a task + Python-worker spin-up
-    per file in the UDF-bearing queries, +70% on the LSH query). That
-    is the same files-track-bytes policy production compaction uses
-    (operators/layout.py:compact_files, ~256 MB files), scaled to the
-    ~MB tables of sf0.1.
-    """
-    import math
+    per file in the UDF-bearing queries, +70% on the LSH query).
 
+    Round 5: the rewrite IS operators/layout.py:compact_files (copy the
+    single source file in, then compact in place) — the bench measures
+    the layout the production compaction path actually produces, not a
+    hand-rolled duplicate of its size policy.
+    """
+    from etl_mudah_spark.operators.layout import compact_files
     from etl_mudah_spark.tables import TABLES
 
     dst_dir = os.path.join(scratch, "multifile")
@@ -159,9 +201,11 @@ def stage_multifile(
     for name in TABLES:
         src = f"{sf_dir}/{name}.parquet"
         dst = f"{dst_dir}/{name}.parquet"
-        df = spark.read.parquet(src)
-        parts = min(cap, max(1, math.ceil(os.path.getsize(src) / target_bytes)))
-        df.repartition(parts).write.mode("overwrite").parquet(dst)
+        os.makedirs(dst, exist_ok=True)
+        shutil.copy(src, os.path.join(dst, "part-00000.parquet"))
+        compact_files(
+            spark, dst, target_file_bytes=target_bytes, max_files=cap
+        )
     return dst_dir
 
 
@@ -199,7 +243,12 @@ def main() -> None:
         "queries": timings,
         "merge_upsert_batch": merge_sec,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "methodology": {"reps": N_REPS, "stat": "best", "sink": "noop"},
+        "methodology": {
+            "reps": N_REPS,
+            "stat": "median",
+            "sink": "noop",
+            "merge_stat": "best",  # setup-dominated; best isolates the merge
+        },
     }
 
     if multifile:

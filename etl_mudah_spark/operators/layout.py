@@ -87,6 +87,7 @@ def compact_files(
     path: str,
     target_file_bytes: int = 256 * 1024 * 1024,
     sort_within_by: Sequence[str] | None = None,
+    max_files: int | None = None,
 ) -> int:
     """Compact a parquet directory's small files into ~target-size
     files, returning the new file count.
@@ -125,6 +126,11 @@ def compact_files(
         if not f.startswith(("_", "."))
     )
     n_files = max(1, math.ceil(size / target_file_bytes))
+    if max_files is not None:
+        # Optional fan-out ceiling: files always track BYTES (a fixed
+        # split makes tiny tables slower — measured in bench.py), the
+        # cap only bounds the count for pathologically small targets.
+        n_files = min(n_files, max_files)
     df = spark.read.parquet(path)
     out = df.repartition(n_files)
     if sort_within_by:

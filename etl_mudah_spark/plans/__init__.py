@@ -6,17 +6,24 @@ Importing this package registers every declared query into
 
 # The driver's correctness harness records only the first 50 registered
 # queries per round, so window membership is controlled EXPLICITLY via
-# ``_PRIORITY`` below rather than by import-order side effects. Round 4
-# front-loads: the round-3 red row (emb_label_centroids, reshaped to
-# scalar long form), every query that has never had a driver row (all
-# round-4 additions), and the queries displaced from the r3 window
-# (parity tail + the datapipe/eventsq families). The priority list is
-# 51 names, so its last entry (events_stream_attribution — r2-green,
-# oracle identical to the in-window events_attribution, pytest-pinned)
-# sits just outside the window; everything else displaced
-# (starjoins/llmprep/profile/geoq/temporal) is r3-green and stays
-# covered by the identical DuckDB-oracle comparison in
-# tests/test_oracle.py.
+# ``_PRIORITY`` below rather than by import-order side effects.
+#
+# Round 5 window (exactly 50 names): (a) the 12 queries converted this
+# round from rows-only to invariant shape — their driver rows must flip
+# from no_oracle to hash-green; (b) the 3 queries whose semantics
+# changed (deciles de-NTILE'd, fuzzy-join block cap, idle-rich
+# predicate de-vacuated) plus the new doc_decontaminate_spans; (c) the
+# oldest-checked green queries — events_stream_attribution (last
+# driver row: r2) and 33 of the 49 r3-checked names. The 16 r3-checked
+# parity queries left for round 6 (pricing_summary, top_brands,
+# brand_share, price_segments, order_year_stats, filter_stack_metrics,
+# regex_and_search, distinct_priorities, similar_parts,
+# priority_shares, keep_one_per_order, region_revenue, top_customers,
+# top3_orders_per_customer, shipping_priority, big_orders) are exactly
+# the ones the bench harness and tests/test_oracle.py execute against
+# their oracles every run anyway — with 101 registered queries and a
+# 50-row window, full rotation takes two rounds and these have the
+# strongest out-of-window coverage.
 from etl_mudah_spark.plans import registry  # noqa: F401
 from etl_mudah_spark.plans import parity  # noqa: F401
 from etl_mudah_spark.plans import datapipe  # noqa: F401
@@ -29,65 +36,62 @@ from etl_mudah_spark.plans import temporal  # noqa: F401
 from etl_mudah_spark.plans import mlq  # noqa: F401
 
 _PRIORITY = [
-    # never-green / never-checked first
-    "emb_label_centroids",
-    "price_model_r2",
-    "doc_dup_clusters",
-    # new in round 4: split/packing, repetition filter, incremental
-    # dedup, decontamination, domain mixing, PII scrub, composed pipeline
-    "doc_train_split",
-    "doc_shard_pack",
-    "doc_repetition_scores",
-    "doc_minhash_incremental",
-    "doc_decontaminate",
-    "doc_domain_mix",
-    "doc_pii_scrub",
-    "doc_clean_pipeline",
-    # new in round 4 (session 2): chunk-level dedup, global shuffle,
-    # funnel, PQ ANN
-    "doc_chunk_dedup",
-    "doc_global_shuffle",
-    "events_funnel",
-    "events_retention",
-    "ann_pq_topk",
-    "doc_quality_model",
-    "vocab_cms_topk",
-    "events_anomaly",
-    "waiting_sole_late_supplier",
-    "idle_rich_customers_by_nation",
-    "part_name_fuzzy_pairs",
-    "events_hourly_dense",
-    "customer_balance_deciles",
-    "orders_per_customer_dist",
-    "parts_pareto_80",
-    # parity tail displaced from the r3 window
-    "monthly_order_volume",
-    "customer_order_links",
-    # datapipe family (r1/r2-green, displaced in r3)
-    "doc_token_stats",
-    "doc_quality",
-    "doc_lang_guess",
-    "doc_fingerprint",
-    "doc_exact_dedup",
-    "doc_ngram_jaccard",
-    "doc_minhash_near_dup",
-    "doc_simhash_near_dup",
-    "emb_norm_stats",
-    "ann_bruteforce_topk",
-    "ann_srp_topk",
-    "emb_cosine_near_dup",
-    "emb_cosine_near_dup_lsh",
-    # eventsq family (r1/r2-green, displaced in r3)
-    "events_hourly",
-    "events_stream_hourly",
-    "events_stream_dedup",
-    "events_json_stats",
-    "events_sessionize",
-    "events_stream_sessions",
+    # (a) round-5 conversions: rows-only -> invariant shape; these rows
+    # must flip from no_oracle to hash-green in CORRECTNESS_r05
     "events_user_hll",
     "events_value_quantiles",
-    "events_attribution",
+    "vocab_cms_topk",
+    "doc_minhash_near_dup",
+    "doc_simhash_near_dup",
+    "doc_dup_clusters",
+    "doc_minhash_incremental",
+    "emb_cosine_near_dup_lsh",
+    "ann_srp_topk",
+    "ann_pq_topk",
+    "price_model_r2",
+    "doc_quality_model",
+    # (b) round-5 semantic changes + the new span query
+    "customer_balance_deciles",
+    "part_name_fuzzy_pairs",
+    "idle_rich_customers_by_nation",
+    "doc_decontaminate_spans",
+    # (c) oldest driver rows first: r2 ...
     "events_stream_attribution",
+    # ... then the r3-checked families (starjoins/llmprep/profile/geoq/
+    # temporal + parity tail), 33 of 49
+    "qty_price_corr",
+    "brand_quartiles",
+    "price_bins",
+    "nation_customer_stats",
+    "share_above_avg",
+    "running_customer_revenue",
+    "orders_pivot_status",
+    "rollup_region_nation",
+    "customers_without_orders",
+    "late_shipment_priority",
+    "promo_revenue_by_month",
+    "cheapest_supplier_per_part",
+    "small_qty_part_revenue",
+    "nation_market_share",
+    "nation_acctbal_concentration",
+    "top_supplier_by_revenue",
+    "brand_type_supplier_counts",
+    "disjunctive_join_revenue",
+    "customers_retained",
+    "customers_churned",
+    "salted_event_totals",
+    "doc_chunks",
+    "vocab_topk",
+    "term_idf_top20",
+    "lineitem_unpivot_metrics",
+    "lineitem_profile",
+    "price_kde",
+    "state_market_stats",
+    "events_asof_last_view",
+    "events_promo_range_join",
+    "daily_revenue_moving_avg",
+    "orders_cube_status_priority",
+    "ann_ivf_topk",
 ]
 
 

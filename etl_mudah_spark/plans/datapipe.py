@@ -480,20 +480,22 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANN_MIN_HITS_AT_10 = 9
 
 
-def _ann_recall_rows(brute: DataFrame, approx: DataFrame) -> DataFrame:
+def _ann_recall_rows(
+    brute: DataFrame, approx: DataFrame, min_hits: int = ANN_MIN_HITS_AT_10
+) -> DataFrame:
     """Exact top-k rows + a recall invariant boolean.
 
     The rows the driver hashes are the brute-force top-10 (vec_id,
     cosine_sim — fully SQL-reproducible); ``recall_ok`` asserts the
-    approximate index recovered >= ANN_MIN_HITS_AT_10 of them. The
-    1-row hits aggregate broadcasts onto the 10-row result."""
+    approximate index recovered >= ``min_hits`` of them. The 1-row
+    hits aggregate broadcasts onto the 10-row result."""
     hits = brute.join(approx.select("vec_id"), "vec_id", "left_semi").agg(
         F.count("*").alias("hits")
     )
     return brute.crossJoin(F.broadcast(hits)).select(
         "vec_id",
         "cosine_sim",
-        (F.col("hits") >= ANN_MIN_HITS_AT_10).alias("recall_ok"),
+        (F.col("hits") >= min_hits).alias("recall_ok"),
     )
 
 

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from etl_mudah_spark.functions.core import _DEC, dsum, oracle_dsum
 from etl_mudah_spark.operators.asof import asof_join_backward
 from etl_mudah_spark.operators import similarity as sim
+from etl_mudah_spark.plans import datapipe as dp
 from etl_mudah_spark.plans.registry import register
 from etl_mudah_spark.tables import load
 
@@ -178,16 +179,29 @@ def orders_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # IVF ANN: KMeans coarse quantizer + probe-nearest-cells exact scan —
-# the scale path past brute force (see operators/similarity.py). No SQL
-# oracle (KMeans cells aren't reproducible cross-engine); pytest pins
-# recall against brute force instead (tests/test_similarity_ivf.py).
+# the scale path past brute force (see operators/similarity.py).
+# Round-5 invariant shape (same as ann_srp_topk/ann_pq_topk): KMeans
+# cells aren't reproducible cross-engine, so the driver rows are the
+# exact cosine top-10 with a recall-floor boolean. The testdata's
+# neighbors sit at cosine ~0.3 — a hard regime for a coarse quantizer
+# over tiny corpora — so the floor is 5/10 (measured: 10/10 at sf0.01,
+# 7/10 at sf0.001 with probe=6; tests/test_similarity_ivf.py pins the
+# operator-level recall separately).
 # ---------------------------------------------------------------------------
+IVF_MIN_HITS_AT_10 = 5
+
+
 @register(
     "ann_ivf_topk",
-    oracle=None,
-    doc="IVF ANN top-10: KMeans(16) cells, probe 4 nearest, exact within.",
+    oracle=dp._BRUTE_TOPK_ORACLE,
+    doc=(
+        "IVF ANN top-10 recall invariant (KMeans(16) cells, probe 6, "
+        "exact within) vs the exact cosine top-10."
+    ),
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
-    return sim.ivf_topk(emb, [float(x) for x in qvec], k=10, n_cells=16, n_probe=4)
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    brute = sim.brute_force_topk(emb, qvec, k=10)
+    approx = sim.ivf_topk(emb, qvec, k=10, n_cells=16, n_probe=6)
+    return dp._ann_recall_rows(brute, approx, min_hits=IVF_MIN_HITS_AT_10)
