@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from etl_mudah_spark.functions.core import davg, dsum, oracle_davg, oracle_dsum
+from etl_mudah_spark.functions.core import _DEC, davg, dsum, oracle_davg, oracle_dsum
 from etl_mudah_spark.operators.skew import salted_sum_count
 from etl_mudah_spark.plans.registry import register
 from etl_mudah_spark.tables import load
@@ -795,4 +795,155 @@ def parts_pareto_80(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("parts_to_80pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape: volume shipping between nation pairs by ship year.
+# The nation-key filters sit on the BROADCAST dimension sides, so the
+# 6-way join degenerates to: lineitem scan -> two broadcast-hash probes
+# (supplier+nation, then orders->customer+nation via two shuffle joins)
+# with the pair predicate applied before the aggregate. The nation-pair
+# domain is capped (keys < Q7_NATION_KEYS) so the result set stays a
+# small grouped frame at any sf.
+# ---------------------------------------------------------------------------
+Q7_NATION_KEYS = 5
+_Q7_DATE_LO, _Q7_DATE_HI = "1996-01-01", "1997-12-31"
+
+
+@register(
+    "nation_pair_trade_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           YEAR(l_shipdate) AS l_year,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {oracle_dsum(_DISC_PRICE)} AS revenue
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE n1.n_nationkey < {Q7_NATION_KEYS} AND n2.n_nationkey < {Q7_NATION_KEYS}
+      AND n1.n_nationkey <> n2.n_nationkey
+      AND l_shipdate BETWEEN DATE '{_Q7_DATE_LO}' AND DATE '{_Q7_DATE_HI}'
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape: revenue between nation pairs by ship year.",
+)
+def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between(_Q7_DATE_LO, _Q7_DATE_HI)
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").where(
+        F.col("n_nationkey") < Q7_NATION_KEYS
+    ).select("n_nationkey", "n_name")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum(_disc_price()).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: one nation's market share inside one region's market
+# for one part type, by order year. Share = conditional decimal sum /
+# total decimal sum — both order-independent, the division done once
+# per year row and rounded on both engines.
+# ---------------------------------------------------------------------------
+Q8_SHARE_NATION = "NATION_3"
+Q8_MARKET_REGION = "ASIA"
+Q8_PART_TYPE = "ECONOMY"
+
+
+@register(
+    "nation_market_share_in_region",
+    oracle=f"""
+    WITH vol AS (
+        SELECT YEAR(o_orderdate) AS o_year,
+               CAST(({_DISC_PRICE}) AS DECIMAL(18,6)) AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey AND p_type = '{Q8_PART_TYPE}'
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey AND r_name = '{Q8_MARKET_REGION}'
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    )
+    SELECT o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = '{Q8_SHARE_NATION}'
+                               THEN volume ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+    doc=(
+        "TPC-H Q8 shape: one nation's revenue share of one region's "
+        "market for one part type, by order year."
+    ),
+)
+def nation_market_share_in_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").where(
+        F.col("p_type") == Q8_PART_TYPE
+    ).select("p_partkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").where(
+        F.col("r_name") == Q8_MARKET_REGION
+    ).select("r_regionkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    market_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("mkt_nkey"))
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(market_nations), F.col("c_nationkey") == F.col("mkt_nkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("s_nkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            _disc_price().cast(_DEC).alias("volume"),
+            "supp_nation",
+        )
+    )
+    share_vol = F.sum(
+        F.when(F.col("supp_nation") == Q8_SHARE_NATION, F.col("volume")).otherwise(
+            F.lit(0).cast(_DEC)
+        )
+    )
+    return vol.groupBy("o_year").agg(
+        F.count("*").alias("n_items"),
+        F.round(
+            share_vol.cast("double") / F.sum("volume").cast("double"), 6
+        ).alias("mkt_share"),
     )
