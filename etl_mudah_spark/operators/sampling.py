@@ -105,6 +105,46 @@ def bucketed_global_rank(
     )
 
 
+def bucketed_running_sum(
+    df: DataFrame,
+    bucket: Column,
+    order_cols: list[Column],
+    val: Column,
+    sum_col: str = "cum",
+) -> DataFrame:
+    """Global running ``SUM(val) OVER (ORDER BY order_cols ROWS
+    UNBOUNDED PRECEDING)`` — without a single-task window.
+
+    Same two-level trick as :func:`bucketed_global_rank`, accumulating
+    a value instead of a count: per-bucket totals, a cumsum window over
+    the (small) totals relation for bucket offsets, and a parallel
+    per-bucket running sum. ``bucket`` must be NON-NULL and
+    order-ALIGNED with ``order_cols`` (rows in a lower bucket always
+    order first — e.g. ``-floor(value/K)`` for a descending value
+    order). Exactness: pass a DECIMAL ``val`` and every partial stays
+    decimal — offsets and in-bucket sums add without float error.
+    """
+    keyed = df.withColumn("_bk", bucket).withColumn("_val", val)
+    totals = keyed.groupBy("_bk").agg(F.sum("_val").alias("_tot"))
+    wcum = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select(
+        "_bk",
+        F.coalesce(
+            F.sum("_tot").over(wcum), F.lit(0).cast("decimal(38,6)")
+        ).alias("_off"),
+    )
+    w = (
+        Window.partitionBy("_bk")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        keyed.join(F.broadcast(offs), "_bk")
+        .withColumn(sum_col, F.sum("_val").over(w) + F.col("_off"))
+        .drop("_bk", "_off", "_val")
+    )
+
+
 def md5_global_order(
     df: DataFrame,
     key_col: str,

@@ -763,12 +763,15 @@ def parts_pareto_80(spark: SparkSession, sf_dir: str) -> DataFrame:
     running frame and DuckDB's segment-tree windows) can flip the
     boundary.
 
-    Scale: the per-part agg is the only big shuffle; the window runs
-    over O(parts) aggregated rows. A global ordered window serializes
-    through one task — at real scale the same two-pass trick as
-    operators/sampling.py:md5_global_order (range-bucket the revenue,
-    prefix-sum bucket totals) keeps it parallel; at O(parts) row
-    counts the single task is the right plan."""
+    Scale (round 5): the per-part agg is the only big shuffle, but
+    O(parts) grows with sf, so the cumulative sum comes from
+    operators/sampling.py:bucketed_running_sum — revenue-range buckets
+    (-floor(rev/1024) is order-aligned with rev desc), per-bucket
+    decimal totals cumsum'd into offsets, and the only full-width
+    window is hash-partitioned by bucket. total_rev folds in as a
+    1-row broadcast crossJoin, not a partitionless window."""
+    from etl_mudah_spark.operators import sampling as smp
+
     li = load(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(
         F.sum(
@@ -777,24 +780,27 @@ def parts_pareto_80(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("rev")
     )
-    w_cum = (
-        W.orderBy(F.desc("rev"), F.asc("l_partkey"))
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    ranked = smp.bucketed_running_sum(
+        per_part,
+        bucket=(-F.floor(F.col("rev") / 1024)).cast("long"),
+        order_cols=[F.col("rev").desc(), F.col("l_partkey").asc()],
+        val=F.col("rev"),
+        sum_col="cum_rev",
     )
-    ranked = per_part.select(
-        "rev",
-        F.sum("rev").over(w_cum).alias("cum_rev"),
-        F.sum("rev").over(W.partitionBy()).alias("total_rev"),
-    )
-    return ranked.agg(
-        F.count("*").alias("total_parts"),
-        F.sum(
-            F.when(
-                10 * (F.col("cum_rev") - F.col("rev")) < 8 * F.col("total_rev"), 1
-            ).otherwise(0)
+    total = per_part.agg(F.sum("rev").alias("total_rev"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .agg(
+            F.count("*").alias("total_parts"),
+            F.sum(
+                F.when(
+                    10 * (F.col("cum_rev") - F.col("rev")) < 8 * F.col("total_rev"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("parts_to_80pct"),
         )
-        .cast("bigint")
-        .alias("parts_to_80pct"),
     )
 
 

@@ -161,3 +161,11 @@ def test_fuzzy_pairs_hot_block_is_excluded(spark):
     got = {r["noun"]: r for r in _fuzzy_name_pairs(part, max_block=10).collect()}
     assert "hot" not in got, "hot block must be excluded, not paired"
     assert got["cold"]["n_pairs"] == 1 and got["cold"]["n_dist1"] == 1
+
+
+def test_pareto_running_sum_is_partitioned(spark):
+    """parts_pareto_80's cumulative revenue must come from the bucketed
+    two-phase running sum — the only full-width window hash-partitions
+    by the revenue bucket; no partitionless window over per-part rows."""
+    plan = _plan(spark, "parts_pareto_80")
+    assert "hashpartitioning(_bk" in plan
