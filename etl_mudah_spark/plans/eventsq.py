@@ -17,6 +17,7 @@ from etl_mudah_spark.functions.core import dsum, oracle_dsum
 from etl_mudah_spark.plans.registry import register
 from etl_mudah_spark.streaming.pipeline import (
     stream_dedup_events,
+    stream_enrich_events,
     stream_hourly_event_counts,
     stream_view_purchase_join,
 )
@@ -245,6 +246,24 @@ def events_user_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return typed.unionByName(total)
+
+
+@register(
+    "events_stream_enriched",
+    oracle=f"""
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           {oracle_dsum('value')} AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_nationkey
+    """,
+    doc=(
+        "Stream-static join: events stream enriched with the broadcast "
+        "customer dim, aggregated per nation (batch join oracle)."
+    ),
+)
+def events_stream_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_enrich_events(spark, sf_dir)
 
 
 @register(

@@ -205,3 +205,63 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute = sim.brute_force_topk(emb, qvec, k=10)
     approx = sim.ivf_topk(emb, qvec, k=10, n_cells=16, n_probe=6)
     return dp._ann_recall_rows(brute, approx, min_hits=IVF_MIN_HITS_AT_10)
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2 history collapse (operators/scd.py): the orders stream as a
+# per-customer change log of o_orderpriority -> one row per priority
+# RUN with [valid_from, valid_to) intervals. The merge surface
+# (operators/merge.py) is SCD1 — overwrite in place; this is the other
+# standard dimension-history shape, and it composes with the as-of join
+# (events_asof_last_view) for "attribute as of time T" lookups.
+# Both windows partition by customer — keyed parallelism, no global
+# window. Exact oracle: same gaps-and-islands in DuckDB window SQL
+# (IS NOT DISTINCT FROM mirrors eqNullSafe).
+# ---------------------------------------------------------------------------
+@register(
+    "customer_priority_scd2",
+    oracle="""
+    WITH flagged AS (
+        SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+               CASE WHEN o_orderpriority IS NOT DISTINCT FROM
+                         LAG(o_orderpriority) OVER w
+                    THEN 0 ELSE 1 END AS brk
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ), versioned AS (
+        SELECT o_custkey, o_orderpriority, o_orderdate,
+               CAST(SUM(brk) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING) AS INT) AS version
+        FROM flagged
+    ), runs AS (
+        SELECT o_custkey, version,
+               MIN(o_orderpriority) AS o_orderpriority,
+               MIN(o_orderdate) AS valid_from,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM versioned GROUP BY 1, 2
+    )
+    SELECT o_custkey, version, o_orderpriority, valid_from,
+           LEAD(valid_from) OVER (
+               PARTITION BY o_custkey ORDER BY version) AS valid_to,
+           n_rows
+    FROM runs
+    """,
+    doc=(
+        "SCD2 dimension history: per-customer o_orderpriority runs with "
+        "[valid_from, valid_to) intervals from the orders change log."
+    ),
+)
+def customer_priority_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_mudah_spark.operators.scd import scd2_collapse
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+    )
+    return scd2_collapse(
+        orders,
+        key_cols=["o_custkey"],
+        attr_cols=["o_orderpriority"],
+        ts_col="o_orderdate",
+        tiebreak_cols=["o_orderkey"],
+    )

@@ -181,3 +181,29 @@ def stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p_user").alias("user_id"))
         .agg(F.count("*").alias("attributed_purchases"))
     )
+
+
+def stream_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join: the events stream enriched with the customer
+    dimension (user_id = c_custkey), aggregated per nation.
+
+    The static side is re-planned on every micro-batch — that is the
+    stream-static contract (a dim refresh lands in the next batch
+    without restarting the query) — and it broadcasts, so the stream
+    side never shuffles for the join; the only stateful operator is
+    the final aggregation. This is the standard "enrich a clickstream
+    with its user/account table" production shape, and the one
+    streaming join variant the stream-stream interval join
+    (stream_view_purchase_join) does not cover.
+    """
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        F.col("c_custkey"), F.col("c_nationkey")
+    )
+    enriched = _events_stream(spark, sf_dir).join(
+        F.broadcast(cust), F.col("user_id") == F.col("c_custkey")
+    )
+    agg = enriched.groupBy("c_nationkey").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
+    return drain_to_parquet(agg, spark, "complete")
