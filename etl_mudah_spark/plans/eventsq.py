@@ -19,6 +19,7 @@ from etl_mudah_spark.streaming.pipeline import (
     stream_dedup_events,
     stream_enrich_events,
     stream_hourly_event_counts,
+    stream_hourly_user_sketches,
     stream_view_purchase_join,
 )
 from etl_mudah_spark.streaming.stateful import stream_sessionize_stateful
@@ -266,15 +267,36 @@ def events_stream_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_enrich_events(spark, sf_dir)
 
 
-@register(
-    "events_daily_users_rollup",
-    oracle="""
+_DAILY_ROLLUP_ORACLE = """
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
            CAST(COUNT(*) AS BIGINT) AS events,
            TRUE AS hll_ok
     FROM events GROUP BY 1
-    """,
+"""
+
+
+def _daily_rollup_invariant(sketch_daily: DataFrame, events: DataFrame) -> DataFrame:
+    """Join a sketch-table daily rollup (bucket_ts, approx_users,
+    events) with the exact daily twin and emit the driver-hashable
+    invariant row set."""
+    exact = events.groupBy(F.date_trunc("day", "ts").alias("bucket_ts")).agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return sketch_daily.join(exact, "bucket_ts").select(
+        "bucket_ts",
+        "exact_users",
+        "events",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.lit(HLL_REL_ERR) * F.col("exact_users")
+        ).alias("hll_ok"),
+    )
+
+
+@register(
+    "events_daily_users_rollup",
+    oracle=_DAILY_ROLLUP_ORACLE,
     doc=(
         "Daily distinct users answered from a PERSISTED hourly HLL "
         "sketch table (no fact rescan), with exact-twin counts and an "
@@ -304,21 +326,34 @@ def events_daily_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     atexit.register(shutil.rmtree, scratch, ignore_errors=True)
     ru.build_sketch_table(events, scratch, grain="hour")
     daily = ru.rollup_distinct(spark, scratch, grain="day")
-    exact = events.groupBy(F.date_trunc("day", "ts").alias("bucket_ts")).agg(
-        F.countDistinct("user_id").alias("exact_users")
+    return _daily_rollup_invariant(daily, events)
+
+
+@register(
+    "events_stream_users_rollup",
+    oracle=_DAILY_ROLLUP_ORACLE,
+    doc=(
+        "Streaming twin of events_daily_users_rollup: hourly HLL "
+        "sketches maintained by a Structured Streaming query, rolled "
+        "up to daily by sketch union (same oracle — streaming == "
+        "batch)."
+    ),
+)
+def events_stream_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental form of the continuous aggregate: the hourly
+    sketch table is maintained BY A STREAM (each micro-batch merges new
+    events into fixed-size per-hour HLL state — no distinct-user set
+    ever materializes), then daily answers come from unioning staged
+    sketches. streaming == batch is the Structured Streaming contract,
+    so the oracle is identical to the batch rollup's."""
+    sketches = stream_hourly_user_sketches(spark, sf_dir)
+    daily = sketches.groupBy(
+        F.date_trunc("day", "bucket_ts").alias("bucket_ts")
+    ).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.sum("events").alias("events"),
     )
-    return (
-        daily.join(exact, "bucket_ts")
-        .select(
-            "bucket_ts",
-            "exact_users",
-            "events",
-            (
-                F.abs(F.col("approx_users") - F.col("exact_users"))
-                <= F.lit(HLL_REL_ERR) * F.col("exact_users")
-            ).alias("hll_ok"),
-        )
-    )
+    return _daily_rollup_invariant(daily, load(spark, sf_dir, "events"))
 
 
 # Rank-error band for the approx-percentile invariant: accuracy=10000

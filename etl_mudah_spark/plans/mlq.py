@@ -158,3 +158,39 @@ def doc_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n, int(pos), bool(float(auc) >= QUALITY_AUC_FLOOR))],
         "n_rows bigint, n_positive bigint, auc_ok boolean",
     )
+
+
+@register(
+    "brand_price_regression",
+    oracle="""
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(regr_slope(p_retailprice, p_size), 6) AS slope,
+           ROUND(regr_intercept(p_retailprice, p_size), 6) AS intercept,
+           ROUND(regr_r2(p_retailprice, p_size), 6) AS r2
+    FROM part GROUP BY p_brand
+    """,
+    doc=(
+        "Per-brand OLS of retail price on size via built-in regr_* "
+        "aggregates (closed-form, one shuffle)."
+    ),
+)
+def brand_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped closed-form regression — the statistical sibling of the
+    RF pipeline: per-brand slope/intercept/R² of price vs size from the
+    regr_* aggregate family (Spark 3.5+ / DuckDB both implement the
+    standard Welford-style moments). One hash-partitioned aggregation,
+    all JVM-side — the pattern for thousands of tiny per-group models
+    where pyspark.ml per-group training (a job per model) would be
+    absurd. Rounded to 6 dp on both engines: the moment sums are double
+    accumulations whose association order differs per engine."""
+    from pyspark.sql import functions as F
+
+    part = load(spark, sf_dir, "part")
+    y, x = F.col("p_retailprice"), F.col("p_size").cast("double")
+    return part.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+    )

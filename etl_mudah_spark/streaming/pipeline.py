@@ -207,3 +207,23 @@ def stream_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
     )
     return drain_to_parquet(agg, spark, "complete")
+
+
+def stream_hourly_user_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming build of the mergeable-sketch table
+    (operators/rollup.py shape): per-hour HLL sketches of user_id
+    maintained BY THE STREAM — each micro-batch merges new events into
+    the hour's fixed-size sketch state instead of keeping user ids —
+    then staged to parquet (sketch bytes are just a binary column).
+    Complete mode: the final staging snapshot is the full sketch table,
+    ready for batch rollup to any coarser grain without touching the
+    event stream again."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("bucket_ts"))
+        .agg(
+            F.hll_sketch_agg("user_id").alias("sk"),
+            F.count("*").alias("events"),
+        )
+    )
+    return drain_to_parquet(agg, spark, "complete")
