@@ -759,6 +759,71 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dc.ngram_decontaminate(corpus, grams, n=3)
 
 
+# Split-leakage audit: near-duplicate pairs that cross train/val/test
+# boundaries. Deduplication and splitting are usually separate pipeline
+# stages; this is the QA query between them — a near-dup of a test doc
+# sitting in train is evaluation contamination the doc-level split
+# cannot see. Split rule shared with plans/llmprep.py:doc_train_split
+# (doc_id % 100 buckets); pair set is the exact df-capped Jaccard twin.
+_SPLIT_CASE = (
+    "CASE WHEN {id} % 100 < 80 THEN 'train' "
+    "WHEN {id} % 100 < 90 THEN 'val' ELSE 'test' END"
+)
+
+
+@register(
+    "doc_split_leakage",
+    oracle=f"""
+    WITH {_jaccard_pairs_ctes(0.5)}, labeled AS (
+        SELECT {_SPLIT_CASE.format(id='doc_a')} AS sa,
+               {_SPLIT_CASE.format(id='doc_b')} AS sb
+        FROM pairs
+    )
+    SELECT LEAST(sa, sb) AS split_a,
+           GREATEST(sa, sb) AS split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           sa <> sb AS is_leakage
+    FROM labeled GROUP BY 1, 2, 4
+    """,
+    doc=(
+        "Split-leakage audit: exact near-dup pairs grouped by the "
+        "train/val/test splits they connect; cross-split rows are "
+        "evaluation contamination."
+    ),
+)
+def doc_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition of the dedup and splitting stages: every exact
+    near-dup pair (Jaccard >= 0.5, df-capped twin — the deterministic
+    pair set) labeled with the hash-bucket splits of its two members
+    and grouped by the (unordered) split pair. Rows with
+    ``is_leakage`` true are near-dups straddling a split boundary —
+    the pairs a train/test-contamination fix must break by dropping
+    one member. Scale: the pair set is the bounded inverted-index
+    join; everything after is arithmetic on O(pairs) rows."""
+    pairs = dd.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"),
+        threshold=0.5,
+        max_shingle_df=_NGRAM_MAX_SHINGLE_DF,
+    )
+
+    def split_of(c: str):
+        m = F.col(c) % 100
+        return F.when(m < 80, "train").when(m < 90, "val").otherwise("test")
+
+    labeled = pairs.select(
+        split_of("doc_a").alias("sa"), split_of("doc_b").alias("sb")
+    )
+    return (
+        labeled.groupBy(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+            (F.col("sa") != F.col("sb")).alias("is_leakage"),
+        )
+        .agg(F.count("*").alias("n_pairs"))
+        .select("split_a", "split_b", "n_pairs", "is_leakage")
+    )
+
+
 # Span-level decontamination runs at the production 13-gram granularity.
 # The eval slice is doc_id % 7 (not % 97): 13-token exact overlap only
 # occurs between planted near-duplicates, and % 7 is the smallest-count
