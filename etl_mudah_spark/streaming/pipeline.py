@@ -46,6 +46,16 @@ def events_raw_schema(spark: SparkSession, events_path: str) -> tuple[str, str]:
     discipline as tables.load."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Streaming state is partitioned by spark.sql.shuffle.partitions AT
+    # QUERY START and AQE does not coalesce it — under a vanilla
+    # session's default 200 that is 200 near-empty state-store tasks
+    # per micro-batch (measured 2-5x wall-clock on the stateful
+    # queries). Pin it to the core count here, the chokepoint every
+    # streaming reader passes through; batch queries are unaffected
+    # (AQE re-coalesces them regardless).
+    from etl_mudah_spark.session import default_parallelism
+
+    spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
     ts_dtype = dict(spark.read.parquet(events_path).dtypes)["ts"]
     return EVENTS_SCHEMA_TEMPLATE.format(ts=ts_dtype), ts_dtype
 

@@ -169,3 +169,13 @@ def test_pareto_running_sum_is_partitioned(spark):
     by the revenue bucket; no partitionless window over per-part rows."""
     plan = _plan(spark, "parts_pareto_80")
     assert "hashpartitioning(_bk" in plan
+
+
+def test_q7_q8_broadcast_the_dimension_sides(spark):
+    """The round-5 TPC-H shapes must probe broadcast dims, not shuffle
+    them: nation (and supplier for Q8) ride BroadcastExchange/
+    BroadcastHashJoin; the only shuffle joins are fact-to-fact."""
+    q7 = _plan(spark, "nation_pair_trade_volume")
+    assert "BroadcastHashJoin" in q7
+    q8 = _plan(spark, "nation_market_share_in_region")
+    assert "BroadcastHashJoin" in q8
