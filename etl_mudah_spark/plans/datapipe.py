@@ -759,6 +759,80 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dc.ngram_decontaminate(corpus, grams, n=3)
 
 
+@register(
+    "doc_dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_jaccard_pairs_ctes(0.2)}, edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ), nodes AS (
+        SELECT DISTINCT s AS node FROM edges
+    ), reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node
+    ), comp AS (
+        SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+    ), scored AS (
+        SELECT comp.node, comp.cluster_id,
+               len({_WORDS_SQL}) AS n_tokens
+        FROM comp JOIN documents ON doc_id = comp.node
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY cluster_id
+            ORDER BY n_tokens DESC, node ASC) AS rn
+        FROM scored
+    )
+    SELECT cluster_id,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n_clusters,
+           node AS best_doc_id,
+           CAST(n_tokens AS BIGINT) AS best_n_tokens
+    FROM ranked WHERE rn = 1
+    """,
+    doc=(
+        "Dedup resolution with quality-based survivor choice: per "
+        "duplicate cluster, keep the longest member (token count, "
+        "doc_id tiebreak)."
+    ),
+)
+def doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation step after clustering: production dedup keeps the
+    BEST member of each near-dup cluster, not the arbitrary min-id —
+    here "best" is the longest document (whitespace token count,
+    deterministic doc_id tiebreak; any quality score slots into the
+    same argmax). Exact cluster edges (the SQL-reproducible twin) ->
+    distributed CC -> per-cluster top-1 via a cluster-partitioned
+    window — keyed parallelism end to end, never a per-cluster
+    array."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(
+        docs, threshold=0.2, max_shingle_df=_NGRAM_MAX_SHINGLE_DF
+    )
+    clusters = gr.duplicate_clusters(pairs).select("node", "cluster_id")
+    scored = clusters.join(
+        docs.select(
+            F.col("doc_id").alias("node"),
+            F.size(tx.words("text")).alias("n_tokens"),
+        ),
+        "node",
+    )
+    w = W.partitionBy("cluster_id").orderBy(
+        F.desc("n_tokens"), F.asc("node")
+    )
+    best = scored.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    total = best.agg(F.count("*").alias("n_clusters"))
+    return best.crossJoin(F.broadcast(total)).select(
+        "cluster_id",
+        "n_clusters",
+        F.col("node").alias("best_doc_id"),
+        F.col("n_tokens").cast("bigint").alias("best_n_tokens"),
+    )
+
+
 # Split-leakage audit: near-duplicate pairs that cross train/val/test
 # boundaries. Deduplication and splitting are usually separate pipeline
 # stages; this is the QA query between them — a near-dup of a test doc

@@ -179,3 +179,17 @@ def test_q7_q8_broadcast_the_dimension_sides(spark):
     assert "BroadcastHashJoin" in q7
     q8 = _plan(spark, "nation_market_share_in_region")
     assert "BroadcastHashJoin" in q8
+
+
+def test_driver_window_is_exactly_50_registered_names(spark):
+    """The grading driver records the FIRST 50 registered queries; the
+    _PRIORITY list controls membership explicitly. Guard the contract:
+    exactly 50 names, all registered, window == priority order, and
+    every window query carries an oracle."""
+    from etl_mudah_spark.plans import _PRIORITY
+
+    names = list(registry.REGISTRY)
+    assert len(_PRIORITY) == 50
+    assert names[:50] == _PRIORITY
+    missing_oracle = [n for n in names[:50] if registry.REGISTRY[n].oracle is None]
+    assert not missing_oracle, missing_oracle
