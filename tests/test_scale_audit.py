@@ -1,0 +1,170 @@
+"""Whole-registry scale audit: every registered query's physical plan
+is checked for the two patterns that turn into 100 TB incidents —
+CartesianProduct (all-pairs blowup) and an unpartitioned Window (the
+entire input sorted in ONE task).
+
+tests/test_plans.py pins named per-query claims (pushdown, broadcast,
+TakeOrdered); this file is the blanket invariant over all 110 queries,
+so a future query can't reintroduce a scale-killer unnoticed. The
+BroadcastNestedLoopJoin allowlist is reviewed, not inferred: every
+entry is a crossJoin whose broadcast side is provably tiny (a 1-row
+global aggregate, a literal grid, a k-row codebook/probe, or a
+capped-size dimension), i.e. the sanctioned re-aggregation pattern
+from SURVEY.md §2.4/A13.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from etl_mudah_spark.plans import registry
+from tests.conftest import SF_SMOKE
+
+# Queries whose plan legitimately contains BroadcastNestedLoopJoin.
+# Each broadcast side is bounded INDEPENDENT of input scale:
+#   - 1-row global aggregate (share/threshold/percentile re-agg):
+#     share_above_avg, nation_acctbal_concentration, brand_share,
+#     price_segments, priority_shares, customer_balance_deciles,
+#     idle_rich_customers_by_nation, parts_pareto_80, doc_exact_dedup,
+#     doc_dedup_keep_best, events_user_hll, doc_minhash_near_dup,
+#     doc_simhash_near_dup, doc_minhash_incremental, term_idf_top20
+#   - literal/param grid or probe vector (k rows, k fixed):
+#     price_kde (KDE grid), ann_srp_topk / ann_pq_topk / ann_ivf_topk
+#     (probe row), emb_cosine_near_dup / emb_cosine_near_dup_lsh
+#     (threshold scalar / sampled pair stats)
+#   - small bounded dimension with a non-equi condition:
+#     events_promo_range_join (promo windows — dozens of rows)
+_BNLJ_ALLOWED = {
+    "events_user_hll",
+    "doc_minhash_near_dup",
+    "doc_simhash_near_dup",
+    "doc_minhash_incremental",
+    "emb_cosine_near_dup_lsh",
+    "ann_srp_topk",
+    "ann_pq_topk",
+    "ann_ivf_topk",
+    "customer_balance_deciles",
+    "idle_rich_customers_by_nation",
+    "share_above_avg",
+    "nation_acctbal_concentration",
+    "term_idf_top20",
+    "price_kde",
+    "events_promo_range_join",
+    "brand_share",
+    "price_segments",
+    "priority_shares",
+    "doc_exact_dedup",
+    "emb_cosine_near_dup",
+    "doc_dedup_keep_best",
+    "parts_pareto_80",
+}
+
+# Windows that legitimately run over ONE partition: their input is
+# already aggregate-reduced to a bounded cardinality before the window,
+# so the single task sees O(buckets)/O(days) rows, not the corpus.
+#   - customer_balance_deciles / parts_pareto_80 / doc_global_shuffle:
+#     phase-2 cumulative sum over the 256 bucket COUNTS of the
+#     two-phase bucketed rank (operators/sampling.py) — the whole point
+#     of that design is that only these ≤256 rows hit one task.
+#   - daily_revenue_moving_avg: 7-day moving average over one row per
+#     DAY (post-aggregation), O(calendar days) regardless of data size.
+_GLOBAL_WINDOW_ALLOWED = {
+    "customer_balance_deciles",
+    "parts_pareto_80",
+    "doc_global_shuffle",
+    "daily_revenue_moving_avg",
+}
+
+_EXCHANGE = re.compile(r"Exchange (SinglePartition|hashpartitioning|rangepartitioning)")
+
+
+def _global_windows(plan: str) -> list[str]:
+    """Physical Window nodes fed by ``Exchange SinglePartition``.
+
+    A partitioned window's child chain shows ``Exchange
+    hashpartitioning(part_cols, n)``; a GLOBAL ordered window requires
+    all rows in one partition — ``Exchange SinglePartition`` — i.e. the
+    whole input sorted in a single task. The node text alone can't
+    distinguish ``[funcs], [order]`` (global) from ``[funcs], [part]``
+    (partitioned, unordered), so classify by the first exchange BELOW
+    the window instead (pre-order plan text: the child subtree follows
+    the node line).
+    """
+    lines = plan.splitlines()
+    hits = []
+    for i, line in enumerate(lines):
+        if "Window [" not in line:
+            continue
+        for nxt in lines[i + 1:]:
+            m = _EXCHANGE.search(nxt)
+            if m:
+                if m.group(1) == "SinglePartition":
+                    hits.append(line.strip()[:120])
+                break
+    return hits
+
+
+def _physical_plans(spark):
+    plans = {}
+    for name, q in registry.REGISTRY.items():
+        df = q.spark_fn(spark, SF_SMOKE)
+        plans[name] = df._jdf.queryExecution().executedPlan().toString()
+    return plans
+
+
+@pytest.fixture(scope="module")
+def all_plans(spark):
+    return _physical_plans(spark)
+
+
+def test_no_cartesian_product_anywhere(all_plans):
+    offenders = [n for n, p in all_plans.items() if "CartesianProduct" in p]
+    assert not offenders, f"CartesianProduct (all-pairs, unbroadcast): {offenders}"
+
+
+def test_no_unpartitioned_window_anywhere(all_plans):
+    offenders = []
+    for name, plan in all_plans.items():
+        if name in _GLOBAL_WINDOW_ALLOWED:
+            continue
+        for hit in _global_windows(plan):
+            offenders.append((name, hit))
+    assert not offenders, (
+        "Global (unpartitioned) Window = whole input sorted in one task; "
+        f"use operators/sampling.py bucketed_global_rank instead: {offenders}"
+    )
+    # Allowlist hygiene: every allowlisted name must still exhibit the
+    # bounded-input global window it was reviewed for.
+    stale = [
+        n for n in _GLOBAL_WINDOW_ALLOWED if not _global_windows(all_plans[n])
+    ]
+    assert not stale, f"Allowlisted global window no longer present — remove: {stale}"
+
+
+def test_bnlj_only_on_reviewed_tiny_broadcasts(all_plans):
+    actual = {n for n, p in all_plans.items() if "BroadcastNestedLoopJoin" in p}
+    new = actual - _BNLJ_ALLOWED
+    assert not new, (
+        "New BroadcastNestedLoopJoin appeared — review that the broadcast "
+        f"side is scale-independent, then allowlist: {sorted(new)}"
+    )
+    # Allowlist hygiene: drop entries whose plans no longer need them.
+    stale = _BNLJ_ALLOWED - actual
+    assert not stale, f"Allowlisted BNLJ no longer present — remove: {sorted(stale)}"
+
+
+def test_unpartitioned_window_detector_trips(spark):
+    # Guard the guard: build a deliberately-global and a partitioned
+    # window and check the exchange-based classifier separates them.
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).withColumn("k", F.col("id") % 5)
+    bad = df.withColumn("rn", F.row_number().over(W.orderBy("id")))
+    good = df.withColumn("rn", F.row_number().over(W.partitionBy("k").orderBy("id")))
+    unordered = df.withColumn("mx", F.max("id").over(W.partitionBy("k")))
+    assert _global_windows(bad._jdf.queryExecution().executedPlan().toString())
+    assert not _global_windows(good._jdf.queryExecution().executedPlan().toString())
+    assert not _global_windows(unordered._jdf.queryExecution().executedPlan().toString())
