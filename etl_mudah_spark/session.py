@@ -43,6 +43,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalescePartitions.parallelismFirst stays at its default
+        # (true) DELIBERATELY. The tuning guide suggests false
+        # (respect the 64MB advisory size) for shuffle-heavy clusters,
+        # but advisory-size coalescing prices partitions by BYTES — and
+        # the Arrow/pandas_udf stages (SRP projections, PQ scoring) are
+        # heavy CPU per byte: at sf0.1 `false` collapsed the LSH
+        # near-dup pipeline's few-MB shuffle into one task and took the
+        # query from 2.5s to 17s (6.8x). Byte heuristics misprice
+        # Python compute; keep parallelism-first.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
