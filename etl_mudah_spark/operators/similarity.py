@@ -63,6 +63,67 @@ def brute_force_topk(
     )
 
 
+def batch_topk(
+    df: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    *,
+    salt_buckets: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Exact cosine top-k for EVERY probe in ONE corpus pass — the
+    batch-retrieval shape a training pipeline actually runs (N query
+    embeddings against the corpus), vs :func:`brute_force_topk`'s
+    single literal vector.
+
+    Scale design: the probe batch is broadcast (queries are small,
+    corpora are not), cosines are computed map-side in codegen, and the
+    per-probe top-k is TWO-stage: a salted window over
+    (probe, hash(id) % salt_buckets) keeps k rows per salt bucket —
+    ``salt_buckets``-way parallelism per probe — then a final window
+    over the <= probes*salt_buckets*k partial rows picks the exact
+    top-k. A single probe-partitioned window would instead sort
+    corpus-sized partitions in one task per probe, which is the
+    unpartitioned-window hazard wearing a partition column.
+
+    Ties break on (rounded cosine desc, id asc) in BOTH stages, so the
+    result is deterministic and engine-reproducible.
+    """
+    from pyspark.sql import Window
+
+    p = probes.select(
+        F.col(probe_id_col), as_double(F.col(vec_col)).alias("_pv")
+    )
+    c = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("_cv"))
+    scored = c.join(
+        F.broadcast(p), F.col(id_col) != F.col(probe_id_col)
+    ).select(
+        probe_id_col,
+        id_col,
+        F.round(cosine(F.col("_cv"), F.col("_pv")), 4).alias("cosine_sim"),
+    )
+    w_partial = Window.partitionBy(probe_id_col, "_salt").orderBy(
+        F.desc("cosine_sim"), F.asc(id_col)
+    )
+    partial = (
+        scored.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+        )
+        .withColumn("_rn", F.row_number().over(w_partial))
+        .where(F.col("_rn") <= k)
+    )
+    w_final = Window.partitionBy(probe_id_col).orderBy(
+        F.desc("cosine_sim"), F.asc(id_col)
+    )
+    return (
+        partial.select(probe_id_col, id_col, "cosine_sim")
+        .withColumn("rank", F.row_number().over(w_final))
+        .where(F.col("rank") <= k)
+    )
+
+
 def _hyperplane(dim: int, plane: int, table: int = 0) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane.
 

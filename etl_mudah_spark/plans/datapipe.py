@@ -474,6 +474,40 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.brute_force_topk(emb, [float(x) for x in qvec], k=10)
 
 
+@register(
+    "ann_batch_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+        SELECT b.vec_id AS probe_id, a.vec_id,
+               ROUND({_COS_SQL}, 4) AS cosine_sim
+        FROM e a JOIN e b ON b.vec_id < 5 AND a.vec_id <> b.vec_id
+    )
+    SELECT probe_id, vec_id, cosine_sim, CAST(rnk AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY probe_id ORDER BY cosine_sim DESC, vec_id ASC
+        ) AS rnk FROM scored
+    ) WHERE rnk <= 5
+    """,
+    doc=(
+        "Batch retrieval: exact cosine top-5 for each of the 5 probe "
+        "vectors (vec_id < 5) in one corpus pass."
+    ),
+)
+def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN: one corpus scan answers a whole probe batch — the
+    retrieval shape an embedding-dedup or RAG-indexing pipeline runs —
+    via operators/similarity.py:batch_topk (broadcast probe batch,
+    salted two-stage per-probe top-k; no corpus-sized single-task
+    window)."""
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return sim.batch_topk(emb, probes, k=5)
+
+
 # Minimum hits@10 for the ANN recall invariants: the approximate index
 # must recover >= 9 of the exact top-10 (measured 10/10 for both SRP
 # and PQ at sf0.01; one-neighbor slack for testdata drift).

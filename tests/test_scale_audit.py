@@ -45,6 +45,7 @@ _BNLJ_ALLOWED = {
     "ann_srp_topk",
     "ann_pq_topk",
     "ann_ivf_topk",
+    "ann_batch_topk",  # probe batch (5 rows) broadcast, non-equi self-exclusion
     "customer_balance_deciles",
     "idle_rich_customers_by_nation",
     "share_above_avg",
