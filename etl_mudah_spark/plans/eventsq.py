@@ -22,7 +22,10 @@ from etl_mudah_spark.streaming.pipeline import (
     stream_hourly_user_sketches,
     stream_view_purchase_join,
 )
-from etl_mudah_spark.streaming.stateful import stream_sessionize_stateful
+from etl_mudah_spark.streaming.stateful import (
+    stream_sessionize_native,
+    stream_sessionize_stateful,
+)
 from etl_mudah_spark.tables import load
 
 _HOURLY_ORACLE = f"""
@@ -163,6 +166,41 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_sessionize_stateful(spark, sf_dir, gap_minutes=30)
+
+
+@register(
+    "events_stream_sessions_native",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sid
+        FROM g
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
+    doc=(
+        "Same sessionization from Spark's built-in session_window "
+        "streaming aggregation (JVM-native state; the production "
+        "default) — streaming == batch == custom-stateful."
+    ),
+)
+def events_stream_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_sessionize_native(spark, sf_dir, gap_minutes=30)
 
 
 # ---------------------------------------------------------------------------
