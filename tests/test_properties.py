@@ -1,0 +1,171 @@
+"""Property-based tests (hypothesis): engine invariants that example
+tests can't sweep — idempotency, input-order invariance, two-phase-rank
+equivalence — over randomized inputs.
+
+Each example batches all generated rows into ONE DataFrame so an
+example costs a couple of Spark jobs; max_examples stays small (Spark
+job latency dominates) and deadline is off for the same reason.
+Shrinking still reduces any failure to a minimal row list.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_mudah_spark.operators.merge import merge_dataframes
+from etl_mudah_spark.operators.pii import scrub
+from etl_mudah_spark.operators.sampling import bucketed_global_rank, keymod_flag
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+# ---------------------------------------------------------------------------
+# bucketed_global_rank == single-window row_number
+# ---------------------------------------------------------------------------
+@given(vals=st.lists(st.integers(-100, 100), min_size=1, max_size=50))
+@settings(**_SETTINGS)
+def test_bucketed_rank_matches_single_window(spark, vals):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id bigint, v bigint"
+    )
+    got = {
+        r["id"]: r["rn"]
+        for r in bucketed_global_rank(
+            df, F.floor(F.col("v") / 10).cast("bigint"), ["v", "id"]
+        ).collect()
+    }
+    exp = {
+        r["id"]: r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("v", "id"))
+        ).collect()
+    }
+    assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# PII scrub: idempotent; clean text is untouched
+# ---------------------------------------------------------------------------
+_frag = st.one_of(
+    st.sampled_from(
+        [
+            "a@b.com",
+            "x 192.168.0.1 y",
+            "call +60 123-4567 89 now",
+            "1.2.3.999999999",
+            "12345678.1.2.3.4",
+            "<EMAIL>",
+            "plain words",
+        ]
+    ),
+    st.text(alphabet="ab01.@-+() <>", max_size=16),
+)
+
+
+@given(frags=st.lists(_frag, min_size=1, max_size=12))
+@settings(**_SETTINGS)
+def test_pii_scrub_is_idempotent(spark, frags):
+    df = spark.createDataFrame([(" ".join(frags),)], "text string")
+    row = df.select(
+        scrub("text").alias("once"), scrub(scrub("text")).alias("twice")
+    ).first()
+    assert row["once"] == row["twice"]
+
+
+@given(words=st.lists(st.text(alphabet="abcdefg ", max_size=10), max_size=8))
+@settings(**_SETTINGS)
+def test_pii_scrub_leaves_clean_text_alone(spark, words):
+    text = " ".join(words)
+    row = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(scrub("text").alias("s"))
+        .first()
+    )
+    assert row["s"] == text
+
+
+# ---------------------------------------------------------------------------
+# merge_dataframes: idempotent re-merge; staged-order invariance
+# ---------------------------------------------------------------------------
+_T0 = dt.datetime(2024, 1, 1)
+_TB = dt.datetime(2024, 2, 1)
+
+_merge_row = st.tuples(
+    st.integers(1, 5),                       # listing_id — collisions likely
+    st.integers(0, 500).map(float),          # price
+    st.sampled_from([dt.datetime(2024, 1, d) for d in (2, 3, 4)]),  # listing_date
+    st.sampled_from(["r1", "r2"]),
+)
+
+_MERGE_SCHEMA = (
+    "listing_id bigint, price double, listing_date timestamp, "
+    "region_id string, created_at timestamp, updated_at timestamp"
+)
+
+
+def _canon_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@given(staged=st.lists(_merge_row, min_size=1, max_size=10), seed=st.randoms())
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_merge_idempotent_and_staged_order_invariant(spark, staged, seed):
+    target = spark.createDataFrame(
+        [(1, 100.0, _T0, "r1", _T0, _T0), (9, 900.0, _T0, "r2", _T0, _T0)],
+        _MERGE_SCHEMA,
+    )
+    rows = [(k, p, d, rg, None, None) for k, p, d, rg in staged]
+    shuffled = list(rows)
+    seed.shuffle(shuffled)
+    kwargs = dict(
+        key_cols=["listing_id"],
+        order_cols=["listing_date", "price", "listing_id"],
+        batch_ts=_TB,
+    )
+    once = merge_dataframes(
+        target, spark.createDataFrame(rows, _MERGE_SCHEMA), **kwargs
+    )
+    # same batch re-merged into the result changes nothing (reference
+    # contract: double-running the DAG must not duplicate or drift)
+    twice = merge_dataframes(
+        once, spark.createDataFrame(rows, _MERGE_SCHEMA), **kwargs
+    )
+    # survivor choice depends only on order_cols, not input row order
+    permuted = merge_dataframes(
+        target, spark.createDataFrame(shuffled, _MERGE_SCHEMA), **kwargs
+    )
+    expect = _canon_rows(once)
+    assert _canon_rows(twice) == expect
+    assert _canon_rows(permuted) == expect
+
+
+# ---------------------------------------------------------------------------
+# keymod sampling: 0 keeps nothing, 1 keeps all, monotone in weight
+# ---------------------------------------------------------------------------
+@given(
+    keys=st.lists(st.integers(0, 10_000), min_size=1, max_size=60),
+    w1=st.floats(0.0, 1.0),
+    w2=st.floats(0.0, 1.0),
+)
+@settings(**_SETTINGS)
+def test_keymod_flag_monotone_in_weight(spark, keys, w1, w2):
+    lo, hi = sorted((w1, w2))
+    df = spark.createDataFrame([(k,) for k in keys], "k bigint")
+    row = df.select(
+        F.sum(keymod_flag("k", F.lit(0.0)).cast("int")).alias("none"),
+        F.sum(keymod_flag("k", F.lit(1.0)).cast("int")).alias("all"),
+        F.sum(
+            (keymod_flag("k", F.lit(lo)) & ~keymod_flag("k", F.lit(hi))).cast("int")
+        ).alias("lo_not_hi"),
+    ).first()
+    assert row["none"] == 0
+    assert row["all"] == len(keys)
+    assert row["lo_not_hi"] == 0  # kept(lo) ⊆ kept(hi)
