@@ -147,6 +147,88 @@ def term_idf_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("spark", "window", "merge")
+
+
+@register(
+    "doc_bm25_search",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id,
+               len({_WORDS_SQL}) AS dl,
+               lower(UNNEST({_WORDS_SQL})) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term,
+               COUNT(*)::DOUBLE AS tf, ANY_VALUE(dl)::DOUBLE AS dl
+        FROM tok WHERE term IN ('spark', 'window', 'merge')
+        GROUP BY doc_id, term
+    ), dfreq AS (
+        SELECT term, COUNT(*)::DOUBLE AS df FROM tf GROUP BY term
+    ), stats AS (
+        SELECT COUNT(*)::DOUBLE AS n,
+               AVG(len({_WORDS_SQL}))::DOUBLE AS avgdl
+        FROM documents
+    )
+    SELECT doc_id,
+           ROUND(SUM(
+               ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               * tf.tf * ({BM25_K1} + 1)
+               / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * tf.dl / s.avgdl))
+           ), 6) AS bm25
+    FROM tf JOIN dfreq d USING (term), stats s
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT 10
+    """,
+    doc=(
+        "Lexical retrieval: top-10 docs by Okapi BM25 for the query "
+        "terms (spark, window, merge)."
+    ),
+)
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval — the lexical-search half of a
+    data-curation stack (near-dup mining against eval queries, targeted
+    corpus slicing) next to the embedding ANN family.
+
+    Scale shape: tokens are filtered to the query terms BEFORE any
+    shuffle (the explode feeds a literal IN-list, so the grouped
+    relation is O(matching doc-terms), not O(corpus tokens)); document
+    frequency and the (N, avgdl) corpus stats are tiny aggregates that
+    broadcast back; one final per-doc sum + TakeOrdered(10). Everything
+    is codegen expression math — no UDFs.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(tx.words("text")).cast("double").alias("dl"),
+        F.explode(tx.words("text")).alias("term"),
+    ).select("doc_id", "dl", F.lower("term").alias("term"))
+    tf = (
+        toks.where(F.col("term").isin(*BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"), F.max("dl").alias("dl"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    stats = docs.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg(F.size(tx.words("text"))).alias("avgdl"),
+    )
+    idf = F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    per_term = idf * F.col("tf") * (BM25_K1 + 1) / denom
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(per_term), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 @register(
     "emb_label_centroids",
     oracle="""

@@ -51,6 +51,7 @@ _BNLJ_ALLOWED = {
     "share_above_avg",
     "nation_acctbal_concentration",
     "term_idf_top20",
+    "doc_bm25_search",  # 1-row (N, avgdl) corpus-stats broadcast
     "price_kde",
     "events_promo_range_join",
     "brand_share",
