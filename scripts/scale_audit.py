@@ -1,20 +1,20 @@
 """Dump scale-hazard diagnostics for EVERY registered query's plan.
 
-For each of the 110 registered queries (built lazily at sf0.001 — no
-execution), report occurrences of:
+For each registered query (built at sf0.001), report occurrences of:
   - CartesianProduct              (always a hazard)
   - BroadcastNestedLoopJoin       (fine only when the broadcast side is
                                    a tiny aggregate / literal grid)
-  - unpartitioned Window          (single-task sort of the full input)
+  - GLOBAL-WINDOW                 (Window fed by Exchange SinglePartition —
+                                   detector shared with the test)
   - Exchange SinglePartition      (fine after aggregation, hazard before)
 
 Used to seed tests/test_scale_audit.py's allowlists with *reviewed*
-exceptions rather than guesses.
+exceptions rather than guesses; the pass/fail gate is that test, this
+script is the human-readable dump.
 """
 from __future__ import annotations
 
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -27,9 +27,10 @@ from etl_mudah_spark.plans import registry  # noqa: E402
 
 SF = "/root/testdata/sf0.001"
 
-# Window [funcs], [partitionSpec], [orderSpec] in the optimized plan —
-# an empty partitionSpec prints as `], [], [`.
-_UNPART_WINDOW = re.compile(r"Window \[[^\n]*\], \[\], \[")
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+)
+from tests.test_scale_audit import _global_windows  # noqa: E402
 
 
 def main() -> None:
@@ -39,9 +40,7 @@ def main() -> None:
     for name, q in registry.REGISTRY.items():
         try:
             df = q.spark_fn(spark, SF)
-            qe = df._jdf.queryExecution()
-            opt = qe.optimizedPlan().toString()
-            phys = qe.executedPlan().toString()
+            phys = df._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # pragma: no cover - diagnostic tool
             rows.append((name, f"BUILD-ERROR {str(e)[:120]}"))
             continue
@@ -50,8 +49,8 @@ def main() -> None:
             flags.append("CARTESIAN")
         if "BroadcastNestedLoopJoin" in phys:
             flags.append("BNLJ")
-        if _UNPART_WINDOW.search(opt):
-            flags.append("UNPART-WINDOW")
+        if _global_windows(phys):
+            flags.append("GLOBAL-WINDOW")
         n_single = phys.count("Exchange SinglePartition")
         if n_single:
             flags.append(f"SINGLE-EXCH x{n_single}")
