@@ -21,9 +21,15 @@ Importing this package registers every declared query into
 # priority_shares, keep_one_per_order, region_revenue, top_customers,
 # top3_orders_per_customer, shipping_priority, big_orders) are exactly
 # the ones the bench harness and tests/test_oracle.py execute against
-# their oracles every run anyway — with 101 registered queries and a
+# their oracles every run anyway — with 100+ registered queries and a
 # 50-row window, full rotation takes two rounds and these have the
 # strongest out-of-window coverage.
+#
+# Round-6 window should take: the 16 parity names above, the three
+# late-round-5 additions (ann_batch_topk, events_stream_sessions_native,
+# doc_bm25_search — never driver-rowed), and the remaining r3/r4-checked
+# tail; all 113 are sim-checked at sf0.01 AND sf0.1 regardless
+# (scripts/driver_sim.py, SPARK_GRAFT_SF_DIR_CORRECT).
 from etl_mudah_spark.plans import registry  # noqa: F401
 from etl_mudah_spark.plans import parity  # noqa: F401
 from etl_mudah_spark.plans import datapipe  # noqa: F401
