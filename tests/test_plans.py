@@ -181,6 +181,18 @@ def test_q7_q8_broadcast_the_dimension_sides(spark):
     assert "BroadcastHashJoin" in q8
 
 
+def test_bm25_filters_terms_before_shuffle_and_takes_ordered(spark):
+    """doc_bm25_search's scale claims: the query-term IN-filter sits
+    directly on the exploded tokens (the grouped relation is O(matching
+    doc-terms), not O(corpus tokens)), corpus stats broadcast, and the
+    final ranking is TakeOrdered, not sort+limit."""
+    plan = _plan(spark, "doc_bm25_search")
+    assert "TakeOrderedAndProject" in plan
+    filt = [l for l in plan.splitlines() if "Filter" in l and "IN (spark,window,merge)" in l]
+    assert filt, "query-term IN-list filter missing from the plan"
+    assert "BroadcastHashJoin" in plan  # per-term df joins broadcast
+
+
 def test_driver_window_is_exactly_50_registered_names(spark):
     """The grading driver records the FIRST 50 registered queries; the
     _PRIORITY list controls membership explicitly. Guard the contract:
