@@ -169,3 +169,87 @@ def test_keymod_flag_monotone_in_weight(spark, keys, w1, w2):
     assert row["none"] == 0
     assert row["all"] == len(keys)
     assert row["lo_not_hi"] == 0  # kept(lo) ⊆ kept(hi)
+
+
+# ---------------------------------------------------------------------------
+# as-of join == per-row "latest right row with ts' <= ts" lookup
+# ---------------------------------------------------------------------------
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 50)), min_size=1, max_size=15
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 50), st.integers(0, 999)),
+        max_size=15,
+    ),
+)
+@settings(**_SETTINGS)
+def test_asof_backward_matches_pointwise_lookup(spark, lefts, rights):
+    from etl_mudah_spark.operators.asof import asof_join_backward
+
+    # unique (key, ts) on the right — the contract's deterministic case
+    rdedup = {(k, t): v for k, t, v in rights}
+    rrows = [(k, t, v) for (k, t), v in rdedup.items()]
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lefts)], "lid bigint, k bigint, ts bigint"
+    )
+    rdf = spark.createDataFrame(rrows or [(0, -1, 0)], "k bigint, ts bigint, val bigint")
+    if not rrows:
+        rdf = rdf.where("k < 0")
+    got = {
+        r["lid"]: r["val_asof"]
+        for r in asof_join_backward(
+            ldf, rdf, ["k"], "ts", "ts", ["val"]
+        ).collect()
+    }
+    for i, (k, t) in enumerate(lefts):
+        prior = [(rt, v) for (rk, rt), v in rdedup.items() if rk == k and rt <= t]
+        want = max(prior)[1] if prior else None
+        assert got[i] == want, (i, k, t, got[i], want)
+
+
+# ---------------------------------------------------------------------------
+# distributed connected components == union-find oracle
+# ---------------------------------------------------------------------------
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=1, max_size=20
+    )
+)
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_duplicate_clusters_match_union_find(spark, edges):
+    from etl_mudah_spark.operators.graph import duplicate_clusters
+
+    pairs = [(min(a, b), max(a, b)) for a, b in edges if a != b]
+    if not pairs:
+        return
+    df = spark.createDataFrame(pairs, "doc_a bigint, doc_b bigint")
+    got = {r["node"]: r for r in duplicate_clusters(df).collect()}
+    roots = _union_find(pairs)
+    comp_min = {}
+    comp_size = {}
+    for n, r in roots.items():
+        comp_min[r] = min(comp_min.get(r, n), n)
+        comp_size[r] = comp_size.get(r, 0) + 1
+    assert set(got) == set(roots)
+    for n, r in roots.items():
+        assert got[n]["cluster_id"] == comp_min[r]
+        assert got[n]["n_docs"] == comp_size[r]
+        assert got[n]["is_survivor"] == (n == comp_min[r])
