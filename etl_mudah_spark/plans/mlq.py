@@ -194,3 +194,85 @@ def brand_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(y, x), 6).alias("intercept"),
         F.round(F.regr_r2(y, x), 6).alias("r2"),
     )
+
+
+@register(
+    "emb_pca_variance",
+    oracle="""
+    WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+    per_dim AS (
+        SELECT var_samp(embedding[dims.i]::DOUBLE) AS v
+        FROM embeddings, dims
+        GROUP BY dims.i
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vecs,
+           ROUND(SUM(v), 3) AS total_var,
+           TRUE AS evr_monotone,
+           TRUE AS evr_sum_ok,
+           TRUE AS pc1_var_ok
+    FROM per_dim
+    """,
+    doc=(
+        "Distributed PCA over the embedding corpus: exact total "
+        "variance (DuckDB twin) + eigenstructure invariant booleans."
+    ),
+)
+def emb_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA over the embedding column via pyspark.ml.feature.PCA — the
+    dimensionality-reduction stage of an embedding pipeline (whitening,
+    compression before ANN indexing), run as one distributed JVM
+    covariance + local eigensolve; no vectors ever reach the driver.
+
+    Driver-hashable invariant row (the exact-twin pattern of
+    events_user_hll): ``n_vecs``/``total_var`` are exact and DuckDB
+    recomputes them (per-dimension sample variances summed — the trace
+    of the covariance matrix); the eigenstructure itself is not
+    SQL-expressible, so it rides as booleans the Spark side only emits
+    TRUE when they actually hold: explained-variance ratios sorted
+    descending, their sum in (0, 1], and — tying the eigensolve to the
+    distributed transform — the sample variance of the first projected
+    component equal to evr[0] * total_var within 1%.
+    """
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.sql import functions as F
+
+    K = 8
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        array_to_vector(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "features"
+        )
+    )
+    model = PCA(k=K, inputCol="features", outputCol="pc").fit(vecs)
+    evr = [float(x) for x in model.explainedVariance]
+
+    # Exact twin: trace of the covariance matrix = sum of per-dimension
+    # sample variances. posexplode -> (dim, value) -> 64-group agg; one
+    # narrow shuffle regardless of corpus size.
+    stats = (
+        emb.select(F.posexplode("embedding").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.var_samp(F.col("x").cast("double")).alias("v"))
+        .agg(F.sum("v").alias("total_var"))
+        .first()
+    )
+    total_var = float(stats["total_var"])
+    n_vecs = emb.count()
+
+    # Distributed cross-check: var(first projected component) must be
+    # evr[0] * total_var (PCA maximizes exactly that variance).
+    pc1_var = float(
+        model.transform(vecs)
+        .select(vector_to_array("pc")[0].alias("pc1"))
+        .agg(F.var_samp("pc1"))
+        .first()[0]
+    )
+    monotone = all(a >= b - 1e-12 for a, b in zip(evr, evr[1:]))
+    sum_ok = 0.0 < sum(evr) <= 1.0 + 1e-9
+    pc1_ok = abs(pc1_var - evr[0] * total_var) <= 0.01 * total_var
+    return spark.createDataFrame(
+        [(n_vecs, round(total_var, 3), bool(monotone), bool(sum_ok), bool(pc1_ok))],
+        "n_vecs bigint, total_var double, evr_monotone boolean, "
+        "evr_sum_ok boolean, pc1_var_ok boolean",
+    )

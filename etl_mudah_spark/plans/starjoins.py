@@ -953,3 +953,136 @@ def nation_market_share_in_region(spark: SparkSession, sf_dir: str) -> DataFrame
             share_vol.cast("double") / F.sum("volume").cast("double"), 6
         ).alias("mkt_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape: returned-item revenue by customer — a quarter of
+# orders, only 'R' lineitems, top-20 losers with full customer payload.
+# Scale: both filters (date on orders, returnflag on lineitem) are
+# pushed to the scans BEFORE the orderkey shuffle join; customer joins
+# after the groupBy so the shuffle carries (custkey, revenue) partials,
+# not the 8-column customer payload; nation broadcasts at any sf.
+# ---------------------------------------------------------------------------
+_Q10_DATE_LO, _Q10_DATE_HI = "1996-01-01", "1996-10-01"
+
+
+@register(
+    "returned_item_customers",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           ROUND({oracle_dsum(_DISC_PRICE)}, 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(MAX(c_acctbal), 2) AS acctbal
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= DATE '{_Q10_DATE_LO}'
+      AND o_orderdate < DATE '{_Q10_DATE_HI}'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    doc=(
+        "TPC-H Q10 shape: top-20 customers by revenue lost to returned "
+        "items in a 3-quarter window."
+    ),
+)
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(_Q10_DATE_LO).cast("date"))
+        & (F.col("o_orderdate") < F.lit(_Q10_DATE_HI).cast("date"))
+    ).select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # Aggregate to per-customer partials FIRST, then join the customer
+    # payload onto 20 + ties worth of rows — at 100 TB the orderkey
+    # join is the only big shuffle; the custkey groupBy output is
+    # |customers| rows, and the payload join shuffles that, not
+    # lineitem.
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.round(dsum(_disc_price()), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+    return (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            "revenue",
+            "n_items",
+            F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 shape: product-line profit by supplier nation and order
+# year. The schema has no partsupp table (TESTDATA.md), so supply cost
+# is proxied as 60% of p_retailprice — the JOIN GRAPH (lineitem ⨝ part
+# ⨝ supplier ⨝ orders ⨝ nation, part filtered on a name substring) is
+# what this query exercises, not TPC-H's cost constants.
+# Scale: part pre-filtered on the substring then broadcast while small
+# (AQE re-plans when it isn't); supplier/nation broadcast at any sf;
+# the one unavoidable big shuffle is lineitem ⨝ orders on orderkey.
+# ---------------------------------------------------------------------------
+_Q9_PART_SUBSTR = "widget"
+
+
+@register(
+    "part_profit_by_nation_year",
+    oracle=f"""
+    SELECT n_name, YEAR(o_orderdate) AS o_year,
+           ROUND({oracle_dsum(f'{_DISC_PRICE} - 0.6 * p_retailprice * l_quantity')}, 2)
+               AS profit,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%{_Q9_PART_SUBSTR}%'
+    GROUP BY n_name, o_year
+    """,
+    doc=(
+        "TPC-H Q9 shape: profit (revenue minus proxied supply cost) on "
+        "one product line, by supplier nation and order year."
+    ),
+)
+def part_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    part = load(spark, sf_dir, "part").where(
+        F.col("p_name").contains(_Q9_PART_SUBSTR)
+    ).select("p_partkey", "p_retailprice")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = _disc_price() - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(dsum(profit), 2).alias("profit"),
+            F.count("*").alias("n_items"),
+        )
+    )
