@@ -112,6 +112,21 @@ def ngram_decontaminate_spans(
     hits = ngram_positions(corpus, id_col, text_col, n).join(
         grams, "gram", "left_semi"
     )
+    return positions_to_spans(hits, id_col=id_col, n=n)
+
+
+def positions_to_spans(
+    hits: DataFrame, id_col: str = "doc_id", n: int = 13
+) -> DataFrame:
+    """Merge matched n-gram positions ``(id_col, pos)`` into contiguous
+    spans — the gaps-and-islands shared by span decontamination and
+    intra-corpus repeated-span detection (dedup.repeated_ngram_spans).
+
+    A match at position p covers tokens [p, p+n-1]; matches whose
+    windows overlap or touch (gap <= n positions) merge. The window
+    partitions by doc over MATCHING positions only — no unpartitioned
+    window, and the per-doc row count is bounded by matches, not
+    document length."""
     w = Window.partitionBy(id_col).orderBy("pos")
     prev = F.lag("pos").over(w)
     brk = F.when(prev.isNull() | (F.col("pos") - prev > n), 1).otherwise(0)

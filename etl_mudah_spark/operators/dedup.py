@@ -477,3 +477,67 @@ def simhash_near_duplicates(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Intra-corpus repeated spans (substring-level dedup)
+# ---------------------------------------------------------------------------
+
+def repeated_ngram_spans(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Token ranges duplicated ACROSS documents: contiguous spans built
+    from word n-grams that occur in >= ``min_docs`` distinct docs —
+    the substring-level dedup shape (memorization-prone boilerplate:
+    headers, licenses, templates) that document-level near-dedup
+    (MinHash) cannot see, published as "Deduplicating Training Data
+    Makes Language Models Better" (Lee et al., 2022; suffix arrays
+    there, positional n-gram joins here — same detection contract at
+    span granularity, engine-friendly).
+
+    Output matches :func:`~etl_mudah_spark.operators.decontam.\
+ngram_decontaminate_spans`: (id, span_id, span_start, span_end,
+    n_matched_grams) — a scrubber excises [span_start, span_end].
+
+    100 TB shape:
+    - Two map passes over the corpus, each shuffled on gram: the
+      frequency side is COLUMN-PRUNED to (gram, doc_id) and partially
+      aggregated map-side before its exchange (which is also why
+      Catalyst can't ReuseExchange it against the positional side —
+      the narrower plan is the cheaper of the two trades); the
+      positional side ships (doc_id, pos, gram) once into the
+      shuffle_hash semi-join.
+    - The distinct-doc count per gram is a partial-aggregating
+      count_distinct, never a collect; repeated grams (the join's
+      build side) are a vanishing fraction of all grams. Hash agg +
+      semi-join rather than a single gram-partitioned window
+      (dense_rank max) deliberately: partial aggregation absorbs
+      hot-boilerplate gram skew that a window sort cannot.
+    - Span assembly windows partition by doc over matching positions
+      only (operators/decontam.py:positions_to_spans).
+    - Grams travel as strings here for oracle exactness; a production
+      run at 100 TB should key the shuffle on xxhash64(gram) instead
+      (8 bytes vs ~n words) and accept the 2^-64 collision odds, as
+      the chunk-dedup path does.
+    """
+    from etl_mudah_spark.operators.decontam import (
+        ngram_positions,
+        positions_to_spans,
+    )
+
+    pos = ngram_positions(corpus, id_col, text_col, n)
+    repeated = (
+        pos.hint("shuffle_hash")
+        .groupBy("gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("gram")
+    )
+    hits = pos.hint("shuffle_hash").join(
+        repeated.hint("shuffle_hash"), "gram", "left_semi"
+    )
+    return positions_to_spans(hits, id_col=id_col, n=n)

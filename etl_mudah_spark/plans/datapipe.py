@@ -1292,3 +1292,63 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute = sim.brute_force_topk(emb, qvec, k=10)
     approx = sim.pq_topk(emb, books, qvec, k=10, shortlist=max(100, n // 5))
     return _ann_recall_rows(brute, approx)
+
+
+REPEATED_SPAN_N = 13
+REPEATED_SPAN_MIN_DOCS = 2
+
+
+@register(
+    "doc_repeated_spans",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+    ), g AS (
+        SELECT doc_id, i AS pos,
+               list_aggregate(w[i:i+{REPEATED_SPAN_N - 1}], 'string_agg', ' ') AS gram
+        FROM t, UNNEST(range(1, len(w) - {REPEATED_SPAN_N - 2})) AS u(i)
+        WHERE len(w) >= {REPEATED_SPAN_N}
+    ), rep AS (
+        SELECT gram FROM g
+        GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= {REPEATED_SPAN_MIN_DOCS}
+    ), hits AS (
+        SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM rep)
+    ), flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN LAG(pos) OVER w IS NULL
+                         OR pos - LAG(pos) OVER w > {REPEATED_SPAN_N}
+                    THEN 1 ELSE 0 END AS brk
+        FROM hits
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), spans AS (
+        SELECT doc_id, pos,
+               CAST(SUM(brk) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS UNBOUNDED PRECEDING) AS INT) AS span_id
+        FROM flagged
+    )
+    SELECT doc_id, span_id,
+           MIN(pos) AS span_start,
+           MAX(pos) + {REPEATED_SPAN_N - 1} AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_matched_grams
+    FROM spans GROUP BY doc_id, span_id
+    """,
+    doc=(
+        "Intra-corpus repeated spans: contiguous 13-gram token ranges "
+        "duplicated across >= 2 documents (substring-level dedup)."
+    ),
+)
+def doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup report — the within-corpus sibling of
+    doc_decontaminate_spans: spans built from 13-grams occurring in >= 2
+    distinct docs (boilerplate, templates, licenses), which MinHash
+    doc-level dedup cannot see when the surrounding documents differ.
+    Detection contract of Lee et al. 2022 at n-gram granularity; plan
+    shape (single gram exchange reused by frequency agg and semi-join,
+    matches-only span windows) in operators/dedup.py:
+    repeated_ngram_spans."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return dd.repeated_ngram_spans(
+        docs, n=REPEATED_SPAN_N, min_docs=REPEATED_SPAN_MIN_DOCS
+    )

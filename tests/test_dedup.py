@@ -163,3 +163,53 @@ def test_incremental_without_batch_pairs_is_cross_only(spark, tmp_path):
     assert rows
     for r in rows:
         assert r["doc_a"] in corpus_ids and r["doc_b"] in batch_ids
+
+
+# ---------------------------------------------------------------------------
+# repeated_ngram_spans
+# ---------------------------------------------------------------------------
+
+BOILER = " ".join(f"b{i}" for i in range(13))  # exactly one 13-gram
+UNIQ = lambda d, k: " ".join(f"u{d}_{i}" for i in range(k))  # noqa: E731
+
+
+def test_repeated_spans_finds_cross_doc_boilerplate(spark):
+    """A 13-token boilerplate shared by docs 0/1 yields one span per
+    doc at the right offsets; the unique doc 2 yields nothing."""
+    from etl_mudah_spark.operators.dedup import repeated_ngram_spans
+
+    rows = [
+        (0, f"{BOILER} {UNIQ(0, 20)}"),          # boilerplate at pos 1
+        (1, f"{UNIQ(1, 5)} {BOILER} {UNIQ(1, 8)}"),  # at pos 6
+        (2, UNIQ(2, 40)),                         # no shared grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = repeated_ngram_spans(df, n=13, min_docs=2).collect()
+    by_doc = {r["doc_id"]: r for r in out}
+    assert set(by_doc) == {0, 1}
+    assert (by_doc[0]["span_start"], by_doc[0]["span_end"]) == (1, 13)
+    assert (by_doc[1]["span_start"], by_doc[1]["span_end"]) == (6, 18)
+    assert all(r["n_matched_grams"] == 1 for r in out)
+
+
+def test_repeated_spans_merges_touching_windows(spark):
+    """Two shared grams <= n positions apart merge into one span; a
+    doc-internal repeat alone does NOT fire (min_docs counts docs)."""
+    from etl_mudah_spark.operators.dedup import repeated_ngram_spans
+
+    shared = " ".join(f"s{i}" for i in range(14))  # two overlapping 13-grams
+    internal = " ".join(f"x{i}" for i in range(13))
+    rows = [
+        (0, f"{shared} {UNIQ(0, 10)}"),
+        (1, f"{UNIQ(1, 3)} {shared}"),
+        # doc 2 repeats `internal` twice but no other doc has it
+        (2, f"{internal} {UNIQ(2, 4)} {internal}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = repeated_ngram_spans(df, n=13, min_docs=2).collect()
+    by_doc = {r["doc_id"]: r for r in out}
+    assert set(by_doc) == {0, 1}
+    # both positional grams of `shared` merge into a single 14-token span
+    assert (by_doc[0]["span_start"], by_doc[0]["span_end"]) == (1, 14)
+    assert by_doc[0]["n_matched_grams"] == 2
+    assert (by_doc[1]["span_start"], by_doc[1]["span_end"]) == (4, 17)
