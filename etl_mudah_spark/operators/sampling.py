@@ -195,3 +195,45 @@ def stratified_topn(
         .where(F.col("_rn") <= n)
         .drop("_rn")
     )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    tokens_col: str,
+    budget: Column,
+    buckets: int = 1000,
+) -> DataFrame:
+    """Deterministically downsample each stratum to a TOKEN budget: the
+    pretraining-mix primitive ("2T tokens of web, 300B of code") where
+    targets are token counts, not row fractions.
+
+    Adds boolean ``_kept``: a doc survives iff
+
+        (key % buckets) * stratum_total_tokens < budget * buckets
+
+    — the keymod rule with keep-rate budget/total expressed as one
+    EXACT bigint cross-multiplication: no floating-point rate, no
+    round(), so engines can't disagree at threshold boundaries and
+    re-runs/appends never flip an already-kept key (same contract as
+    :func:`keymod_flag`). Strata under budget keep everything (rate
+    clamps at 1 since key % buckets < buckets always).
+
+    Plan: one narrow agg for per-stratum totals (tiny: |strata| rows,
+    broadcast back), then a map-only flag — the corpus is scanned, never
+    shuffled. ``budget`` is a per-row Column (CASE over the stratum) so
+    mixes with different per-domain targets stay one pass.
+
+    Overflow: (buckets-1) * total_tokens must fit int64 — fine through
+    ~9e15 tokens at buckets=1000; pass smaller buckets at exa-scale.
+    """
+    totals = df.groupBy(strata_col).agg(
+        F.sum(F.col(tokens_col)).cast("bigint").alias("_stratum_tokens")
+    )
+    joined = df.join(F.broadcast(totals), strata_col)
+    kept = (
+        F.pmod(F.col(key_col), F.lit(buckets)).cast("bigint")
+        * F.col("_stratum_tokens")
+    ) < (budget.cast("bigint") * F.lit(buckets))
+    return joined.withColumn("_kept", kept)

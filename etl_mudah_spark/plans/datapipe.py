@@ -1352,3 +1352,74 @@ def doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.repeated_ngram_spans(
         docs, n=REPEATED_SPAN_N, min_docs=REPEATED_SPAN_MIN_DOCS
     )
+
+
+TOKEN_BUDGET_EVEN = 5000  # over supply -> keep every doc
+TOKEN_BUDGET_ODD = 800    # under supply -> deterministic downsample
+
+
+@register(
+    "doc_token_budget_mix",
+    oracle=rf"""
+    WITH d AS (
+        SELECT doc_id, source,
+               len({_WORDS_SQL}) AS n_tok,
+               CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                    THEN {TOKEN_BUDGET_EVEN} ELSE {TOKEN_BUDGET_ODD} END AS budget
+        FROM documents
+    ), t AS (
+        SELECT source, CAST(SUM(n_tok) AS BIGINT) AS stratum_tokens
+        FROM d GROUP BY source
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN (doc_id % 100) * stratum_tokens
+                              < budget * 100 THEN 1 ELSE 0 END) AS BIGINT)
+               AS kept_docs,
+           CAST(SUM(CASE WHEN (doc_id % 100) * stratum_tokens
+                              < budget * 100 THEN n_tok ELSE 0 END) AS BIGINT)
+               AS kept_tokens
+    FROM d JOIN t ON d.source = t.source
+    GROUP BY d.source ORDER BY d.source
+    """,
+    doc=(
+        "Token-budget domain mixing: downsample each source to a token "
+        "target via exact integer keymod cross-multiplication."
+    ),
+)
+def doc_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pretraining-mix primitive with TOKEN targets (not row
+    fractions): even-numbered sources get a budget above their supply
+    (keep-all path), odd sources an under-supply budget (deterministic
+    keymod downsample; buckets=100 so the synthetic 0..499 doc_id
+    space stays uniform mod buckets). The keep rule is one exact bigint
+    cross-multiplication — no float rate, no round() — so the DuckDB
+    twin matches bit-for-bit and appends never flip old keys. Plan in
+    operators/sampling.py:token_budget_mix (tiny per-stratum totals
+    broadcast back; corpus scanned, never shuffled)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tx.words("text")).cast("bigint").alias("n_tok"),
+    )
+    budget = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0,
+        F.lit(TOKEN_BUDGET_EVEN),
+    ).otherwise(F.lit(TOKEN_BUDGET_ODD))
+    flagged = smp.token_budget_mix(
+        docs, key_col="doc_id", strata_col="source",
+        tokens_col="n_tok", budget=budget, buckets=100,
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.sum(F.col("_kept").cast("bigint")).alias("kept_docs"),
+            F.sum(F.when(F.col("_kept"), F.col("n_tok")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )

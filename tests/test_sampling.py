@@ -94,3 +94,44 @@ def test_md5_global_order_matches_single_window(spark):
     }
     assert got == want
     assert sorted(got.values()) == list(range(1, 308))
+
+
+def test_token_budget_mix_keeps_under_budget_and_downsamples_over(spark):
+    from etl_mudah_spark.operators.sampling import token_budget_mix
+
+    # big: ids 0..399 (4 full mod-100 cycles -> exact keymod fractions),
+    # small: ids far away in key space, trivially under budget
+    rows = [(i, "big", 10) for i in range(400)] + [
+        (10_000 + i, "small", 10) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, n_tok bigint")
+    budget = F.when(F.col("source") == "small", F.lit(10_000)).otherwise(
+        F.lit(2_000)  # big stratum supplies 4000 tokens -> rate 0.5
+    )
+    out = token_budget_mix(
+        df, "doc_id", "source", "n_tok", budget, buckets=100
+    ).collect()
+    small = [r for r in out if r["source"] == "small"]
+    big = [r for r in out if r["source"] == "big"]
+    assert all(r["_kept"] for r in small)  # under budget: keep all
+    kept_big = {r["doc_id"] for r in big if r["_kept"]}
+    # rate 0.5 -> exactly keys with doc_id % 100 < 50, half of each cycle
+    assert kept_big == {i for i in range(400) if i % 100 < 50}
+
+
+def test_token_budget_mix_is_append_stable(spark):
+    """A key kept at one corpus snapshot stays kept after appending
+    docs to OTHER strata (its stratum total unchanged)."""
+    from etl_mudah_spark.operators.sampling import token_budget_mix
+
+    base = [(i, "a", 7) for i in range(200)]
+    extra = [(1000 + i, "b", 5) for i in range(100)]
+    budget = F.lit(700)  # a supplies 1400 -> rate 0.5
+    schema = "doc_id bigint, source string, n_tok bigint"
+
+    def kept_a(rows):
+        df = spark.createDataFrame(rows, schema)
+        out = token_budget_mix(df, "doc_id", "source", "n_tok", budget).collect()
+        return {r["doc_id"] for r in out if r["source"] == "a" and r["_kept"]}
+
+    assert kept_a(base) == kept_a(base + extra)
