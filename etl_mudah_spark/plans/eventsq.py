@@ -761,3 +761,32 @@ def events_hourly_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("hour_start", F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt"))
         .orderBy("hour_start")
     )
+
+
+@register(
+    "events_stream_unconverted",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'
+    ), p AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT v.user_id, CAST(COUNT(*) AS BIGINT) AS unconverted_views
+    FROM v
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.user_id = v.user_id
+          AND p.ts >= v.ts
+          AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    )
+    GROUP BY v.user_id
+    """,
+    doc=(
+        "Left-outer watermarked stream-stream join: views with no "
+        "purchase within 30 min, per user (abandonment counting)."
+    ),
+)
+def events_stream_unconverted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_mudah_spark.streaming.stateful import stream_unconverted_views
+
+    return stream_unconverted_views(spark, sf_dir, window_minutes=30)

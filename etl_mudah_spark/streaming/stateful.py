@@ -228,3 +228,77 @@ def stream_sessionize_stateful(
         return out.where(F.col("user_id") != _SENTINEL_USER)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+
+
+def stream_unconverted_views(
+    spark: SparkSession, sf_dir: str, window_minutes: int = 30
+) -> DataFrame:
+    """Views NOT followed by a purchase from the same user within
+    ``window_minutes`` — the LEFT OUTER watermarked stream-stream join,
+    the one join mode the inner attribution join
+    (pipeline.stream_view_purchase_join) does not cover.
+
+    Outer-ness is what makes this stateful in a way inner joins are
+    not: a null-padded row may only be emitted once the watermark
+    proves no matching purchase can still arrive (v_ts + window +
+    delay), so unmatched views are HELD in the join state until event
+    time passes them. A single-file stream would never emit them —
+    the batch's own watermark update only takes effect afterwards —
+    hence the sentinel staging (the sessionizers' machinery): late
+    sentinel files advance event time in follow-up micro-batches and
+    flush the outer state. Sentinels must pass BOTH side filters
+    (each side admits event_type 'sentinel'), because the join's
+    global watermark is the MIN over both sides — a sentinel dropped
+    from one side would stall it; sentinel rows join only each other
+    (same user, same ts) and are dropped by the final user filter.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ddl, ts_dtype = events_raw_schema(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+    staging = tempfile.mkdtemp(prefix="unconverted_")
+    try:
+        _stage_with_sentinels(spark, sf_dir, staging, ddl, ts_dtype)
+        raw = normalize_ts(
+            spark.readStream.schema(ddl)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staging),
+            ts_dtype,
+        )
+        views = (
+            raw.where(F.col("event_type").isin("view", "sentinel"))
+            .select(
+                F.col("user_id").alias("v_user"),
+                F.col("event_id").alias("v_id"),
+                F.col("ts").alias("v_ts"),
+            )
+            .withWatermark("v_ts", "1 hour")
+        )
+        purchases = (
+            raw.where(F.col("event_type").isin("purchase", "sentinel"))
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("p_id"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        joined = views.join(
+            purchases,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (
+                F.col("p_ts")
+                <= F.col("v_ts") + F.expr(f"INTERVAL {window_minutes} MINUTES")
+            ),
+            "leftOuter",
+        )
+        result = drain_to_parquet(joined, spark, "append")
+        return (
+            result.where(F.col("p_id").isNull())
+            .where(F.col("v_user") != _SENTINEL_USER)
+            .groupBy(F.col("v_user").alias("user_id"))
+            .agg(F.count("*").alias("unconverted_views"))
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
