@@ -253,3 +253,35 @@ def test_duplicate_clusters_match_union_find(spark, edges):
         assert got[n]["cluster_id"] == comp_min[r]
         assert got[n]["n_docs"] == comp_size[r]
         assert got[n]["is_survivor"] == (n == comp_min[r])
+
+
+# ---------------------------------------------------------------------------
+# token_budget_mix: monotone in budget, exact under-budget keep-all
+# ---------------------------------------------------------------------------
+@given(
+    toks=st.lists(st.integers(1, 50), min_size=1, max_size=40),
+    b1=st.integers(0, 2000),
+    b2=st.integers(0, 2000),
+)
+@settings(**_SETTINGS)
+def test_token_budget_mix_monotone_in_budget(spark, toks, b1, b2):
+    """A bigger token budget never drops a doc the smaller budget kept,
+    and a budget >= the stratum's supply keeps everything."""
+    from etl_mudah_spark.operators.sampling import token_budget_mix
+
+    lo, hi = sorted((b1, b2))
+    df = spark.createDataFrame(
+        [(i, "s", t) for i, t in enumerate(toks)],
+        "doc_id bigint, source string, n_tok bigint",
+    )
+
+    def kept(budget):
+        out = token_budget_mix(
+            df, "doc_id", "source", "n_tok", F.lit(budget)
+        ).collect()
+        return {r["doc_id"] for r in out if r["_kept"]}
+
+    kept_lo, kept_hi = kept(lo), kept(hi)
+    assert kept_lo <= kept_hi
+    if hi >= sum(toks):
+        assert kept_hi == set(range(len(toks)))
