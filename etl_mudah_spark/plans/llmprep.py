@@ -486,3 +486,65 @@ def vocab_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "term string, exact_cnt bigint, cms_ok boolean"
     )
+
+
+ZIPF_TOP_K = 200
+
+
+@register(
+    "vocab_zipf_fit",
+    oracle=f"""
+    WITH tf AS (
+        SELECT lower(term) AS term, COUNT(*) AS freq
+        FROM (SELECT UNNEST({_WORDS_SQL}) AS term FROM documents)
+        GROUP BY 1
+    ), top AS (
+        SELECT term, freq FROM tf
+        ORDER BY freq DESC, term ASC LIMIT {ZIPF_TOP_K}
+    ), ranked AS (
+        SELECT freq,
+               ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC) AS rnk
+        FROM top
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+           ROUND(regr_slope(ln(freq), ln(rnk)), 6) AS zipf_slope,
+           ROUND(regr_intercept(ln(freq), ln(rnk)), 6) AS zipf_intercept,
+           ROUND(regr_r2(ln(freq), ln(rnk)), 6) AS fit_r2
+    FROM ranked
+    """,
+    doc=(
+        "Zipf law fit over the corpus vocabulary: OLS of log-frequency "
+        "on log-rank for the top-200 terms."
+    ),
+)
+def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus health diagnostic: natural text follows Zipf's law (log
+    frequency ~ -1 x log rank); a slope far from -1 or a poor fit flags
+    synthetic/templated/spam-heavy corpora before they reach training.
+    Closed-form OLS via the regr_* aggregate family on both engines.
+
+    Scale: term frequencies reduce corpus-wide via one hash agg; only
+    the TakeOrdered top-K (a K-row result computed distributed, K=200)
+    feeds the rank window — the single-partition window sees K rows,
+    never the vocabulary (allowlisted in tests/test_scale_audit.py
+    with the other bounded post-aggregation windows)."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(tx.words("text")).alias("term"))
+        .select(F.lower("term").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+    top = tf.orderBy(F.desc("freq"), F.asc("term")).limit(ZIPF_TOP_K)
+    ranked = top.withColumn(
+        "rnk", F.row_number().over(W.orderBy(F.desc("freq"), F.asc("term")))
+    )
+    lf, lr = F.log("freq"), F.log("rnk")
+    return ranked.agg(
+        F.count("*").alias("n_terms"),
+        F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(lf, lr), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(lf, lr), 6).alias("fit_r2"),
+    )

@@ -72,6 +72,9 @@ _BNLJ_ALLOWED = {
 #     of that design is that only these ≤256 rows hit one task.
 #   - daily_revenue_moving_avg: 7-day moving average over one row per
 #     DAY (post-aggregation), O(calendar days) regardless of data size.
+# (vocab_zipf_fit's rank window runs over its TakeOrdered top-200
+# result, which is already a single partition — no Exchange
+# SinglePartition appears, so the detector rightly stays quiet.)
 _GLOBAL_WINDOW_ALLOWED = {
     "customer_balance_deciles",
     "parts_pareto_80",
