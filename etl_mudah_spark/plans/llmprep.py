@@ -548,3 +548,66 @@ def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(lf, lr), 6).alias("zipf_intercept"),
         F.round(F.regr_r2(lf, lr), 6).alias("fit_r2"),
     )
+
+
+@register(
+    "doc_unigram_surprisal",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, lower(term) AS term
+        FROM (SELECT source, UNNEST({_WORDS_SQL}) AS term FROM documents)
+    ), tf AS (
+        SELECT term, COUNT(*) AS freq FROM tok GROUP BY term
+    ), tot AS (
+        SELECT COUNT(*) AS n_total FROM tok
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(-ln(freq * 1.0 / n_total) AS DECIMAL(18,6)))
+                AS DOUBLE) / COUNT(*) AS mean_surprisal
+    FROM tok JOIN tf USING (term) CROSS JOIN tot
+    GROUP BY source
+    """,
+    doc=(
+        "Per-domain mean token surprisal (cross-entropy vs the corpus "
+        "unigram LM): an info-theoretic quality/outlier diagnostic."
+    ),
+)
+def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level cross-entropy against the corpus's own unigram
+    model: mean over a domain's TOKENS of -ln p(term), p = corpus term
+    frequency. Low-surprisal domains are repetitive/templated; spikes
+    flag vocabulary drift or junk — the cheap LM-free cousin of
+    perplexity filtering.
+
+    Determinism across engines: the double division freq/n_total and
+    libm ln are bit-identical (same doubles in, same out — the Zipf
+    query pins the same pair), and each token's surprisal is cast to
+    DECIMAL(18,6) before summation (the dsum discipline) so the
+    association order of the sum can't matter.
+
+    Scale: term frequencies reduce via one hash agg; the (term, freq)
+    vocabulary broadcasts back onto the token stream (word vocab is
+    bounded — millions of rows, MBs — even at 100 TB; swap to a
+    shuffle join for open-ended token spaces), and the 1-row total
+    rides a broadcast crossJoin, never a collect.
+    """
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+    tok = docs.select(
+        "source", F.explode(tx.words("text")).alias("term")
+    ).select("source", F.lower("term").alias("term"))
+    tf = tok.groupBy("term").agg(F.count("*").alias("freq"))
+    total = tok.agg(F.count("*").alias("n_total"))
+    surprisal = -F.log(F.col("freq") / F.col("n_total"))
+    return (
+        tok.join(F.broadcast(tf), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (
+                F.sum(surprisal.cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ).alias("mean_surprisal"),
+        )
+    )
