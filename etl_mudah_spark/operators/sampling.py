@@ -215,10 +215,23 @@ def token_budget_mix(
 
     — the keymod rule with keep-rate budget/total expressed as one
     EXACT bigint cross-multiplication: no floating-point rate, no
-    round(), so engines can't disagree at threshold boundaries and
-    re-runs/appends never flip an already-kept key (same contract as
-    :func:`keymod_flag`). Strata under budget keep everything (rate
-    clamps at 1 since key % buckets < buckets always).
+    round(), so engines can't disagree at threshold boundaries, and
+    re-runs on the same snapshot are bit-identical. Strata under
+    budget keep everything (rate clamps at 1 since key % buckets <
+    buckets always).
+
+    Determinism vs growth: appending docs to OTHER strata never flips
+    a kept key (its stratum total is untouched — pinned by the
+    property tests), but appending to the SAME stratum raises its
+    total and lowers the keep rate, so previously kept keys near the
+    threshold drop out — the rule tracks the budget, it is not a
+    frozen sample. To freeze a shipped mix, persist the
+    ``_stratum_tokens`` snapshot and join that instead of
+    re-aggregating.
+
+    Rows whose ``strata_col`` is NULL have no meaningful total; they
+    come back with ``_kept = false`` (row-preserving) rather than
+    silently vanishing in the totals join.
 
     Plan: one narrow agg for per-stratum totals (tiny: |strata| rows,
     broadcast back), then a map-only flag — the corpus is scanned, never
@@ -231,9 +244,12 @@ def token_budget_mix(
     totals = df.groupBy(strata_col).agg(
         F.sum(F.col(tokens_col)).cast("bigint").alias("_stratum_tokens")
     )
-    joined = df.join(F.broadcast(totals), strata_col)
+    # Left join: a NULL stratum matches no totals row (SQL NULL equi-
+    # join semantics) — keep the row and flag it dropped instead of
+    # losing it from the output frame.
+    joined = df.join(F.broadcast(totals), strata_col, "left")
     kept = (
         F.pmod(F.col(key_col), F.lit(buckets)).cast("bigint")
         * F.col("_stratum_tokens")
     ) < (budget.cast("bigint") * F.lit(buckets))
-    return joined.withColumn("_kept", kept)
+    return joined.withColumn("_kept", F.coalesce(kept, F.lit(False)))

@@ -25,7 +25,7 @@ Importing this package registers every declared query into
 # 50-row window, full rotation takes two rounds and these have the
 # strongest out-of-window coverage.
 #
-# Round-6 window should take: the 16 parity names above, the ten
+# Round-6 window should take: the 16 parity names above, the eleven
 # late-round-5 additions (ann_batch_topk, events_stream_sessions_native,
 # doc_bm25_search, returned_item_customers, part_profit_by_nation_year,
 # emb_pca_variance, doc_repeated_spans, doc_token_budget_mix,

@@ -1345,9 +1345,10 @@ def doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct docs (boilerplate, templates, licenses), which MinHash
     doc-level dedup cannot see when the surrounding documents differ.
     Detection contract of Lee et al. 2022 at n-gram granularity; plan
-    shape (single gram exchange reused by frequency agg and semi-join,
-    matches-only span windows) in operators/dedup.py:
-    repeated_ngram_spans."""
+    shape (two gram-shuffled corpus passes — the frequency side
+    column-pruned and map-side partial-aggregated, the positional side
+    feeding the semi-join — plus matches-only span windows) in
+    operators/dedup.py:repeated_ngram_spans."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return dd.repeated_ngram_spans(
         docs, n=REPEATED_SPAN_N, min_docs=REPEATED_SPAN_MIN_DOCS
@@ -1395,7 +1396,9 @@ def doc_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     keymod downsample; buckets=100 so the synthetic 0..499 doc_id
     space stays uniform mod buckets). The keep rule is one exact bigint
     cross-multiplication — no float rate, no round() — so the DuckDB
-    twin matches bit-for-bit and appends never flip old keys. Plan in
+    twin matches bit-for-bit and appends to OTHER sources never flip a
+    kept key (same-source appends re-rate the stratum — see the
+    operator docstring for the frozen-snapshot recipe). Plan in
     operators/sampling.py:token_budget_mix (tiny per-stratum totals
     broadcast back; corpus scanned, never shuffled)."""
     docs = load(spark, sf_dir, "documents").select(

@@ -597,7 +597,10 @@ def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(tx.words("text")).alias("term")
     ).select("source", F.lower("term").alias("term"))
     tf = tok.groupBy("term").agg(F.count("*").alias("freq"))
-    total = tok.agg(F.count("*").alias("n_total"))
+    # Corpus token total = sum of the term frequencies: re-aggregate
+    # the |vocab|-row tf frame rather than re-scanning and re-exploding
+    # the corpus a third time for a plain count.
+    total = tf.agg(F.sum("freq").alias("n_total"))
     surprisal = -F.log(F.col("freq") / F.col("n_total"))
     return (
         tok.join(F.broadcast(tf), "term")

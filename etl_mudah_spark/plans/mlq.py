@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from etl_mudah_spark.ml.price_model import train_price_model
+from etl_mudah_spark.plans.datapipe import EMB_DIM
 from etl_mudah_spark.plans.registry import register
 from etl_mudah_spark.tables import load
 
@@ -198,8 +199,8 @@ def brand_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_pca_variance",
-    oracle="""
-    WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+    oracle=f"""
+    WITH dims AS (SELECT unnest(range(1, {EMB_DIM + 1})) AS i),
     per_dim AS (
         SELECT var_samp(embedding[dims.i]::DOUBLE) AS v
         FROM embeddings, dims

@@ -293,10 +293,20 @@ def stream_unconverted_views(
             ),
             "leftOuter",
         )
-        result = drain_to_parquet(joined, spark, "append")
+        # The p_id IS NULL filter runs BEFORE the sink: matched rows
+        # are discarded anyway, and a null-accepting predicate on the
+        # null-extended (right) side cannot be pushed below the outer
+        # join — staging shrinks from O(matches) to O(unconverted
+        # views). The sentinel-user filter must stay AFTER the sink:
+        # it is a LEFT-side predicate the optimizer pushes below the
+        # join and the views-side EventTimeWatermark, which starves
+        # that watermark of the sentinel rows and stalls the outer
+        # state flush (observed as undercounted users when both
+        # filters ran pre-drain).
+        unconverted = joined.where(F.col("p_id").isNull())
+        result = drain_to_parquet(unconverted, spark, "append")
         return (
-            result.where(F.col("p_id").isNull())
-            .where(F.col("v_user") != _SENTINEL_USER)
+            result.where(F.col("v_user") != _SENTINEL_USER)
             .groupBy(F.col("v_user").alias("user_id"))
             .agg(F.count("*").alias("unconverted_views"))
         )

@@ -135,3 +135,17 @@ def test_token_budget_mix_is_append_stable(spark):
         return {r["doc_id"] for r in out if r["source"] == "a" and r["_kept"]}
 
     assert kept_a(base) == kept_a(base + extra)
+
+
+def test_token_budget_mix_preserves_null_stratum_rows(spark):
+    """Rows with a NULL stratum come back flagged _kept=false instead
+    of silently vanishing in the totals join."""
+    from etl_mudah_spark.operators.sampling import token_budget_mix
+
+    rows = [(0, "a", 5), (1, "a", 5), (2, None, 5)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, n_tok bigint")
+    out = token_budget_mix(df, "doc_id", "source", "n_tok", F.lit(100)).collect()
+    assert len(out) == 3
+    null_row = [r for r in out if r["source"] is None]
+    assert len(null_row) == 1 and null_row[0]["_kept"] is False
+    assert all(r["_kept"] for r in out if r["source"] == "a")
