@@ -4,6 +4,7 @@ sf0.01 — the exact contract the grading driver runs.
 
     python scripts/driver_sim.py            # the 50-query window
     python scripts/driver_sim.py --rest     # the out-of-window tail
+    python scripts/driver_sim.py --names a,b,c   # just those queries
 """
 from pyspark.sql import SparkSession
 import os, sys, time
@@ -16,7 +17,16 @@ import __spark_entry__ as E
 from oracle_utils import duckdb_conn, _canon
 qs, osql = E.queries(), E.oracle_sql()
 SF = os.environ.get("SPARK_GRAFT_SF_DIR_CORRECT", "/root/testdata/sf0.01")
-window = list(qs)[50:] if "--rest" in sys.argv else list(qs)[:50]
+if "--names" in sys.argv:
+    wanted = sys.argv[sys.argv.index("--names") + 1].split(",")
+    unknown = [n for n in wanted if n not in qs]
+    if unknown:
+        sys.exit(f"unknown query names: {unknown}")
+    window = wanted
+elif "--rest" in sys.argv:
+    window = list(qs)[50:]
+else:
+    window = list(qs)[:50]
 t_all = time.time()
 fails, slow = [], []
 for n in window:
