@@ -213,3 +213,17 @@ def test_repeated_spans_merges_touching_windows(spark):
     assert (by_doc[0]["span_start"], by_doc[0]["span_end"]) == (1, 14)
     assert by_doc[0]["n_matched_grams"] == 2
     assert (by_doc[1]["span_start"], by_doc[1]["span_end"]) == (4, 17)
+
+
+def test_repeated_spans_degenerate_inputs(spark):
+    """Empty corpus and docs shorter than n both yield zero spans (the
+    positional-gram explode produces nothing, no crash downstream)."""
+    from etl_mudah_spark.operators.dedup import repeated_ngram_spans
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    assert repeated_ngram_spans(empty).count() == 0
+    short = spark.createDataFrame(
+        [(1, "only three words"), (2, "only three words")],
+        "doc_id bigint, text string",
+    )
+    assert repeated_ngram_spans(short, n=13).count() == 0

@@ -149,3 +149,16 @@ def test_token_budget_mix_preserves_null_stratum_rows(spark):
     null_row = [r for r in out if r["source"] is None]
     assert len(null_row) == 1 and null_row[0]["_kept"] is False
     assert all(r["_kept"] for r in out if r["source"] == "a")
+
+
+def test_token_budget_mix_degenerate_inputs(spark):
+    """Empty frame -> empty out; a zero-token stratum keeps its rows
+    (0 * anything < positive budget) rather than dividing by zero."""
+    from etl_mudah_spark.operators.sampling import token_budget_mix
+
+    schema = "doc_id bigint, source string, n_tok bigint"
+    empty = spark.createDataFrame([], schema)
+    assert token_budget_mix(empty, "doc_id", "source", "n_tok", F.lit(10)).count() == 0
+    zero = spark.createDataFrame([(1, "a", 0)], schema)
+    out = token_budget_mix(zero, "doc_id", "source", "n_tok", F.lit(10)).collect()
+    assert len(out) == 1 and out[0]["_kept"] is True
