@@ -114,3 +114,56 @@ def test_stream_ingest_single_batch_dedups_within_batch(spark, tmp_path):
     assert out.count() == 1
     assert float(out.select("price").first()[0]) == 11111.0
     assert out.where(F.col("listing_id") == 9).count() == 1
+
+
+def test_stream_ingest_resumes_from_checkpoint_exactly_once(spark, tmp_path):
+    """Restarting with the SAME checkpoint processes only files that
+    arrived since the last run — the production resume contract. The
+    checkpoint's offsets log proves no old batch was replayed."""
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    table = str(tmp_path / "t")
+    now = time.time()
+    _write_drop_file(
+        str(drop), "b1.jsonl",
+        [_listing(1, 30000.0, "2024-01-01 10:00:00")], now - 20,
+    )
+    _run(spark, str(drop), table, ckpt)
+
+    def batches_reading(name: str) -> int:
+        """How many file-source batch logs list ``name`` — a replayed
+        file would appear in more than one."""
+        src = os.path.join(ckpt, "sources", "0")
+        n = 0
+        for b in os.listdir(src):
+            with open(os.path.join(src, b), "rb") as f:
+                n += name.encode() in f.read()
+        return n
+
+    assert batches_reading("b1.jsonl") == 1
+
+    # New file lands; same checkpoint -> only the new file is read.
+    _write_drop_file(
+        str(drop), "b2.jsonl",
+        [_listing(1, 35000.0, "2024-02-01 10:00:00"),
+         _listing(2, 40000.0, "2024-02-01 10:00:00")], now - 10,
+    )
+    _run(spark, str(drop), table, ckpt)
+    # b1 still logged exactly once (no replay); b2 picked up once.
+    assert batches_reading("b1.jsonl") == 1
+    assert batches_reading("b2.jsonl") == 1
+
+    rows = {r["listing_id"]: r for r in spark.read.parquet(table).collect()}
+    assert set(rows) == {1, 2}
+    assert float(rows[1]["price"]) == 35000.0  # resumed batch still merged
+
+    # Nothing new -> restart is a no-op for the table.
+    before = sorted(
+        map(tuple, spark.read.parquet(table).select("listing_id", "price").collect())
+    )
+    _run(spark, str(drop), table, ckpt)
+    after = sorted(
+        map(tuple, spark.read.parquet(table).select("listing_id", "price").collect())
+    )
+    assert before == after
