@@ -1426,3 +1426,61 @@ def doc_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "doc_media_features",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           TRUE AS feats_ok,
+           TRUE AS thumbs_ok
+    FROM documents
+    GROUP BY source ORDER BY source
+    """,
+    doc=(
+        "Multimodal decode plumbing, driver-visible: binary payloads "
+        "through the Arrow mapInPandas feature extractor; exact "
+        "byte-count twin + feature-range invariants."
+    ),
+)
+def doc_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives the full multimodal path (operators/multimodal.py:
+    media_features — binary column in, Arrow-batched mapInPandas, per
+    asset size/pixel-stat/thumbnail out) from the driver registry. The
+    testdata has no real media, so payloads are the documents' UTF-8
+    bytes and the decoder is the deterministic fake; the PLUMBING under
+    test is real: the byte counts the Python workers report from the
+    raw payloads must equal DuckDB's octet_length twin exactly, and the
+    decoded-feature invariants (pixel means in [0,1], nonneg std, 8x8
+    thumbnails) ride as booleans computed from the UDF output."""
+    from etl_mudah_spark.operators.multimodal import media_features
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit(16).alias("width"),
+        F.lit(16).alias("height"),
+    )
+    feats = media_features(assets)
+    enriched = feats.join(
+        docs.select(F.col("doc_id").alias("asset_id"), "source"), "asset_id"
+    )
+    feat_ok = (
+        (F.col("feat_mean") >= 0) & (F.col("feat_mean") <= 1)
+        & (F.col("feat_std") >= 0)
+    )
+    thumb_ok = (F.col("thumb_w") == 8) & (F.col("thumb_h") == 8)
+    return (
+        enriched.groupBy("source")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.min(feat_ok).alias("feats_ok"),
+            F.min(thumb_ok).alias("thumbs_ok"),
+        )
+        .orderBy("source")
+    )
