@@ -1484,3 +1484,42 @@ def doc_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+ANN_FILTER_LABEL = 3
+
+
+@register(
+    "ann_filtered_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id, a.label, ROUND({_COS_SQL}, 4) AS cosine_sim
+    FROM e a, (SELECT v FROM e WHERE vec_id = 0) b
+    WHERE a.label = {ANN_FILTER_LABEL}
+    ORDER BY cosine_sim DESC, a.vec_id ASC
+    LIMIT 10
+    """,
+    doc=(
+        "Filtered ANN: exact cosine top-10 among vectors with one "
+        "label — metadata predicate pushed below the scoring scan."
+    ),
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid metadata + vector retrieval (the 'WHERE category = X'
+    vector-store query): the label predicate applies BEFORE scoring —
+    pushed to the parquet scan, so at 100 TB only the qualifying
+    stripe is read and scored (with the IVF layout, filter columns can
+    also ride the partition key for planning-time pruning). Pre-filter
+    beats post-filtering a global top-k, which can return < k (or
+    zero) survivors for selective predicates."""
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    cand = emb.where(F.col("label") == ANN_FILTER_LABEL)
+    scored = sim.brute_force_topk(cand, [float(x) for x in qvec], k=10)
+    # Every survivor has the filter label by construction — project the
+    # constant instead of joining the corpus back for it.
+    return scored.select(
+        "vec_id",
+        F.lit(ANN_FILTER_LABEL).cast("int").alias("label"),
+        "cosine_sim",
+    )

@@ -201,13 +201,25 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     is codegen expression math — no UDFs.
     """
     docs = load(spark, sf_dir, "documents")
+    return (
+        _bm25_scored(docs, BM25_QUERY)
+        .select("doc_id", F.round("bm25", 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _bm25_scored(docs: DataFrame, terms: tuple[str, ...]) -> DataFrame:
+    """Per-doc unrounded Okapi BM25 for ``terms`` — the scoring core
+    shared by the ranked-retrieval query and the RRF hybrid fusion.
+    Only docs containing at least one query term appear."""
     toks = docs.select(
         "doc_id",
         F.size(tx.words("text")).cast("double").alias("dl"),
         F.explode(tx.words("text")).alias("term"),
     ).select("doc_id", "dl", F.lower("term").alias("term"))
     tf = (
-        toks.where(F.col("term").isin(*BM25_QUERY))
+        toks.where(F.col("term").isin(*terms))
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("double").alias("tf"), F.max("dl").alias("dl"))
     )
@@ -223,9 +235,7 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.join(F.broadcast(dfreq), "term")
         .join(F.broadcast(stats))
         .groupBy("doc_id")
-        .agg(F.round(F.sum(per_term), 6).alias("bm25"))
-        .orderBy(F.desc("bm25"), F.asc("doc_id"))
-        .limit(10)
+        .agg(F.sum(per_term).alias("bm25"))
     )
 
 
@@ -613,4 +623,120 @@ def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count("*")
             ).alias("mean_surprisal"),
         )
+    )
+
+
+RRF_K = 60
+RRF_DEPTH = 20
+# SQL twin of operators/similarity.py cosine() for the oracle below.
+_RRF_COS_SQL = """
+    list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+    / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+       * sqrt(list_sum(list_transform(b.v, x -> x * x))))
+"""
+
+
+@register(
+    "doc_hybrid_rrf",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id,
+               len({_WORDS_SQL}) AS dl,
+               lower(UNNEST({_WORDS_SQL})) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term,
+               COUNT(*)::DOUBLE AS tf, ANY_VALUE(dl)::DOUBLE AS dl
+        FROM tok WHERE term IN ('spark', 'window', 'merge')
+        GROUP BY doc_id, term
+    ), dfreq AS (
+        SELECT term, COUNT(*)::DOUBLE AS df FROM tf GROUP BY term
+    ), stats AS (
+        SELECT COUNT(*)::DOUBLE AS n,
+               AVG(len({_WORDS_SQL}))::DOUBLE AS avgdl
+        FROM documents
+    ), bm25 AS (
+        SELECT doc_id,
+               SUM(
+                   ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * tf.tf * ({BM25_K1} + 1)
+                   / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * tf.dl / s.avgdl))
+               ) AS score
+        FROM tf JOIN dfreq d USING (term), stats s
+        GROUP BY doc_id
+    ), lex AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS r
+        FROM bm25 QUALIFY r <= {RRF_DEPTH}
+    ), e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cos AS (
+        SELECT a.vec_id AS doc_id, ROUND({_RRF_COS_SQL}, 4) AS score
+        FROM e a, (SELECT v FROM e WHERE vec_id = 0) b
+    ), vec AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS r
+        FROM cos QUALIFY r <= {RRF_DEPTH}
+    )
+    SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+           ROUND(COALESCE(1.0 / ({RRF_K} + lex.r), 0)
+                 + COALESCE(1.0 / ({RRF_K} + vec.r), 0), 6) AS rrf_score
+    FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+    ORDER BY rrf_score DESC, doc_id ASC
+    LIMIT 10
+    """,
+    doc=(
+        "Hybrid retrieval: reciprocal-rank fusion of the BM25 top-20 "
+        "and the cosine-ANN top-20, final top-10 by fused score."
+    ),
+)
+def doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard hybrid-search combiner: lexical (BM25) and vector
+    (cosine) rankers each produce a depth-20 list, fused by reciprocal
+    rank — score = sum over lists of 1/(k + rank), k=60 — so a doc
+    strong in either modality surfaces without score calibration
+    between incomparable scales.
+
+    Scale: each ranker is its own scale-correct plan (BM25: pre-shuffle
+    term filter + broadcast stats; cosine: map-only scan +
+    TakeOrdered); the fusion joins two DEPTH-row lists — driver-free,
+    and the rank windows run over those bounded lists, never the
+    corpus. Docs outside the embedded corpus (vec_id space) simply
+    take the lexical term only — full-outer fusion, no inner-join
+    retrieval bias.
+    """
+    from pyspark.sql import Window as W
+
+    from etl_mudah_spark.operators import similarity as sim
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+
+    lex_top = (
+        _bm25_scored(docs, BM25_QUERY)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(RRF_DEPTH)
+    )
+    lex = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("r_lex"),
+    )
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    vec_top = sim.brute_force_topk(emb, [float(x) for x in qvec], k=RRF_DEPTH)
+    vec = vec_top.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(W.orderBy(F.desc("cosine_sim"), F.asc("vec_id")))
+        .alias("r_vec"),
+    )
+    rrf = F.coalesce(1.0 / (RRF_K + F.col("r_lex")), F.lit(0.0)) + F.coalesce(
+        1.0 / (RRF_K + F.col("r_vec")), F.lit(0.0)
+    )
+    return (
+        lex.join(vec, "doc_id", "full_outer")
+        .select("doc_id", F.round(rrf, 6).alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(10)
     )

@@ -52,6 +52,7 @@ _BNLJ_ALLOWED = {
     "nation_acctbal_concentration",
     "term_idf_top20",
     "doc_bm25_search",  # 1-row (N, avgdl) corpus-stats broadcast
+    "doc_hybrid_rrf",  # same BM25 1-row stats broadcast inside the fusion
     "doc_unigram_surprisal",  # 1-row corpus token-total broadcast
     "price_kde",
     "events_promo_range_join",
