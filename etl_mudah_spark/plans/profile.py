@@ -201,3 +201,67 @@ def price_kde(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("density_1e6"),
         )
     )
+
+
+def _skew_leg_sql(table: str, col: str) -> str:
+    return f"""
+    SELECT '{table}.{col}' AS key_name,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+           CAST(SUM(cnt) AS BIGINT) AS total_rows,
+           ROUND(MAX(cnt) / (SUM(cnt) * 1.0 / COUNT(*)), 4) AS skew_ratio
+    FROM (SELECT {col}, COUNT(*) AS cnt FROM {table} GROUP BY {col})
+    """
+
+
+@register(
+    "join_key_skew_profile",
+    oracle=" UNION ALL ".join(
+        _skew_leg_sql(t, c)
+        for t, c in [
+            ("orders", "o_custkey"),
+            ("lineitem", "l_orderkey"),
+            ("lineitem", "l_partkey"),
+            ("events", "user_id"),
+        ]
+    ),
+    doc=(
+        "Join-key skew diagnostic: cardinality, hottest-key count, and "
+        "max/mean skew ratio for the fact-table join keys."
+    ),
+)
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operational question behind every salting/AQE-skew decision
+    at 100 TB: how hot is the hottest key relative to the mean?
+    skew_ratio ~ 1 means uniform hashing balances the shuffle;
+    skew_ratio >> number-of-partitions means one task owns the hot key
+    and the join needs salting (operators/skew.py) or AQE skew-split.
+    One count-per-key agg and a 1-row re-aggregation per key column —
+    the profile costs a fraction of any of the joins it derisks."""
+    legs = []
+    for table, col in [
+        ("orders", "o_custkey"),
+        ("lineitem", "l_orderkey"),
+        ("lineitem", "l_partkey"),
+        ("events", "user_id"),
+    ]:
+        per_key = (
+            load(spark, sf_dir, table)
+            .groupBy(col)
+            .agg(F.count("*").alias("cnt"))
+        )
+        legs.append(
+            per_key.agg(
+                F.lit(f"{table}.{col}").alias("key_name"),
+                F.count("*").alias("n_keys"),
+                F.max("cnt").alias("max_cnt"),
+                F.sum("cnt").cast("bigint").alias("total_rows"),
+                F.round(
+                    F.max("cnt") / (F.sum("cnt") / F.count("*")), 4
+                ).alias("skew_ratio"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
