@@ -167,3 +167,60 @@ def test_stream_ingest_resumes_from_checkpoint_exactly_once(spark, tmp_path):
         map(tuple, spark.read.parquet(table).select("listing_id", "price").collect())
     )
     assert before == after
+
+
+def test_stream_scd2_ingest_matches_batch_collapse(spark, tmp_path):
+    """Streaming SCD2 maintenance: after two snapshot drops (and a
+    duplicate replay of the second), the history table equals a
+    from-scratch scd2_collapse of the full change log."""
+    from etl_mudah_spark.operators.scd import scd2_collapse
+    from etl_mudah_spark.streaming.ingest import stream_scd2_ingest
+
+    ddl = "cust_id bigint, tier string, ts timestamp"
+    drop = tmp_path / "scd_drop"
+    drop.mkdir()
+    log_p = str(tmp_path / "scd_log")
+    hist_p = str(tmp_path / "scd_hist")
+    ckpt = str(tmp_path / "scd_ckpt")
+
+    def snap(name, rows, mtime):
+        path = os.path.join(str(drop), name)
+        with open(path, "w") as f:
+            for cid, tier, ts in rows:
+                f.write(json.dumps({"cust_id": cid, "tier": tier, "ts": ts}) + "\n")
+        os.utime(path, (mtime, mtime))
+
+    now = time.time()
+    snap("s1.jsonl", [(1, "bronze", "2024-01-01T00:00:00"),
+                      (2, "silver", "2024-01-01T00:00:00")], now - 30)
+    snap("s2.jsonl", [(1, "gold", "2024-02-01T00:00:00"),     # tier change
+                      (2, "silver", "2024-02-01T00:00:00"),   # unchanged
+                      (3, "bronze", "2024-02-01T00:00:00")],  # new key
+         now - 20)
+
+    kwargs = dict(
+        key_cols=["cust_id"], attr_cols=["tier"], ts_col="ts",
+    )
+    stream_scd2_ingest(spark, str(drop), ddl, log_p, hist_p, ckpt, **kwargs)
+
+    hist = spark.read.parquet(hist_p)
+    rows = {(r["cust_id"], r["version"]): r for r in hist.collect()}
+    # cust 1: two versions (bronze closed at the gold change, gold open)
+    assert rows[(1, 1)]["tier"] == "bronze" and rows[(1, 1)]["valid_to"] is not None
+    assert rows[(1, 2)]["tier"] == "gold" and rows[(1, 2)]["valid_to"] is None
+    # cust 2: one open version despite two log rows
+    assert rows[(2, 1)]["tier"] == "silver" and rows[(2, 1)]["valid_to"] is None
+    assert (3, 1) in rows and len(rows) == 4
+
+    # replay the same second snapshot under a NEW file name (new ckpt
+    # offset, duplicate content): log dedup makes it a no-op
+    snap("s2_replay.jsonl", [(1, "gold", "2024-02-01T00:00:00"),
+                             (2, "silver", "2024-02-01T00:00:00"),
+                             (3, "bronze", "2024-02-01T00:00:00")], now - 10)
+    stream_scd2_ingest(spark, str(drop), ddl, log_p, hist_p, ckpt, **kwargs)
+    hist2 = spark.read.parquet(hist_p)
+    assert sorted(map(tuple, hist2.collect())) == sorted(map(tuple, hist.collect()))
+
+    # ground truth: incremental history == from-scratch collapse of the log
+    full = scd2_collapse(spark.read.parquet(log_p), ["cust_id"], ["tier"], "ts")
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, hist2.collect()))
