@@ -145,3 +145,50 @@ def positions_to_spans(
         )
         .select(id_col, "span_id", "span_start", "span_end", "n_matched_grams")
     )
+
+
+def excise_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Surgically REMOVE reported token spans from each document — the
+    scrub step that consumes :func:`ngram_decontaminate_spans` /
+    ``dedup.repeated_ngram_spans`` output instead of dropping whole
+    docs. Adds ``clean_text`` (the document with every
+    [span_start, span_end] token range cut out) and ``n_tokens_before``
+    / ``n_tokens_after``.
+
+    All Column algebra, no UDF: spans collect per doc (bounded: spans
+    per doc, not tokens) and join back on the doc key — left as a
+    plain equi-join so AQE broadcasts when the span report is small
+    and shuffles when it isn't (affected docs are usually a sliver of
+    the corpus, but nothing guarantees broadcast-sized). Tokens keep
+    their 1-based position via ``transform`` and survive iff no span
+    covers them. Docs without spans pass through unchanged (null span
+    list coalesces to empty).
+    """
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    joined = docs.join(sp, id_col, "left")
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    indexed = F.transform(
+        words, lambda w, i: F.struct(w.alias("w"), (i + 1).alias("i"))
+    )
+    filtered = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            F.col("_spans"),
+            lambda b: (s["i"] >= b["span_start"]) & (s["i"] <= b["span_end"]),
+        ),
+    )
+    # no-span docs: _spans is NULL from the left join -> pass through
+    kept = F.when(F.col("_spans").isNull(), indexed).otherwise(filtered)
+    return joined.select(
+        id_col,
+        F.size(words).alias("n_tokens_before"),
+        F.size(kept).alias("n_tokens_after"),
+        F.array_join(F.transform(kept, lambda s: s["w"]), " ").alias("clean_text"),
+    )

@@ -25,15 +25,16 @@ Importing this package registers every declared query into
 # 50-row window, full rotation takes two rounds and these have the
 # strongest out-of-window coverage.
 #
-# Round-6 window should take: the 16 parity names above, the fifteen
+# Round-6 window should take: the 16 parity names above, the sixteen
 # late-round-5 additions (ann_batch_topk, events_stream_sessions_native,
 # doc_bm25_search, returned_item_customers, part_profit_by_nation_year,
 # emb_pca_variance, doc_repeated_spans, doc_token_budget_mix,
 # events_stream_unconverted, vocab_zipf_fit, doc_unigram_surprisal,
 # doc_media_features, ann_filtered_topk, doc_hybrid_rrf,
-# join_key_skew_profile — never driver-rowed), and the remaining
-# r3/r4-checked tail; all 125 are sim-checked at sf0.01 AND sf0.1
-# regardless (scripts/driver_sim.py, SPARK_GRAFT_SF_DIR_CORRECT).
+# join_key_skew_profile, doc_excise_repeated_spans — never
+# driver-rowed), and the remaining r3/r4-checked tail; all 126 are
+# sim-checked at sf0.01 AND sf0.1 regardless (scripts/driver_sim.py,
+# SPARK_GRAFT_SF_DIR_CORRECT).
 from etl_mudah_spark.plans import registry  # noqa: F401
 from etl_mudah_spark.plans import parity  # noqa: F401
 from etl_mudah_spark.plans import datapipe  # noqa: F401

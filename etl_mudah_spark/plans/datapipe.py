@@ -1523,3 +1523,70 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(ANN_FILTER_LABEL).cast("int").alias("label"),
         "cosine_sim",
     )
+
+
+@register(
+    "doc_excise_repeated_spans",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+    ), g AS (
+        SELECT doc_id, i AS pos,
+               list_aggregate(w[i:i+{REPEATED_SPAN_N - 1}], 'string_agg', ' ') AS gram
+        FROM t, UNNEST(range(1, len(w) - {REPEATED_SPAN_N - 2})) AS u(i)
+        WHERE len(w) >= {REPEATED_SPAN_N}
+    ), rep AS (
+        SELECT gram FROM g
+        GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= {REPEATED_SPAN_MIN_DOCS}
+    ), hits AS (
+        SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM rep)
+    ), flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN LAG(pos) OVER w IS NULL
+                         OR pos - LAG(pos) OVER w > {REPEATED_SPAN_N}
+                    THEN 1 ELSE 0 END AS brk
+        FROM hits
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), spans AS (
+        SELECT doc_id, pos,
+               CAST(SUM(brk) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS UNBOUNDED PRECEDING) AS INT) AS span_id
+        FROM flagged
+    ), merged AS (
+        SELECT doc_id,
+               MIN(pos) AS span_start,
+               MAX(pos) + {REPEATED_SPAN_N - 1} AS span_end
+        FROM spans GROUP BY doc_id, span_id
+    )
+    SELECT m.doc_id,
+           CAST(len(t.w) AS INT) AS n_tokens_before,
+           CAST(len(t.w) - SUM(m.span_end - m.span_start + 1) AS INT)
+               AS n_tokens_after
+    FROM merged m JOIN t ON m.doc_id = t.doc_id
+    GROUP BY m.doc_id, len(t.w)
+    """,
+    doc=(
+        "Span excision accounting: token counts before/after cutting "
+        "every cross-doc repeated span out of the affected docs."
+    ),
+)
+def doc_excise_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closes the repeated-span loop: detect (doc_repeated_spans) then
+    EXCISE — rebuild each affected doc without its duplicated token
+    ranges (operators/decontam.py:excise_spans, pure Column algebra).
+    The driver row is a genuine end-to-end check: the engine counts
+    tokens in the actually-rebuilt clean_text array, while the oracle
+    derives the expected counts arithmetically from the span report
+    (merged spans never overlap, so after = before - sum of span
+    widths) — they agree only if the reconstruction is exact."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = dd.repeated_ngram_spans(
+        docs, n=REPEATED_SPAN_N, min_docs=REPEATED_SPAN_MIN_DOCS
+    )
+    excised = dc.excise_spans(docs, spans)
+    # affected docs only (the oracle's span join is inner)
+    return excised.where(
+        F.col("n_tokens_after") < F.col("n_tokens_before")
+    ).select("doc_id", "n_tokens_before", "n_tokens_after")

@@ -99,3 +99,22 @@ def test_span_reporting_merges_overlapping_windows(spark):
         for r in rows
     ]
     assert got == [(1, 1, 1, 4, 2), (1, 2, 9, 11, 1)]
+
+
+def test_excise_spans_rebuilds_text_and_passes_through(spark):
+    from etl_mudah_spark.operators.decontam import excise_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "x y z")],
+        "doc_id bigint, text string",
+    )
+    spans = spark.createDataFrame(
+        [(1, 1, 2, 3), (1, 2, 6, 7)],  # cut tokens 2-3 and 6-7 of doc 1
+        "doc_id bigint, span_id int, span_start int, span_end int",
+    )
+    out = {r["doc_id"]: r for r in excise_spans(docs, spans).collect()}
+    assert out[1]["clean_text"] == "a d e h"
+    assert (out[1]["n_tokens_before"], out[1]["n_tokens_after"]) == (8, 4)
+    # doc 2 has no spans: untouched
+    assert out[2]["clean_text"] == "x y z"
+    assert (out[2]["n_tokens_before"], out[2]["n_tokens_after"]) == (3, 3)
