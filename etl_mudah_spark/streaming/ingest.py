@@ -115,10 +115,20 @@ def stream_scd2_ingest(
     Because :func:`~etl_mudah_spark.operators.scd.scd2_collapse` is a
     pure function of a key's full log, the incremental result is
     IDENTICAL to a from-scratch collapse of the whole log — pinned by
-    tests/test_stream_ingest.py — and replaying a batch is a no-op
-    (same log rows appended twice collapse into the same versions only
-    if dedup'd: the log append dedups on (key, ts, attrs) against the
-    existing log first, covering the at-least-once edge).
+    tests/test_stream_ingest.py — and replaying a batch is a no-op:
+    the log append null-safe-dedups on (key, ts, attrs) against the
+    existing log, and the history rebuild runs for the batch's keys
+    REGARDLESS of whether the append added rows, so a retry of a batch
+    that crashed after its append but before its history swap still
+    repairs the history (at-least-once safe end to end).
+
+    Crash-safe swap protocol (local FS; on an object store use a
+    manifest/table format instead): staging is fully written (Spark
+    drops ``_SUCCESS`` on completion) BEFORE the swap begins; the swap
+    is rename-history-aside → rename-staging-in → delete-aside.
+    ``_recover()`` runs before the stream starts and finishes or rolls
+    back any interrupted swap; if the history directory is lost
+    entirely it is rebuilt from the log (the stated source of truth).
 
     Scale: the history rewrite is full-table here (read + anti-join +
     rewrite); at 100 TB partition the history by a key bucket and make
@@ -126,19 +136,68 @@ def stream_scd2_ingest(
     operators/merge.py does for facts.
     """
     import os
+    import shutil
 
     from etl_mudah_spark.operators.scd import scd2_collapse
+
+    staging = history_path.rstrip("/") + "._staging"
+    aside = history_path.rstrip("/") + "._old"
+
+    def _swap_in(out: DataFrame) -> None:
+        """Atomically-enough replace history with ``out`` (see
+        _recover for the crash matrix)."""
+        out.write.mode("overwrite").parquet(staging)
+        if os.path.exists(history_path):
+            os.rename(history_path, aside)
+        os.rename(staging, history_path)
+        shutil.rmtree(aside, ignore_errors=True)
+
+    def _recover() -> None:
+        """Finish or roll back an interrupted _swap_in.
+
+        Crash matrix: (a) during the staging write → staging exists
+        without _SUCCESS → discard it (the failed micro-batch replays
+        and rebuilds); (b) between rename-aside and rename-in →
+        history missing, staging complete → promote staging; (c) after
+        rename-in → only the aside dir remains → delete it; (d)
+        history dir lost by external means → rebuild from the log.
+        """
+        complete = os.path.exists(os.path.join(staging, "_SUCCESS"))
+        if complete and not os.path.exists(history_path):
+            os.rename(staging, history_path)
+        shutil.rmtree(aside, ignore_errors=True)
+        if os.path.exists(staging):
+            shutil.rmtree(staging, ignore_errors=True)
+        if not os.path.exists(history_path) and os.path.exists(log_path):
+            full = scd2_collapse(
+                spark.read.parquet(log_path),
+                key_cols,
+                attr_cols,
+                ts_col,
+                tiebreak_cols,
+            )
+            full.write.mode("overwrite").parquet(staging)
+            os.rename(staging, history_path)
 
     def apply_batch(batch: DataFrame, _batch_id: int) -> None:
         if batch.isEmpty():
             return
-        log_exists = os.path.exists(log_path)
-        if log_exists:
+        # one materialization of the micro-batch; reused for the dedup
+        # anti-join, the append, and the affected-key set below
+        batch = batch.localCheckpoint(eager=True)
+        dedup_cols = [*key_cols, ts_col, *attr_cols]
+        if os.path.exists(log_path):
             existing_log = spark.read.parquet(log_path)
-            # at-least-once guard: don't re-append rows already logged
-            fresh = batch.join(
-                existing_log, [*key_cols, ts_col, *attr_cols], "left_anti"
+            # at-least-once guard: don't re-append rows already logged.
+            # eqNullSafe per column, NOT the column-name-list join form:
+            # plain SQL equality would treat a replayed row with a NULL
+            # attr/ts as never-matching and re-append it forever.
+            cond = batch[dedup_cols[0]].eqNullSafe(
+                existing_log[dedup_cols[0]]
             )
+            for c in dedup_cols[1:]:
+                cond = cond & batch[c].eqNullSafe(existing_log[c])
+            fresh = batch.join(existing_log, cond, "left_anti")
         else:
             fresh = batch
         # SEVER the lineage before appending: the anti-join above reads
@@ -150,11 +209,14 @@ def stream_scd2_ingest(
         # executor loss mid-batch fails the micro-batch and the
         # at-least-once log dedup makes the retry safe).
         fresh = fresh.localCheckpoint(eager=True)
-        if fresh.isEmpty():
-            return
-        fresh.write.mode("append").parquet(log_path)
+        if not fresh.isEmpty():
+            fresh.write.mode("append").parquet(log_path)
+        # Rebuild history for the batch's keys even when fresh is
+        # empty: an all-duplicate batch is exactly what the retry of a
+        # crashed append-but-not-swapped batch looks like, and skipping
+        # the rebuild would leave those keys' history stale forever.
         log = spark.read.parquet(log_path)
-        keys = fresh.select(*key_cols).distinct()
+        keys = batch.select(*key_cols).distinct()
         affected = log.join(F.broadcast(keys), key_cols, "left_semi")
         hist = scd2_collapse(
             affected, key_cols, attr_cols, ts_col, tiebreak_cols
@@ -166,14 +228,9 @@ def stream_scd2_ingest(
             out = keep.unionByName(hist)
         else:
             out = hist
-        # rewrite via staging dir + swap: the read above and the
-        # write below touch the same path
-        staging = history_path.rstrip("/") + "._staging"
-        out.write.mode("overwrite").parquet(staging)
-        import shutil
+        _swap_in(out)
 
-        shutil.rmtree(history_path, ignore_errors=True)
-        os.rename(staging, history_path)
+    _recover()
 
     stream = (
         spark.readStream.schema(schema_ddl)

@@ -215,12 +215,17 @@ def test_q10_aggregates_before_customer_payload_join(spark):
     # returnflag + date filters reach the scans
     assert "PushedFilters" in plan
     assert "l_returnflag" in plan and "o_orderdate" in plan
-    # the per-custkey HashAggregate appears before (deeper than) the
-    # join that brings in c_name — locate the aggregate on o_custkey
-    # and assert the customer scan is referenced only above it
-    agg_pos = plan.index("HashAggregate")
-    assert "c_name" not in plan[agg_pos: plan.index("c_name")] or \
-        plan.index("c_name") > agg_pos
+    # the revenue aggregate groups on o_custkey, and NO HashAggregate
+    # anywhere carries the customer payload (c_name/c_acctbal …) in its
+    # keys or expressions — i.e. the join that brings in the payload
+    # sits strictly ABOVE every aggregate, so the agg shuffle moves
+    # revenue partials, not customer attributes
+    agg_lines = [ln for ln in plan.splitlines() if "HashAggregate" in ln]
+    assert agg_lines, plan
+    assert any("o_custkey" in ln for ln in agg_lines), agg_lines
+    payload = ("c_name", "c_acctbal", "c_address", "c_phone", "c_comment")
+    offenders = [ln for ln in agg_lines if any(c in ln for c in payload)]
+    assert not offenders, offenders
     assert "TakeOrderedAndProject" in plan
 
 

@@ -213,14 +213,132 @@ def test_stream_scd2_ingest_matches_batch_collapse(spark, tmp_path):
     assert (3, 1) in rows and len(rows) == 4
 
     # replay the same second snapshot under a NEW file name (new ckpt
-    # offset, duplicate content): log dedup makes it a no-op
+    # offset, duplicate content): the log dedup keeps the log fixed and
+    # the (always-run) rebuild reproduces identical history content.
+    # Snapshot rows BEFORE the replay — the rebuild rewrites the
+    # history directory with fresh files even when content is equal.
+    hist_rows = sorted(map(tuple, hist.collect()))
+    n_log = spark.read.parquet(log_p).count()
     snap("s2_replay.jsonl", [(1, "gold", "2024-02-01T00:00:00"),
                              (2, "silver", "2024-02-01T00:00:00"),
                              (3, "bronze", "2024-02-01T00:00:00")], now - 10)
     stream_scd2_ingest(spark, str(drop), ddl, log_p, hist_p, ckpt, **kwargs)
+    assert spark.read.parquet(log_p).count() == n_log
     hist2 = spark.read.parquet(hist_p)
-    assert sorted(map(tuple, hist2.collect())) == sorted(map(tuple, hist.collect()))
+    assert sorted(map(tuple, hist2.collect())) == hist_rows
 
     # ground truth: incremental history == from-scratch collapse of the log
     full = scd2_collapse(spark.read.parquet(log_p), ["cust_id"], ["tier"], "ts")
     assert sorted(map(tuple, full.collect())) == sorted(map(tuple, hist2.collect()))
+
+
+def _scd_snap(drop_dir, name, rows, mtime):
+    path = os.path.join(str(drop_dir), name)
+    with open(path, "w") as f:
+        for cid, tier, ts in rows:
+            f.write(json.dumps({"cust_id": cid, "tier": tier, "ts": ts}) + "\n")
+    os.utime(path, (mtime, mtime))
+
+
+SCD_DDL = "cust_id bigint, tier string, ts timestamp"
+SCD_KW = dict(key_cols=["cust_id"], attr_cols=["tier"], ts_col="ts")
+
+
+def test_stream_scd2_replay_with_null_attr_is_noop(spark, tmp_path):
+    """The at-least-once log dedup must be null-safe: a replayed row
+    carrying a NULL attribute is already-logged and must NOT be
+    re-appended (plain SQL equality would never match it)."""
+    from etl_mudah_spark.streaming.ingest import stream_scd2_ingest
+
+    drop = tmp_path / "d"
+    drop.mkdir()
+    log_p, hist_p, ckpt = (
+        str(tmp_path / "log"), str(tmp_path / "hist"), str(tmp_path / "ckpt")
+    )
+    now = time.time()
+    _scd_snap(drop, "s1.jsonl",
+              [(1, None, "2024-01-01T00:00:00"),
+               (2, "silver", "2024-01-01T00:00:00")], now - 30)
+    stream_scd2_ingest(spark, str(drop), SCD_DDL, log_p, hist_p, ckpt, **SCD_KW)
+    n_log = spark.read.parquet(log_p).count()
+    hist = sorted(map(tuple, spark.read.parquet(hist_p).collect()))
+
+    # identical content under a new file name → new checkpoint offset,
+    # duplicate rows (including the NULL tier) → full no-op
+    _scd_snap(drop, "s1_replay.jsonl",
+              [(1, None, "2024-01-01T00:00:00"),
+               (2, "silver", "2024-01-01T00:00:00")], now - 10)
+    stream_scd2_ingest(spark, str(drop), SCD_DDL, log_p, hist_p, ckpt, **SCD_KW)
+    assert spark.read.parquet(log_p).count() == n_log == 2
+    assert sorted(map(tuple, spark.read.parquet(hist_p).collect())) == hist
+
+
+def test_stream_scd2_retry_after_append_crash_repairs_history(spark, tmp_path):
+    """Crash window: a micro-batch appended to the log but died before
+    the history swap. The checkpoint replays the batch; its rows dedup
+    to empty — the rebuild must STILL run for the batch's keys (the old
+    early-return left history permanently stale here)."""
+    from etl_mudah_spark.streaming.ingest import stream_scd2_ingest
+
+    drop = tmp_path / "d"
+    drop.mkdir()
+    log_p, hist_p, ckpt = (
+        str(tmp_path / "log"), str(tmp_path / "hist"), str(tmp_path / "ckpt")
+    )
+    now = time.time()
+    _scd_snap(drop, "s1.jsonl", [(1, "bronze", "2024-01-01T00:00:00")], now - 30)
+    stream_scd2_ingest(spark, str(drop), SCD_DDL, log_p, hist_p, ckpt, **SCD_KW)
+
+    # simulate the crashed batch: its rows reached the LOG but the
+    # history swap never happened
+    crashed = spark.createDataFrame(
+        [(1, "gold"), (3, "bronze")], "cust_id bigint, tier string"
+    ).withColumn("ts", F.to_timestamp(F.lit("2024-02-01T00:00:00")))
+    crashed.select("cust_id", "tier", "ts").write.mode("append").parquet(log_p)
+
+    # the retry delivers the same rows through the stream; the log
+    # dedup makes the append a no-op but the rebuild must still fire
+    _scd_snap(drop, "s2.jsonl",
+              [(1, "gold", "2024-02-01T00:00:00"),
+               (3, "bronze", "2024-02-01T00:00:00")], now - 10)
+    stream_scd2_ingest(spark, str(drop), SCD_DDL, log_p, hist_p, ckpt, **SCD_KW)
+    assert spark.read.parquet(log_p).count() == 3
+    rows = {(r["cust_id"], r["version"]): r
+            for r in spark.read.parquet(hist_p).collect()}
+    assert rows[(1, 2)]["tier"] == "gold" and rows[(1, 2)]["valid_to"] is None
+    assert (3, 1) in rows and len(rows) == 3
+
+
+def test_stream_scd2_recover_interrupted_swap(spark, tmp_path):
+    """_recover finishes a swap that died between rename-aside and
+    rename-in (history gone, complete staging present), and rebuilds a
+    lost history dir from the log."""
+    import shutil
+
+    from etl_mudah_spark.streaming.ingest import stream_scd2_ingest
+
+    drop = tmp_path / "d"
+    drop.mkdir()
+    log_p, hist_p, ckpt = (
+        str(tmp_path / "log"), str(tmp_path / "hist"), str(tmp_path / "ckpt")
+    )
+    now = time.time()
+    _scd_snap(drop, "s1.jsonl",
+              [(1, "bronze", "2024-01-01T00:00:00"),
+               (2, "silver", "2024-01-01T00:00:00")], now - 30)
+    stream_scd2_ingest(spark, str(drop), SCD_DDL, log_p, hist_p, ckpt, **SCD_KW)
+    want = sorted(map(tuple, spark.read.parquet(hist_p).collect()))
+
+    # (b) in the crash matrix: staging complete, history renamed aside
+    shutil.move(hist_p, hist_p + "._staging")
+    assert os.path.exists(os.path.join(hist_p + "._staging", "_SUCCESS"))
+    stream_scd2_ingest(spark, str(drop), SCD_DDL, log_p, hist_p,
+                       str(tmp_path / "ckpt2"), **SCD_KW)
+    assert sorted(map(tuple, spark.read.parquet(hist_p).collect())) == want
+    assert not os.path.exists(hist_p + "._staging")
+
+    # (d): history dir lost entirely → rebuilt from the log
+    shutil.rmtree(hist_p)
+    stream_scd2_ingest(spark, str(drop), SCD_DDL, log_p, hist_p,
+                       str(tmp_path / "ckpt3"), **SCD_KW)
+    assert sorted(map(tuple, spark.read.parquet(hist_p).collect())) == want
