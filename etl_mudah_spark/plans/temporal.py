@@ -200,10 +200,12 @@ IVF_MIN_HITS_AT_10 = 5
     ),
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # probe as a broadcast 1-row relation: cell selection happens
+    # in-plan; the KMeans fit is the only eager step (round 6)
     emb = load(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
-    brute = sim.brute_force_topk(emb, qvec, k=10)
-    approx = sim.ivf_topk(emb, qvec, k=10, n_cells=16, n_probe=6)
+    probe = sim.probe_row(emb)
+    brute = sim.brute_force_topk_df(emb, probe, k=10)
+    approx = sim.ivf_topk_df(emb, probe, k=10, n_cells=16, n_probe=6)
     return dp._ann_recall_rows(brute, approx, min_hits=IVF_MIN_HITS_AT_10)
 
 
