@@ -512,6 +512,52 @@ def ivf_query_index(
     return brute_force_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def ivf_query_index_df(
+    spark: SparkSession,
+    index_path: str,
+    probe: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    where: Column | None = None,
+) -> DataFrame:
+    """ANN top-k against an :func:`ivf_build_index` layout with the
+    probe as a 1-row DataFrame (:func:`probe_row`), optionally composed
+    with a metadata predicate ``where`` — the production vector-store
+    query shape: "nearest neighbors WHERE label = X".
+
+    Cell selection: the centroid table is bounded at n_cells rows BY
+    CONSTRUCTION, so ranking it against the broadcast probe and
+    collecting the ``n_probe`` winning cell ids is a fixed-size driver
+    step — the deliberate price of a PLANNING-TIME ``cell IN (...)``
+    partition predicate, which prunes unmatched index partitions
+    before any file is listed, opened, or scheduled (``PartitionFilters``
+    in the scan; pinned in tests/test_plans.py). The metadata predicate
+    lands in the SAME pruned scan as a pushed data filter — pre-filter,
+    not post-filter, so a selective predicate cannot starve the top-k
+    the way post-filtering a global shortlist can.
+    """
+    cents = spark.read.parquet(f"{index_path}/_centroids")
+    d2 = F.aggregate(
+        F.zip_with(F.col("centroid"), F.col("_pv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cells = [
+        r["cell"]
+        for r in cents.crossJoin(F.broadcast(probe))
+        .select("cell", d2.alias("_d2"))
+        .orderBy(F.asc("_d2"), F.asc("cell"))
+        .limit(n_probe)
+        .collect()
+    ]
+    scan = spark.read.parquet(index_path).where(F.col("cell").isin(cells))
+    if where is not None:
+        scan = scan.where(where)
+    return brute_force_topk_df(scan, probe, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def cosine_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,

@@ -264,3 +264,24 @@ def test_token_budget_mix_scans_corpus_without_shuffling_it(spark):
     plan = _plan(spark, "doc_token_budget_mix")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_filtered_indexed_prunes_partitions(spark):
+    """ann_filtered_indexed: the index scan must carry BOTH predicates
+    — ``cell IN (probes)`` as a PartitionFilter (planning-time pruning:
+    unmatched IVF cells never listed or opened) and the label equality
+    as a pushed data filter — and the probe must ride a broadcast, not
+    a shuffle."""
+    plan = _plan(spark, "ann_filtered_indexed")
+    # partition pruning on the IVF cell layout: SOME scan carries a
+    # cell IN (...) PartitionFilter (the probe/centroid scans are
+    # unpartitioned and rightly show an empty one)
+    pfs = [seg[:200] for seg in plan.split("PartitionFilters:")[1:]]
+    assert any("cell" in pf and "IN" in pf.upper() for pf in pfs), pfs
+    # label predicate pushed into the surviving files' scan
+    pushed = [seg[:200] for seg in plan.split("PushedFilters:")[1:]]
+    assert any("label" in p for p in pushed), pushed
+    # probe folded in as a broadcast 1-row relation; the exact scoring
+    # ends in TakeOrdered, never a global sort
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan

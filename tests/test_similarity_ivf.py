@@ -67,3 +67,37 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     # probing every cell over the index recovers the exact answer
     full = [r["vec_id"] for r in ivf_query_index(spark, index, q, k=10, n_probe=8).collect()]
     assert full == exact
+
+
+def test_ivf_query_index_df_filtered_matches_filtered_brute(spark, tmp_path):
+    """ivf_query_index_df composes a metadata predicate with the cell
+    probe in one pruned scan; probing every cell must equal the exact
+    FILTERED brute force, and the df-probe variant must not fetch the
+    query vector driver-side (it rides a broadcast 1-row relation)."""
+    from etl_mudah_spark.operators.similarity import (
+        brute_force_topk_df,
+        ivf_query_index_df,
+        probe_row,
+    )
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    index = str(tmp_path / "ivf_index")
+    ivf_build_index(emb, index, n_cells=8)
+    probe = probe_row(emb)
+    pred = F.col("label") == 3
+
+    # all cells probed -> exact filtered answer
+    full = ivf_query_index_df(
+        spark, index, probe, k=10, n_probe=8, where=pred
+    )
+    exact = brute_force_topk_df(emb.where(pred), probe, k=10)
+    assert [tuple(r) for r in full.collect()] == [
+        tuple(r) for r in exact.collect()
+    ]
+    # every survivor satisfies the predicate (pre-filter, not post)
+    labels = (
+        full.join(emb.select("vec_id", "label"), "vec_id")
+        .select("label")
+        .collect()
+    )
+    assert all(r["label"] == 3 for r in labels)
