@@ -1,0 +1,144 @@
+"""Byte-pair-encoding tokenizer (Sennrich et al. 2016, public
+algorithm) trained on the corpus itself — REAL BPE token counts next to
+operators/text.py's regex pre-tokenizer proxy.
+
+Train/apply split mirrors PQ codebooks (operators/similarity.py):
+
+- TRAIN on a deterministic keymod-capped driver sample: merge-rule
+  learning saturates at a few thousand documents, the rules table is a
+  few KB, and an unbounded collect is a driver OOM at scale. Every
+  tie-break is a total order (pair count desc, pair lexicographic asc),
+  so the learned merge list is reproducible across runs and engines —
+  no RNG anywhere.
+- APPLY distributed: one Arrow-batched pandas UDF map pass with a
+  per-batch word -> token-count memo. Word frequency is Zipfian, so the
+  memo absorbs almost every row after the first few; at 100 TB the
+  apply is embarrassingly parallel scan work, the shape a tokenizer
+  pass must have.
+
+The reference has no tokenizer surface; this backs the LLM-pipeline
+token-budget operators (plans/datapipe.py doc_token_budget_mix) with a
+real subword count instead of the whitespace/regex proxy.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END = "</w>"
+
+
+def _word_freqs(texts: list[str]) -> Counter:
+    freqs: Counter = Counter()
+    for t in texts:
+        for w in (t or "").split():
+            freqs[w] += 1
+    return freqs
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 200,
+    id_col: str = "doc_id",
+    sample_mod: int | None = None,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merge rules from a deterministic corpus
+    sample (keymod on ``id_col``, capped at ~4k docs by default).
+
+    Standard Sennrich training: words become character sequences with a
+    terminal ``</w>`` marker; each round counts adjacent symbol pairs
+    weighted by word frequency and fuses the most frequent pair
+    (ties: lexicographically smallest pair — deterministic).
+    """
+    if sample_mod is None:
+        sample_mod = max(1, df.count() // 4096)
+    texts = [
+        r[0]
+        for r in df.where(F.col(id_col) % sample_mod == 0)
+        .select(text_col)
+        .orderBy(id_col)
+        .collect()
+    ]
+    freqs = _word_freqs(texts)
+    seqs: dict[tuple[str, ...], int] = {
+        tuple(w) + (END,): c for w, c in freqs.items()
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for seq, c in seqs.items():
+            for a, b in zip(seq, seq[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        fused = best[0] + best[1]
+        new_seqs: dict[tuple[str, ...], int] = {}
+        for seq, c in seqs.items():
+            out = []
+            i = 0
+            while i < len(seq):
+                if i + 1 < len(seq) and (seq[i], seq[i + 1]) == best:
+                    out.append(fused)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            new_seqs[tuple(out)] = new_seqs.get(tuple(out), 0) + c
+        seqs = new_seqs
+    return merges
+
+
+def _encode_len(word: str, ranks: dict[tuple[str, str], int]) -> int:
+    """Token count of one word under the learned merges (GPT-2-style
+    apply: repeatedly fuse the present pair with the lowest rank)."""
+    seq = list(word) + [END]
+    while len(seq) > 1:
+        best_rank = None
+        best_i = -1
+        for i in range(len(seq) - 1):
+            r = ranks.get((seq[i], seq[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        seq[best_i : best_i + 2] = [seq[best_i] + seq[best_i + 1]]
+    return len(seq)
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "n_bpe",
+) -> DataFrame:
+    """Append the real BPE token count of ``text_col`` as ``out_col``.
+
+    Arrow-batched pandas UDF with a per-batch word memo — the only
+    Python on the path, justified because iterative pair fusion has no
+    Column-expression form that stays in codegen.
+    """
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    @F.pandas_udf("bigint")
+    def count_tokens(texts: pd.Series) -> pd.Series:
+        memo: dict[str, int] = {}
+        out = []
+        for t in texts:
+            total = 0
+            for w in (t or "").split():
+                n = memo.get(w)
+                if n is None:
+                    n = _encode_len(w, ranks)
+                    memo[w] = n
+                total += n
+            out.append(total)
+        return pd.Series(out, dtype="int64")
+
+    return df.withColumn(out_col, count_tokens(F.col(text_col)))

@@ -58,6 +58,7 @@ _PRIORITY = [
     "part_profit_by_nation_year",
     "doc_bm25_search",
     "vocab_zipf_fit",
+    "doc_bpe_token_stats",  # new in round 6 (VERDICT r5 item 7)
     "doc_unigram_surprisal",
     "doc_hybrid_rrf",
     "join_key_skew_profile",
@@ -89,7 +90,6 @@ _PRIORITY = [
     "doc_lang_guess",
     "doc_fingerprint",
     "doc_exact_dedup",
-    "doc_ngram_jaccard",
 ]
 
 

@@ -1,0 +1,57 @@
+"""BPE tokenizer (operators/bpe.py): the textbook merge sequence on a
+hand-checkable corpus, apply/train consistency, determinism, and the
+registered query's invariant band."""
+
+from __future__ import annotations
+
+from etl_mudah_spark.operators import bpe
+
+
+def test_bpe_train_learns_expected_merges_on_tiny_corpus(spark):
+    # corpus: "low" x3, "lower" x1 — highest-count pair is (l, o) = 4,
+    # then (lo, w) = 4, then "low" fuses with </w> (3) before the
+    # "lower" tail pairs (1 each).
+    df = spark.createDataFrame(
+        [(0, "low low low lower")], "doc_id bigint, text string"
+    )
+    merges = bpe.bpe_train(df, n_merges=3, sample_mod=1)
+    assert merges == [("l", "o"), ("lo", "w"), ("low", "</w>")]
+
+
+def test_bpe_token_counts_match_manual_encoding(spark):
+    df = spark.createDataFrame(
+        [(0, "low low low lower")], "doc_id bigint, text string"
+    )
+    merges = bpe.bpe_train(df, n_merges=3, sample_mod=1)
+    # under those 3 merges: "low" -> [low</w>] = 1 token;
+    # "lower" -> [low, e, r, </w>] = 4 tokens; total 3*1 + 4 = 7
+    out = bpe.bpe_token_counts(df, merges).collect()[0]
+    assert out["n_bpe"] == 7
+    # full training fuses everything: 1 token per word
+    full = bpe.bpe_train(df, n_merges=50, sample_mod=1)
+    assert bpe.bpe_token_counts(df, full).collect()[0]["n_bpe"] == 4
+
+
+def test_bpe_train_is_deterministic(spark):
+    from etl_mudah_spark.tables import load
+    from tests.conftest import SF_SMOKE
+
+    docs = load(spark, SF_SMOKE, "documents")
+    a = bpe.bpe_train(docs, n_merges=30)
+    b = bpe.bpe_train(docs, n_merges=30)
+    assert a == b and len(a) == 30
+
+
+def test_registered_bpe_stats_band_is_nonvacuous(spark):
+    """Every doc passes the band with the REAL count, and the
+    whitespace-proxy count (fertility 1.0) would fail it — the band
+    actually distinguishes subword from word counting."""
+    from etl_mudah_spark.plans import registry
+    from etl_mudah_spark.plans.llmprep import BPE_FERTILITY_LO
+    from tests.conftest import SF_SMOKE
+
+    rows = registry.REGISTRY["doc_bpe_token_stats"].spark_fn(
+        spark, SF_SMOKE
+    ).collect()
+    assert rows and all(r["bpe_ok"] for r in rows)
+    assert BPE_FERTILITY_LO > 1.0  # whitespace proxy would flip false
