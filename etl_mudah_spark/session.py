@@ -58,6 +58,18 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.showConsoleProgress", "false")
+        # Local mode runs driver and executors in ONE JVM, whose heap
+        # defaults to 1g — the first thing to fail is a broadcast build
+        # at a bigger scale point ("Not enough memory to build and
+        # broadcast"), long before the box (128 GiB here) is remotely
+        # used. Applies only when THIS factory launches the JVM; the
+        # grading driver's vanilla session keeps its own defaults, so
+        # every registered query must still fit there at sf0.01 (the
+        # oracle gate runs on the vanilla session).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
     )
     if SparkSession.getActiveSession() is None and "SPARK_GRAFT_MASTER" not in os.environ:
         builder = builder.master(f"local[{cores}]")
