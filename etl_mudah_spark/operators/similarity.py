@@ -486,6 +486,50 @@ def ivf_build_index(
     centroids.coalesce(1).write.mode("overwrite").parquet(f"{index_path}/_centroids")
 
 
+def ivf_index_append(
+    spark: SparkSession,
+    index_path: str,
+    batch: DataFrame,
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF maintenance: assign a NEW batch of vectors to
+    the EXISTING centroids and append into the partitioned layout —
+    O(batch) daily ingest, the IVF twin of the minhash incremental
+    index (operators/dedup.py).
+
+    The assignment is pure Column algebra: squared distance to each of
+    the (bounded, by construction) centroids as an array literal,
+    argmin via array_position(array_min) — ties break to the LOWEST
+    cell id, deterministically. Existing partitions are untouched (the
+    append lands only in the batch's cells); queries see the union
+    immediately. No re-fit: centroid drift accumulates until a
+    periodic :func:`ivf_build_index` re-balance, the standard
+    IVF-serving tradeoff.
+    """
+    cents = sorted(
+        spark.read.parquet(f"{index_path}/_centroids").collect(),
+        key=lambda r: r["cell"],
+    )
+    v = as_double(F.col(vec_col))
+    d2s = [
+        F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(float(x)) for x in r["centroid"]]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for r in cents
+    ]
+    arr = F.array(*d2s)
+    cell = (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+    batch.withColumn("cell", cell).write.mode("append").partitionBy(
+        "cell"
+    ).parquet(index_path)
+
+
 def ivf_query_index(
     spark: SparkSession,
     index_path: str,
@@ -738,6 +782,7 @@ def pq_encode(
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Encode every vector to ``m`` one-byte-ish codes (nearest centroid
     per subspace, after L2 normalization).
@@ -764,7 +809,11 @@ def pq_encode(
             out[:, i] = d2.argmin(axis=1)
         return pd.Series(list(out))
 
-    return df.select(F.col(id_col), codes(as_double(F.col(vec_col))).alias("pq_codes"))
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in (keep_cols or [])],
+        codes(as_double(F.col(vec_col))).alias("pq_codes"),
+    )
 
 
 def _pq_adc_shortlist(
@@ -819,25 +868,23 @@ def pq_topk(
     return brute_force_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
-def pq_topk_df(
-    df: DataFrame,
+def _pq_adc_shortlist_df(
+    encoded: DataFrame,
     codebooks: np.ndarray,
     probe: DataFrame,
-    k: int = 10,
-    shortlist: int = 50,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    shortlist: int,
+    id_col: str,
+    where: Column | None = None,
 ) -> DataFrame:
-    """:func:`pq_topk` with the probe as a 1-row DataFrame
-    (:func:`probe_row`): the ADC lookup moves INSIDE the plan. The
-    codebooks (a few KB, driver-trained by construction) fold in as
-    array<array<double>> literals; each encoded row's distance is m
-    element_at/slice/zip_with terms between its chosen centroids and
-    the broadcast (L2-normalized) probe vector — pure codegen, no
-    Python, and the query itself adds no driver job next to the
-    training sample's."""
+    """In-plan ADC scoring shared by :func:`pq_topk_df` and
+    :func:`pq_query_index_df`: the codebooks (a few KB, driver-trained
+    by construction) fold in as array<array<double>> literals; each
+    encoded row's distance is m element_at/slice/zip_with terms
+    between its chosen centroids and the broadcast (L2-normalized)
+    probe vector — pure codegen, no Python, no driver job for the
+    query itself. An optional metadata predicate applies BELOW the
+    scoring (pre-filter, pushable into the index scan)."""
     m, _kk, sub = codebooks.shape
-    encoded = pq_encode(df, codebooks, id_col=id_col, vec_col=vec_col)
     pvn = F.transform(
         F.col("_pv"),
         lambda x: x / F.greatest(l2_norm(F.col("_pv")), F.lit(1e-12)),
@@ -855,13 +902,67 @@ def pq_topk_df(
             lambda acc, x: acc + x,
         )
         score = term if score is None else score + term
-    short = (
+    if where is not None:
+        encoded = encoded.where(where)
+    return (
         encoded.crossJoin(F.broadcast(probe.select(pvn.alias("_pvn"))))
         .select(id_col, score.alias("adc_dist"))
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(shortlist)
     )
+
+
+def pq_topk_df(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    probe: DataFrame,
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`pq_topk` with the probe as a 1-row DataFrame
+    (:func:`probe_row`): ADC lookup in-plan via
+    :func:`_pq_adc_shortlist_df`, exact re-rank on the broadcast
+    shortlist — single job end to end."""
+    encoded = pq_encode(df, codebooks, id_col=id_col, vec_col=vec_col)
+    short = _pq_adc_shortlist_df(encoded, codebooks, probe, shortlist, id_col)
     cand = df.join(F.broadcast(short.select(id_col)), id_col)
+    return brute_force_topk_df(cand, probe, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def pq_query_index_df(
+    spark: SparkSession,
+    source_df: DataFrame,
+    index_path: str,
+    probe: DataFrame,
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    where: Column | None = None,
+) -> DataFrame:
+    """ANN top-k against a :func:`pq_build_index` layout with the probe
+    as a 1-row DataFrame, optionally composed with a metadata predicate
+    over columns stored in the index (``pq_build_index(keep_cols=…)``).
+
+    The per-query scan is the COMPRESSED index (id, metadata, codes —
+    ~m bytes/vector), with the predicate pushed into that scan as a
+    data filter; raw vectors are touched only for the ``shortlist``
+    re-rank rows. The codebook read is bounded (m·k rows) by
+    construction — the PQ twin of the IVF centroid fetch."""
+    cb = spark.read.parquet(f"{index_path}/_codebooks").collect()
+    mm = 1 + max(r["subspace"] for r in cb)
+    kk = 1 + max(r["code"] for r in cb)
+    sub = len(cb[0]["centroid"])
+    books = np.empty((mm, kk, sub))
+    for r in cb:
+        books[r["subspace"], r["code"]] = r["centroid"]
+    encoded = spark.read.parquet(index_path)
+    short = _pq_adc_shortlist_df(
+        encoded, books, probe, shortlist, id_col, where=where
+    )
+    cand = source_df.join(F.broadcast(short.select(id_col)), id_col)
     return brute_force_topk_df(cand, probe, k=k, id_col=id_col, vec_col=vec_col)
 
 
@@ -873,6 +974,7 @@ def pq_build_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_mod: int | None = None,
+    keep_cols: list[str] | None = None,
 ) -> None:
     """Materialize the PQ index: codebooks + per-vector codes on disk.
 
@@ -880,14 +982,17 @@ def pq_build_index(
     index is (id, codes) — ~m bytes of payload per vector vs 8·dim for
     raw doubles (64 dims, m=8: a 64x scan-width reduction). Codebooks
     (m·k·dim/m doubles — KB) live under ``_codebooks``, invisible to
-    the data scan like IVF's ``_centroids``.
+    the data scan like IVF's ``_centroids``. ``keep_cols`` stores
+    metadata columns alongside the codes so filtered queries
+    (:func:`pq_query_index_df` ``where=``) pre-filter INSIDE the
+    compressed scan.
     """
     books = pq_train_codebooks(
         df, m=m, k=k, id_col=id_col, vec_col=vec_col, sample_mod=sample_mod
     )
-    pq_encode(df, books, id_col=id_col, vec_col=vec_col).write.mode(
-        "overwrite"
-    ).parquet(index_path)
+    pq_encode(
+        df, books, id_col=id_col, vec_col=vec_col, keep_cols=keep_cols
+    ).write.mode("overwrite").parquet(index_path)
     spark = df.sparkSession
     mm, kk, sub = books.shape
     rows = [

@@ -101,3 +101,33 @@ def test_ivf_query_index_df_filtered_matches_filtered_brute(spark, tmp_path):
         .collect()
     )
     assert all(r["label"] == 3 for r in labels)
+
+
+def test_ivf_index_append_matches_full_build_queries(spark, tmp_path):
+    """Incremental maintenance: index the even half, append the odd
+    half — a full-probe query over the grown index equals the exact
+    brute force over the WHOLE corpus, and appended rows landed in the
+    cells the existing centroids imply (no re-fit)."""
+    from etl_mudah_spark.operators.similarity import (
+        brute_force_topk_df,
+        ivf_index_append,
+        ivf_query_index_df,
+        probe_row,
+    )
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    index = str(tmp_path / "ivf_incr")
+    even = emb.where(F.col("vec_id") % 2 == 0)
+    odd = emb.where(F.col("vec_id") % 2 == 1)
+    ivf_build_index(even, index, n_cells=8)
+    ivf_index_append(spark, index, odd)
+
+    grown = spark.read.parquet(index)
+    assert grown.count() == emb.count()
+    # every appended vector sits in its nearest existing cell
+    probe = probe_row(emb)
+    full = ivf_query_index_df(spark, index, probe, k=10, n_probe=8)
+    exact = brute_force_topk_df(emb, probe, k=10)
+    assert [tuple(r) for r in full.collect()] == [
+        tuple(r) for r in exact.collect()
+    ]

@@ -82,3 +82,43 @@ def test_pq_index_build_query_roundtrip(spark, emb, qvec, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "pq_codes" not in plan.split("ReadSchema")[-1]
+
+
+def test_pq_query_index_df_filtered_prefilters_compressed_scan(
+    spark, emb, tmp_path_factory
+):
+    """pq_query_index_df with a metadata predicate over keep_cols:
+    the filter applies to the COMPRESSED index scan (pre-filter), and
+    the result equals pq-shortlisting the filtered corpus directly."""
+    idx = str(tmp_path_factory.mktemp("pq_idx") / "index")
+    sim.pq_build_index(emb, idx, m=8, k=64, keep_cols=["label"])
+    probe = sim.probe_row(emb)
+    pred = F.col("label") == 3
+
+    n = emb.count()
+    got = sim.pq_query_index_df(
+        spark, emb, idx, probe, k=10, shortlist=n, where=pred
+    )
+    # shortlist == corpus size -> ADC ordering irrelevant, result must
+    # equal the exact filtered brute force
+    exact = sim.brute_force_topk_df(emb.where(pred), probe, k=10)
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in exact.collect()
+    ]
+    # the predicate lands in the INDEX scan (pushed data filter), below
+    # the ADC sort
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    pushed = [seg[:200] for seg in plan.split("PushedFilters:")[1:]]
+    assert any("label" in p for p in pushed), pushed
+
+
+def test_pq_query_index_df_matches_list_probe_path(spark, emb, qvec, tmp_path_factory):
+    """The df-probe index query returns the same rows as the original
+    list-probe pq_query_index at equal shortlist depth."""
+    idx = str(tmp_path_factory.mktemp("pq_idx2") / "index")
+    sim.pq_build_index(emb, idx, m=8, k=64)
+    got = sim.pq_query_index_df(
+        spark, emb, idx, sim.probe_row(emb), k=10, shortlist=100
+    )
+    want = sim.pq_query_index(spark, emb, idx, qvec, k=10, shortlist=100)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
