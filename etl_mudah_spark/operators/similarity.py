@@ -891,8 +891,16 @@ def _pq_adc_shortlist_df(
     )
     score = None
     for i in range(m):
-        cents = F.array(
-            *[F.array(*[F.lit(float(v)) for v in c]) for c in codebooks[i]]
+        # ONE parsed SQL expression per subspace instead of m·k·sub
+        # F.lit() py4j round-trips (4096 of them cost ~5s of pure
+        # driver-side plan construction; the parsed string costs ms)
+        cents = F.expr(
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{float(v)!r}D" for v in c) + ")"
+                for c in codebooks[i]
+            )
+            + ")"
         )
         chosen = F.element_at(cents, F.element_at("pq_codes", i + 1) + 1)
         qsub = F.slice(F.col("_pvn"), i * sub + 1, sub)

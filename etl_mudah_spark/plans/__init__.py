@@ -46,6 +46,7 @@ _PRIORITY = [
     "doc_media_features",
     "ann_filtered_topk",
     "ann_filtered_indexed",  # new in round 6 (VERDICT r5 item 3)
+    "ann_pq_filtered_topk",  # new in round 6 (PQ twin of item 3)
     "doc_excise_repeated_spans",
     "events_stream_sessions_native",
     "events_stream_enriched",
@@ -89,7 +90,6 @@ _PRIORITY = [
     "doc_quality",
     "doc_lang_guess",
     "doc_fingerprint",
-    "doc_exact_dedup",
 ]
 
 

@@ -1595,6 +1595,65 @@ def ann_filtered_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_rows(brute, approx, min_hits=ANN_IDX_MIN_HITS_AT_10)
 
 
+# PQ-filtered floor: measured hits@10 = 10 at sf0.001/0.01/0.1 (the
+# filtered stratum is small, so the 20%-of-filtered shortlist floor of
+# 100 covers most of it and ADC ordering barely matters — the query
+# demonstrates the COMPOSITION: predicate inside the compressed scan).
+ANN_PQ_IDX_MIN_HITS_AT_10 = 8
+
+
+@register(
+    "ann_pq_filtered_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id, ROUND({_COS_SQL}, 4) AS cosine_sim, TRUE AS recall_ok
+    FROM e a, (SELECT v FROM e WHERE vec_id = 0) b
+    WHERE a.label = {ANN_FILTER_LABEL}
+    ORDER BY cosine_sim DESC, a.vec_id ASC
+    LIMIT 10
+    """,
+    doc=(
+        "Filtered ANN over the PERSISTED PQ index: metadata predicate "
+        "inside the compressed (id, label, codes) scan, ADC shortlist, "
+        "exact re-rank — recall vs the exact filtered top-10."
+    ),
+)
+def ann_pq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ twin of ann_filtered_indexed: ``nearest neighbors WHERE
+    label = X`` against a :func:`~etl_mudah_spark.operators.similarity.
+    pq_build_index` layout built with ``keep_cols=["label"]``, so the
+    predicate pre-filters INSIDE the compressed index scan (~m bytes +
+    metadata per vector; at 100 TB the per-query scan is the 64x-narrow
+    index, never the corpus) and only the shortlist rows touch raw
+    vectors for the exact re-rank. Probe rides the broadcast 1-row
+    relation — no driver job beyond the inherent codebook read/train.
+
+    Driver rows: exact filtered top-10 (DuckDB twin) + ``recall_ok``
+    floor {ANN_PQ_IDX_MIN_HITS_AT_10}/10 (measured 10/10 across sf
+    dirs — see constant above)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    emb = load(spark, sf_dir, "embeddings")
+    probe = sim.probe_row(emb)
+    n = emb.count()
+    scratch = tempfile.mkdtemp(prefix="pq_index_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    sim.pq_build_index(
+        emb, scratch, m=8, k=64, keep_cols=["label"],
+        sample_mod=max(1, n // 8192),
+    )
+    pred = F.col("label") == ANN_FILTER_LABEL
+    nf = emb.where(pred).count()
+    approx = sim.pq_query_index_df(
+        spark, emb, scratch, probe, k=10,
+        shortlist=max(100, nf // 5), where=pred,
+    )
+    brute = sim.brute_force_topk_df(emb.where(pred), probe, k=10)
+    return _ann_recall_rows(brute, approx, min_hits=ANN_PQ_IDX_MIN_HITS_AT_10)
+
+
 @register(
     "doc_excise_repeated_spans",
     oracle=rf"""
