@@ -418,6 +418,40 @@ def bench_streaming(spark, sf_dir: str, n_files: int = 16) -> dict:
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+def run_duckdb(sf_dir: str, names: list[str], threads: int) -> dict[str, float]:
+    """DuckDB wall times for the ORACLE-EXPRESSIBLE headline queries
+    over the same parquet files (views, warm best-of-3, fetchall) —
+    the BASELINE.md methodology, now runnable against any staged dir
+    so the Spark-vs-DuckDB ratio is measured at every scale point in
+    one artifact. Queries with no SQL oracle (the sketch ops) are
+    skipped, matching the baseline table."""
+    import glob as _glob
+
+    import duckdb
+
+    from etl_mudah_spark.tables import TABLES
+
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {threads}")
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+    out: dict[str, float] = {}
+    for name in names:
+        q = registry.REGISTRY[name].oracle
+        if q is None:
+            continue
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            con.execute(q).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
+    con.close()
+    return out
+
+
 def main() -> None:
     global N_REPS
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -474,6 +508,13 @@ def main() -> None:
         finally:
             shutil.rmtree(scratch, ignore_errors=True)
 
+    from etl_mudah_spark.session import default_parallelism
+
+    oracle_names = [n for n in HEADLINE if n not in BENCH_FNS]
+    ddb_base = run_duckdb(sf_dir, oracle_names, default_parallelism())
+    result["duckdb"] = ddb_base
+    result["value_duckdb"] = round(sum(ddb_base.values()), 3)
+
     scale_factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
     if scale_factor > 1:
         # Third, DATA-PROPORTIONAL scale point (round 6): the same 14
@@ -511,6 +552,22 @@ def main() -> None:
                 # ~constant (linear). The other 13 queries measure the
                 # byte-proportional path.
                 "notes": "emb_cosine_near_dup_lsh is candidate-bound on uniform data (~n^2 pairs at fixed threshold)",
+            }
+            # DuckDB at the SAME staged scale point: the ratio
+            # trajectory (fixed-floor-dominated at sf0.1, converging as
+            # data grows) measured in one artifact.
+            ddb_x = run_duckdb(sc_dir, oracle_names, default_parallelism())
+            result[f"duckdb_sf_x{scale_factor}"] = ddb_x
+            common = [n for n in oracle_names if n in ddb_x and n in sc_timings]
+            result["spark_vs_duckdb"] = {
+                "base_singlefile": round(
+                    sum(timings[n] for n in ddb_base) / sum(ddb_base.values()), 1
+                ),
+                f"x{scale_factor}": round(
+                    sum(sc_timings[n] for n in common)
+                    / sum(ddb_x[n] for n in common),
+                    1,
+                ),
             }
         finally:
             N_REPS = saved_reps
