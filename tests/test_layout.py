@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import os
 
 from pyspark.sql import functions as F
 
@@ -134,3 +135,69 @@ def test_recover_compaction_heals_interrupted_swap(spark, sf_dir, tmp_path):
     assert not os.path.exists(path + "._compacting")
     assert not os.path.exists(retired)
     assert spark.read.parquet(path).count() == n_rows
+
+
+def test_zorder_clustering_prunes_on_every_dimension(spark, tmp_path):
+    """Z-order layout: a narrow predicate on the SECOND clustered
+    column overlaps only a fraction of the files' min/max footer
+    ranges, where a single-column sort leaves every file spanning the
+    full second-column domain (zero pruning)."""
+    import pyarrow.parquet as pq
+
+    from etl_mudah_spark.operators.layout import compact_files
+
+    # two INDEPENDENT uniform dims — the adversarial case for a
+    # single-column sort
+    df = (
+        spark.range(40_000)
+        .selectExpr(
+            "id",
+            "CAST(pmod(hash(id), 1024) AS BIGINT) AS x",
+            "CAST(pmod(hash(id + 99999), 1024) AS BIGINT) AS y",
+        )
+    )
+
+    def overlap_fraction(path, lo, hi, col):
+        files = [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+        hit = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            fmin = min(
+                md.row_group(g).column(idx).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            fmax = max(
+                md.row_group(g).column(idx).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            if fmax >= lo and fmin <= hi:
+                hit += 1
+        return hit, len(files)
+
+    single = str(tmp_path / "single")
+    zord = str(tmp_path / "zorder")
+    df.write.parquet(single)
+    df.write.parquet(zord)
+    # same byte budget → same file count; only the clustering differs
+    target = 40_000  # bytes per file → ~16 files for this table
+    compact_files(spark, single, target_file_bytes=target,
+                  sort_within_by=["x"], max_files=16)
+    compact_files(spark, zord, target_file_bytes=target,
+                  zorder_by=["x", "y"], max_files=16)
+
+    lo, hi = 100, 163  # 1/16 of the y domain
+    s_hit, s_n = overlap_fraction(single, lo, hi, "y")
+    z_hit, z_n = overlap_fraction(zord, lo, hi, "y")
+    assert s_n == z_n and s_n >= 8
+    # single-column sort: y is uniform inside every file → no pruning
+    assert s_hit == s_n
+    # z-order: only the files whose y-range covers the band qualify
+    assert z_hit <= z_n // 2, (z_hit, z_n)
+    # and the FIRST column still prunes too (z-order keeps x locality)
+    zx_hit, _ = overlap_fraction(zord, 100, 163, "x")
+    assert zx_hit <= z_n // 2, (zx_hit, z_n)
