@@ -285,3 +285,14 @@ def test_filtered_indexed_prunes_partitions(spark):
     # ends in TakeOrdered, never a global sort
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bpe_token_stats_is_map_only_arrow(spark):
+    """doc_bpe_token_stats: the tokenizer apply is one Arrow-batched
+    map pass — no shuffle anywhere (the 100 TB contract: a tokenizer
+    pass is embarrassingly parallel scan work), and the UDF runs via
+    ArrowEvalPython, never row-at-a-time BatchEvalPython."""
+    plan = _plan(spark, "doc_bpe_token_stats")
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
