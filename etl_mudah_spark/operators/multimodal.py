@@ -123,3 +123,48 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
         )
         .select("asset_id", "codec", "frame_ts_ms")
     )
+
+
+def audio_window_plan(
+    assets: DataFrame,
+    window_ms: int = 500,
+    hop_ms: int | None = None,
+) -> DataFrame:
+    """Audio analysis-window *plan*: one row per (possibly overlapping)
+    analysis window over each audio asset — the audio twin of
+    :func:`frame_sample_plan`, completing the image/audio/video seam
+    set. Pure Column algebra (sequence + explode on duration); the
+    per-window decode/feature step (spectrogram, MFCC, VAD) plugs into
+    the same injectable-decoder mapInPandas seam as
+    :func:`media_features` — no Python runs until it does.
+
+    ``hop_ms`` defaults to ``window_ms`` (non-overlapping); a smaller
+    hop gives the standard overlapped STFT framing. Windows are clipped
+    to start strictly inside the asset; the final (possibly short)
+    window carries ``win_len_ms`` so downstream padding is explicit.
+    """
+    from pyspark.sql import functions as F
+
+    hop = hop_ms or window_ms
+    dur = F.coalesce(F.col("duration_ms"), F.lit(0))
+    return (
+        assets.where(F.col("media_type") == "audio")
+        .withColumn(
+            "win_start_ms",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(dur - 1, F.lit(0)),
+                    F.lit(hop),
+                )
+            ),
+        )
+        .select(
+            "asset_id",
+            "codec",
+            "win_start_ms",
+            F.least(
+                F.lit(window_ms), dur - F.col("win_start_ms")
+            ).alias("win_len_ms"),
+        )
+    )

@@ -54,3 +54,22 @@ def test_frame_sample_plan(spark, assets):
     # only the video row explodes; 3500 ms @ 1 Hz → ts 0,1000,2000,3000
     assert {r.asset_id for r in frames} == {3}
     assert sorted(r.frame_ts_ms for r in frames) == [0, 1000, 2000, 3000]
+
+
+def test_audio_window_plan_covers_duration_with_overlap(assets):
+    from etl_mudah_spark.operators.multimodal import audio_window_plan
+
+    # non-overlapping: 2000ms / 500ms -> 4 full windows for asset 4
+    wins = audio_window_plan(assets, window_ms=500).collect()
+    assert [r["asset_id"] for r in wins] == [4] * 4
+    assert [r["win_start_ms"] for r in wins] == [0, 500, 1000, 1500]
+    assert all(r["win_len_ms"] == 500 for r in wins)
+
+    # overlapped STFT framing: hop 250 -> 8 windows, last one short
+    lapped = audio_window_plan(assets, window_ms=500, hop_ms=250).collect()
+    assert len(lapped) == 8
+    assert lapped[-1]["win_start_ms"] == 1750 and lapped[-1]["win_len_ms"] == 250
+    # only audio assets window; plan is pure Column algebra (no Python)
+    df = audio_window_plan(assets, window_ms=500)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
