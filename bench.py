@@ -149,6 +149,42 @@ def bench_merge_upsert(spark, sf_dir: str) -> float:
     return round(best, 3)
 
 
+def _stage_totals(spark) -> dict[str, int] | None:
+    """Cumulative completed-stage IO counters (bytes) from the Spark UI
+    REST API; None when the UI is unavailable (spark.ui.enabled=false).
+    Deltas of these snapshots around a query give its measured shuffle
+    read/write, scan input, and spill — the numbers behind every
+    'minimize shuffles' claim, recorded instead of asserted."""
+    import json as _json
+    import urllib.request
+
+    try:
+        url = spark.sparkContext.uiWebUrl
+        if not url:
+            return None
+        apps = _json.load(
+            urllib.request.urlopen(f"{url}/api/v1/applications", timeout=5)
+        )
+        app_id = apps[0]["id"]
+        stages = _json.load(
+            urllib.request.urlopen(
+                f"{url}/api/v1/applications/{app_id}/stages?status=complete",
+                timeout=10,
+            )
+        )
+    except Exception:
+        return None
+    out = {"shuffle_read": 0, "shuffle_write": 0, "input": 0, "spill": 0}
+    for s in stages:
+        out["shuffle_read"] += s.get("shuffleReadBytes", 0) or 0
+        out["shuffle_write"] += s.get("shuffleWriteBytes", 0) or 0
+        out["input"] += s.get("inputBytes", 0) or 0
+        out["spill"] += (s.get("diskBytesSpilled", 0) or 0) + (
+            s.get("memoryBytesSpilled", 0) or 0
+        )
+    return out
+
+
 # Above this per-rep wall time a query keeps its FIRST measurement
 # instead of a median: repeat-sampling exists to tame sub-second session
 # noise (±30%), which is irrelevant at 10s+ magnitudes, and re-running a
@@ -156,14 +192,20 @@ def bench_merge_upsert(spark, sf_dir: str) -> float:
 SLOW_SINGLE_REP_SEC = 10.0
 
 
-def run_headline(spark, sf_dir: str, label: str) -> dict[str, float]:
-    """Median-of-N_REPS wall time per headline query against ``sf_dir``."""
+def run_headline(
+    spark, sf_dir: str, label: str
+) -> tuple[dict[str, float], dict[str, dict[str, int]]]:
+    """Median-of-N_REPS wall time per headline query against
+    ``sf_dir``, plus per-run IO bytes (shuffle read/write, scan input,
+    spill) from completed-stage counters averaged over the reps."""
     import statistics
 
     timings: dict[str, float] = {}
+    io: dict[str, dict[str, int]] = {}
     for name in HEADLINE:
         fn = BENCH_FNS.get(name) or registry.REGISTRY[name].spark_fn
         reps = []
+        m0 = _stage_totals(spark)
         for _ in range(N_REPS):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
@@ -174,12 +216,15 @@ def run_headline(spark, sf_dir: str, label: str) -> dict[str, float]:
             reps.append(time.perf_counter() - t0)
             if reps[-1] > SLOW_SINGLE_REP_SEC:
                 break
+        m1 = _stage_totals(spark)
+        if m0 is not None and m1 is not None:
+            io[name] = {k: (m1[k] - m0[k]) // len(reps) for k in m1}
         timings[name] = round(statistics.median(reps), 3)
         print(
             f"  [{label}] {name}: {timings[name]}s (median of {N_REPS})",
             file=sys.stderr,
         )
-    return timings
+    return timings, io
 
 
 def stage_multifile(
@@ -473,7 +518,7 @@ def main() -> None:
 
     spark.range(64).select(_warm(F.col("id").cast("double"))).collect()
 
-    timings = run_headline(spark, sf_dir, "1file")
+    timings, io = run_headline(spark, sf_dir, "1file")
     # Headline total stays on the same 14-query set as rounds 1-3 for
     # round-over-round comparability; merge is reported separately.
     total = round(sum(timings.values()), 3)
@@ -485,6 +530,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        **({"io": io} if io else {}),
         "merge_upsert_batch": merge_sec,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "methodology": {
@@ -501,8 +547,10 @@ def main() -> None:
         scratch = tempfile.mkdtemp(prefix="bench_multifile_")
         try:
             mf_dir = stage_multifile(spark, sf_dir, scratch)
-            mf_timings = run_headline(spark, mf_dir, "multifile")
+            mf_timings, mf_io = run_headline(spark, mf_dir, "multifile")
             result["queries_multifile"] = mf_timings
+            if mf_io:
+                result["io_multifile"] = mf_io
             result["value_multifile"] = round(sum(mf_timings.values()), 3)
             result["multifile_policy"] = {"target_bytes": 512 * 1024, "cap": 32}
         finally:
@@ -535,8 +583,10 @@ def main() -> None:
                 spark, sf_dir, scratch, factor=scale_factor
             )
             N_REPS = min(3, saved_reps)
-            sc_timings = run_headline(spark, sc_dir, f"x{scale_factor}")
+            sc_timings, sc_io = run_headline(spark, sc_dir, f"x{scale_factor}")
             result[f"queries_sf_x{scale_factor}"] = sc_timings
+            if sc_io:
+                result[f"io_sf_x{scale_factor}"] = sc_io
             result[f"value_sf_x{scale_factor}"] = round(sum(sc_timings.values()), 3)
             result["scale_policy"] = {
                 "factor": scale_factor,
