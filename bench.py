@@ -218,7 +218,10 @@ def run_headline(
                 break
         m1 = _stage_totals(spark)
         if m0 is not None and m1 is not None:
-            io[name] = {k: (m1[k] - m0[k]) // len(reps) for k in m1}
+            # clamp at 0: if the UI store ever evicts stages between
+            # snapshots (retention raised in session.py, but belt and
+            # suspenders) a negative delta is meaningless
+            io[name] = {k: max(0, m1[k] - m0[k]) // len(reps) for k in m1}
         timings[name] = round(statistics.median(reps), 3)
         print(
             f"  [{label}] {name}: {timings[name]}s (median of {N_REPS})",
@@ -370,7 +373,9 @@ def stage_scaled(
             # signed permutation: out[i] = sign(r,i) * in[(i + 17r) mod d]
             # (orthogonal — inner products within a replica unchanged);
             # r=0 is the identity with all-positive signs.
-            dim = 64
+            from etl_mudah_spark.plans.datapipe import EMB_DIM
+
+            dim = EMB_DIM
 
             def _perm_elem(i):
                 s = F.when(F.col("_r") == 0, F.lit(1.0)).otherwise(

@@ -123,6 +123,10 @@ def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 10):
             d = d.cast("timestamp")
         d = d.cast("double")
         mn, mx = stats[f"_mn_{c}"], stats[f"_mx_{c}"]
+        if mn is None or mx is None:
+            # all-NULL column (or empty input): every row lands in
+            # bucket 0, per the NULLs-first contract — no crash
+            mn, mx = 0.0, 0.0
         span = (mx - mn) or 1.0
         bucket = F.floor((d - F.lit(mn)) / F.lit(span) * (1 << bits))
         norms.append(
@@ -190,6 +194,13 @@ def compact_files(
         # split makes tiny tables slower — measured in bench.py), the
         # cap only bounds the count for pathologically small targets.
         n_files = min(n_files, max_files)
+    if zorder_by and sort_within_by:
+        raise ValueError(
+            "pass either zorder_by or sort_within_by, not both — the "
+            "Z-order layout replaces the single-key sort, and silently "
+            "dropping the requested sort would silently drop its "
+            "pruning downstream"
+        )
     df = spark.read.parquet(path)
     if zorder_by:
         # GLOBAL clustering: range-partition on the Morton key so each

@@ -148,7 +148,7 @@ def audio_window_plan(
     hop = hop_ms or window_ms
     dur = F.coalesce(F.col("duration_ms"), F.lit(0))
     return (
-        assets.where(F.col("media_type") == "audio")
+        assets.where((F.col("media_type") == "audio") & (dur > 0))
         .withColumn(
             "win_start_ms",
             F.explode(

@@ -14,9 +14,14 @@ Importing this package registers every declared query into
 # completes the rotation: after it runs, every registered query has at
 # least one driver-produced hash row, with none older than round 4
 # except names whose strongest coverage is tests/test_oracle.py (run
-# green every round). All 126 are additionally sim-checked at sf0.01
+# green every round). All 129 are additionally sim-checked at sf0.01
 # AND sf0.1 every round regardless (scripts/driver_sim.py,
-# SPARK_GRAFT_SF_DIR_CORRECT).
+# SPARK_GRAFT_SF_DIR_CORRECT; round-6 runs: 129/129 HASH-OK at both).
+#
+# Round-7 window should rotate to the then-oldest rows: the ~28
+# r4-checked names not in this window (doc_ngram_jaccard, emb_norm_stats,
+# events_* family, doc_clean_pipeline, …), then the oldest r5 names,
+# plus any queries added in round 7.
 from etl_mudah_spark.plans import registry  # noqa: F401
 from etl_mudah_spark.plans import parity  # noqa: F401
 from etl_mudah_spark.plans import datapipe  # noqa: F401

@@ -827,19 +827,30 @@ def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = bpe.bpe_train(docs, n_merges=BPE_N_MERGES)
     counted = bpe.bpe_token_counts(docs, merges)
     fert = F.col("n_bpe") / F.col("n_words")
+    # Structural upper bound is n_chars + 1, not n_chars: a word whose
+    # chars hit NO learned merge encodes to len(word)+1 tokens (the
+    # </w> marker), and summed over single-space-joined words that is
+    # n_chars - (n_words-1) + n_words = n_chars + 1 exactly. Empty /
+    # whitespace-only docs are vacuously TRUE (matching the oracle
+    # literal): the Spark-side split of '' counts 1 "word" while the
+    # tokenizer sees none, so no non-vacuous bound exists there.
+    band = (
+        (F.col("n_bpe") >= F.col("n_words"))
+        & (F.col("n_bpe") <= F.col("n_chars") + 1)
+        & (fert >= BPE_FERTILITY_LO)
+        & (fert <= BPE_FERTILITY_HI)
+    )
     return counted.select(
         "doc_id",
         tx.token_count("text").cast("bigint").alias("n_words"),
         F.length("text").cast("bigint").alias("n_chars"),
         "n_bpe",
+        F.trim("text").alias("_trimmed"),
     ).select(
         "doc_id",
         "n_words",
         "n_chars",
-        (
-            (F.col("n_bpe") >= F.col("n_words"))
-            & (F.col("n_bpe") <= F.col("n_chars"))
-            & (fert >= BPE_FERTILITY_LO)
-            & (fert <= BPE_FERTILITY_HI)
-        ).alias("bpe_ok"),
+        F.when(F.col("_trimmed") == "", F.lit(True))
+        .otherwise(band)
+        .alias("bpe_ok"),
     )

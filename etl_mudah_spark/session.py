@@ -70,6 +70,12 @@ def get_spark(
             "spark.driver.memory",
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
         )
+        # The bench's per-query IO counters diff completed-stage totals
+        # from the UI store; the 1000-stage default retention evicts
+        # early stages partway through a full bench run and corrupts
+        # the deltas. Stage summaries are small; retain enough for the
+        # whole run.
+        .config("spark.ui.retainedStages", "50000")
     )
     if SparkSession.getActiveSession() is None and "SPARK_GRAFT_MASTER" not in os.environ:
         builder = builder.master(f"local[{cores}]")

@@ -49,6 +49,7 @@ _BNLJ_ALLOWED = {
     "ann_bruteforce_topk",  # 1-row probe_row broadcast (round-6 df-probe)
     "ann_filtered_topk",  # same 1-row probe_row broadcast
     "ann_filtered_indexed",  # same 1-row probe_row broadcast over the IVF scan
+    "ann_pq_filtered_topk",  # same 1-row probe_row broadcast over the PQ scan
     "vocab_cms_topk",  # 1-row corpus-count broadcast for the CMS slack bound
     "customer_balance_deciles",
     "idle_rich_customers_by_nation",
