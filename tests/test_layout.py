@@ -201,3 +201,27 @@ def test_zorder_clustering_prunes_on_every_dimension(spark, tmp_path):
     # and the FIRST column still prunes too (z-order keeps x locality)
     zx_hit, _ = overlap_fraction(zord, 100, 163, "x")
     assert zx_hit <= z_n // 2, (zx_hit, z_n)
+
+
+def test_zorder_handles_all_null_column_and_rejects_conflicting_sorts(
+    spark, tmp_path
+):
+    """Edge pins for the round-6 review findings: an all-NULL clustered
+    column buckets to 0 instead of crashing the stats fold, and passing
+    both sort_within_by and zorder_by is an explicit error, not a
+    silent drop of the requested sort."""
+    import pytest
+
+    from etl_mudah_spark.operators.layout import compact_files
+
+    path = str(tmp_path / "nulls")
+    spark.range(100).selectExpr(
+        "id", "CAST(NULL AS BIGINT) AS x", "id % 7 AS y"
+    ).write.parquet(path)
+    n = compact_files(spark, path, target_file_bytes=10_000,
+                      zorder_by=["x", "y"])
+    assert n >= 1
+    assert spark.read.parquet(path).count() == 100
+
+    with pytest.raises(ValueError, match="not both"):
+        compact_files(spark, path, sort_within_by=["y"], zorder_by=["x"])
