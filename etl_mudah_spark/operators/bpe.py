@@ -142,3 +142,19 @@ def bpe_token_counts(
         return pd.Series(out, dtype="int64")
 
     return df.withColumn(out_col, count_tokens(F.col(text_col)))
+
+
+def bpe_save(spark, merges: list[tuple[str, str]], path: str) -> None:
+    """Persist the learned merge table (rank-ordered) as parquet — the
+    tokenizer is a pipeline ARTIFACT like PQ codebooks and IVF
+    centroids: train once, version it, apply everywhere. A few KB."""
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def bpe_load(spark, path: str) -> list[tuple[str, str]]:
+    """Load a :func:`bpe_save` merge table, rank order restored."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [(r["left"], r["right"]) for r in rows]

@@ -1042,3 +1042,31 @@ def pq_query_index(
     short = _pq_adc_shortlist(encoded, books, query_vec, shortlist, id_col)
     cand = source_df.join(F.broadcast(short.select(id_col)), id_col)
     return brute_force_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def ivf_index_balance(spark: SparkSession, index_path: str) -> DataFrame:
+    """Per-cell occupancy of an IVF index plus the imbalance ratio —
+    the measurement behind the re-fit decision, exactly as
+    operators/skew.py justifies salting: :func:`ivf_index_append`
+    assigns to FROZEN centroids, so drift concentrates new vectors in
+    few cells; when max_cell/mean_cell grows past ~3-4x, probe
+    pruning degrades (hot cells scan like brute force) and a periodic
+    :func:`ivf_build_index` re-fit is due. One partition-pruned
+    aggregate over the index — O(cells) output."""
+    counts = (
+        spark.read.parquet(index_path)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+    stats = counts.agg(
+        F.max("n_vectors").alias("_mx"), F.avg("n_vectors").alias("_avg")
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            "cell",
+            "n_vectors",
+            (F.col("_mx") / F.col("_avg")).alias("imbalance_ratio"),
+        )
+        .orderBy("cell")
+    )

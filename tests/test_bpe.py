@@ -55,3 +55,19 @@ def test_registered_bpe_stats_band_is_nonvacuous(spark):
     ).collect()
     assert rows and all(r["bpe_ok"] for r in rows)
     assert BPE_FERTILITY_LO > 1.0  # whitespace proxy would flip false
+
+
+def test_bpe_merge_table_round_trips(spark, tmp_path):
+    from etl_mudah_spark.tables import load
+    from tests.conftest import SF_SMOKE
+
+    docs = load(spark, SF_SMOKE, "documents")
+    merges = bpe.bpe_train(docs, n_merges=30)
+    path = str(tmp_path / "merges")
+    bpe.bpe_save(spark, merges, path)
+    assert bpe.bpe_load(spark, path) == merges
+    # counts under the loaded artifact match counts under the in-memory
+    # rules — the artifact IS the tokenizer
+    a = bpe.bpe_token_counts(docs, merges).orderBy("doc_id").collect()
+    b = bpe.bpe_token_counts(docs, bpe.bpe_load(spark, path)).orderBy("doc_id").collect()
+    assert [r["n_bpe"] for r in a] == [r["n_bpe"] for r in b]

@@ -131,3 +131,19 @@ def test_ivf_index_append_matches_full_build_queries(spark, tmp_path):
     assert [tuple(r) for r in full.collect()] == [
         tuple(r) for r in exact.collect()
     ]
+
+
+def test_ivf_index_balance_reports_per_cell_occupancy(spark, tmp_path):
+    from etl_mudah_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_balance,
+    )
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    index = str(tmp_path / "ivf_bal")
+    ivf_build_index(emb.where(F.col("vec_id") % 2 == 0), index, n_cells=8)
+    ivf_index_append(spark, index, emb.where(F.col("vec_id") % 2 == 1))
+    rows = ivf_index_balance(spark, index).collect()
+    assert sum(r["n_vectors"] for r in rows) == emb.count()
+    ratios = {r["imbalance_ratio"] for r in rows}
+    assert len(ratios) == 1 and min(ratios) >= 1.0
