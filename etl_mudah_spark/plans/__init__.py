@@ -52,6 +52,7 @@ _PRIORITY = [
     "ann_filtered_topk",
     "ann_filtered_indexed",  # new in round 6 (VERDICT r5 item 3)
     "ann_pq_filtered_topk",  # new in round 6 (PQ twin of item 3)
+    "emb_semantic_dedup",  # new in round 6 (SemDeDup blocking)
     "doc_excise_repeated_spans",
     "events_stream_sessions_native",
     "events_stream_enriched",
@@ -94,7 +95,6 @@ _PRIORITY = [
     "doc_token_stats",
     "doc_quality",
     "doc_lang_guess",
-    "doc_fingerprint",
 ]
 
 

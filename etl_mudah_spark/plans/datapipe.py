@@ -1595,6 +1595,67 @@ def ann_filtered_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_rows(brute, approx, min_hits=ANN_IDX_MIN_HITS_AT_10)
 
 
+# SemDeDup recall floor: cluster-blocking assumes near-dups share a
+# cell; on these near-uniform vectors a 0.45-cosine pair is barely
+# tighter than the bulk, so measured within-cell recall at n_cells=4 is
+# 0.429 / 0.571 / 0.444 (sf0.001/0.01/0.1, seeded KMeans → these are
+# exact values, not samples). Real corpora run this at 0.9+ similarity
+# inside genuinely tight clusters; the uniform regime is the same
+# documented worst case the SRP and IVF queries carry.
+SEMANTIC_DEDUP_MIN_RECALL = 0.3
+SEMANTIC_DEDUP_CELLS = 4
+
+
+@register(
+    "emb_semantic_dedup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT CAST(COUNT(*) AS BIGINT) AS exact_pairs, TRUE AS recall_ok
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= 0.45
+    """,
+    doc=(
+        "SemDeDup cluster-scoped near-dup recall invariant vs the "
+        "exact all-pairs cosine twin (threshold 0.45, KMeans(4) "
+        "cells)."
+    ),
+)
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third embedding-dedup blocking strategy (SemDeDup, Abbas et
+    al. 2023) next to SRP-LSH (emb_cosine_near_dup_lsh) and the exact
+    twin: KMeans cells bound the pair search to within-cell blocks —
+    Σ O(|cell|²), never O(n²). Invariant shape: the driver row is the
+    exact-twin pair count (DuckDB-reproducible) plus ``recall_ok``
+    asserting the cluster-blocked pass recovered >=
+    {SEMANTIC_DEDUP_MIN_RECALL:.0%} of the exact pairs (measured
+    values per sf in the constant's comment — the uniform testdata is
+    the method's worst case; see
+    operators/similarity.py:semantic_dedup_pairs)."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", sim.as_double(F.col("embedding")).alias("v"))
+    a, b = e.alias("a"), e.alias("b")
+    cos = sim.cosine(F.col("a.v"), F.col("b.v"))
+    exact = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(cos >= 0.45)
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+    )
+    found = sim.semantic_dedup_pairs(
+        emb, threshold=0.45, n_cells=SEMANTIC_DEDUP_CELLS
+    )
+    hits = exact.join(found.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+    stats = exact.agg(F.count("*").alias("exact_pairs")).crossJoin(
+        F.broadcast(hits.agg(F.count("*").alias("_hits")))
+    )
+    return stats.select(
+        "exact_pairs",
+        (
+            F.col("_hits")
+            >= F.ceil(F.lit(SEMANTIC_DEDUP_MIN_RECALL) * F.col("exact_pairs"))
+        ).alias("recall_ok"),
+    )
+
+
 # PQ-filtered floor: measured hits@10 = 10 at sf0.001/0.01/0.1 (the
 # filtered stratum is small, so the 20%-of-filtered shortlist floor of
 # 100 covers most of it and ADC ordering barely matters — the query

@@ -60,3 +60,33 @@ def test_batch_topk_plan_broadcasts_probes_and_salts_partials(spark):
     # probe over the tiny partials — nothing sorts in one task
     assert "Exchange SinglePartition" not in plan
     assert plan.count("Window") >= 2
+
+
+def test_semantic_dedup_pairs_are_exact_within_cells(spark):
+    """SemDeDup blocking: every returned pair truly clears the cosine
+    threshold (perfect precision — only recall is approximate), ids are
+    canonical (a < b), and the pair set is a subset of the exact
+    all-pairs result."""
+    from pyspark.sql import functions as F
+
+    from etl_mudah_spark.operators import similarity as sim
+    from etl_mudah_spark.tables import load
+    from tests.conftest import SF_SMOKE
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    got = sim.semantic_dedup_pairs(emb, threshold=0.45, n_cells=4).collect()
+    assert got, "smoke corpus has known near-dup pairs"
+    assert all(r["id_a"] < r["id_b"] for r in got)
+    assert all(r["cosine_sim"] >= 0.45 for r in got)
+
+    e = emb.select("vec_id", sim.as_double(F.col("embedding")).alias("v"))
+    a, b = e.alias("a"), e.alias("b")
+    cos = sim.cosine(F.col("a.v"), F.col("b.v"))
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(cos >= 0.45)
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .collect()
+    }
+    assert {(r["id_a"], r["id_b"]) for r in got} <= exact
