@@ -450,6 +450,42 @@ def bench_streaming(spark, sf_dir: str, n_files: int = 16) -> dict:
         finally:
             q.stop()
         wall = time.perf_counter() - t0
+
+        # Saturation point: the same pipeline fed everything in ONE
+        # trigger — separates the per-micro-batch floor (scheduling +
+        # state-store round trip, what the 1-file/trigger number is
+        # made of) from actual streaming compute throughput.
+        sat_batches: list[int] = []
+
+        def sat_sink(batch_df, batch_id: int) -> None:
+            batch_df.write.mode("overwrite").format("noop").save()
+            sat_batches.append(batch_id)
+
+        sat_agg = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", str(n_files))
+            .parquet(drop)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+        )
+        t1 = time.perf_counter()
+        q2 = (
+            sat_agg.writeStream.outputMode("update")
+            .foreachBatch(sat_sink)
+            .start()
+        )
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        sat_wall = time.perf_counter() - t1
+
         state_rows = (
             events.select(
                 F.date_trunc("hour", "ts").alias("h"), "event_type"
@@ -459,6 +495,7 @@ def bench_streaming(spark, sf_dir: str, n_files: int = 16) -> dict:
         )
         return {
             "streaming_rows_per_sec": round(n_rows / wall),
+            "streaming_rows_per_sec_saturated": round(n_rows / sat_wall),
             "streaming_input_rows": n_rows,
             "streaming_batches": len(batches),
             "streaming_batch_latency_sec": round(wall / max(1, len(batches)), 3),

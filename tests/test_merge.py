@@ -88,3 +88,34 @@ def test_merge_upsert_first_write(spark, tmp_path, partition_col):
     merge_upsert(spark, b, path, ["listing_id"], ["listing_date"],
                  partition_col=partition_col, batch_ts=T1)
     assert spark.read.parquet(path).count() == 1
+
+
+def test_merge_schema_evolution_new_and_missing_columns(spark):
+    """The staged batch may carry columns the target lacks (schema
+    evolution — a scraped API adds a field) and may lack columns the
+    target has; merge keeps both sides' columns, NULL-filling the gaps
+    (unionByName allowMissingColumns in merge_dataframes)."""
+    target = _batch(
+        spark,
+        [(1, 100.0, T0, "7", T0, T0), (2, 200.0, T0, "7", T0, T0)],
+    )
+    staged = spark.createDataFrame(
+        # new column `fuel`, and no region_id at all
+        [(2, 250.0, T1, "diesel"), (3, 300.0, T1, "petrol")],
+        "listing_id bigint, price double, listing_date timestamp, fuel string",
+    )
+    out = {
+        r["listing_id"]: r
+        for r in merge_dataframes(
+            target, staged, ["listing_id"], ["listing_date", "listing_id"],
+            batch_ts=T1,
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    # untouched row: old columns intact, new column NULL
+    assert out[1]["region_id"] == "7" and out[1]["fuel"] is None
+    # updated row: staged wins, target-only column becomes NULL for the
+    # staged version (no value to carry), new column filled
+    assert out[2]["price"] == 250.0 and out[2]["fuel"] == "diesel"
+    # inserted row: target-only column NULL, new column present
+    assert out[3]["region_id"] is None and out[3]["fuel"] == "petrol"

@@ -360,3 +360,45 @@ def test_stream_scd2_matches_batch_collapse_under_adversarial_batching(
     got = sorted(map(tuple, spark.read.parquet(hist_p).collect()))
     want = sorted(map(tuple, full.collect()))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer invariants over random word corpora: the count is
+# bracketed by the structural bounds, full training degenerates to the
+# word count, and train+apply is deterministic.
+# ---------------------------------------------------------------------------
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="abcdef", min_size=1, max_size=6),
+            min_size=1,
+            max_size=8,
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    n_merges=st.integers(0, 40),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_bpe_counts_bracketed_and_deterministic(spark, docs, n_merges):
+    from etl_mudah_spark.operators import bpe
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id bigint, text string"
+    )
+    merges = bpe.bpe_train(df, n_merges=n_merges, sample_mod=1)
+    assert merges == bpe.bpe_train(df, n_merges=n_merges, sample_mod=1)
+    rows = bpe.bpe_token_counts(df, merges).collect()
+    by_id = {r["doc_id"]: r["n_bpe"] for r in rows}
+    for i, t in enumerate(docs):
+        words = t.split()
+        n_chars_nonspace = sum(len(w) for w in words)
+        # each word yields between 1 and len(word)+1 tokens
+        assert len(words) <= by_id[i] <= n_chars_nonspace + len(words)
+    # saturated training fuses every sampled word to one token
+    full = bpe.bpe_train(df, n_merges=10_000, sample_mod=1)
+    sat = {r["doc_id"]: r["n_bpe"]
+           for r in bpe.bpe_token_counts(df, full).collect()}
+    for i, t in enumerate(docs):
+        assert sat[i] == len(t.split())
