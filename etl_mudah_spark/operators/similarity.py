@@ -708,6 +708,127 @@ def cosine_near_duplicates(
     )
 
 
+def srp_index_build(
+    df: DataFrame,
+    path: str,
+    dim: int,
+    n_planes: int = 12,
+    n_tables: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the SRP-LSH dedup index — the cosine-family twin of
+    operators/dedup.py:minhash_index_build, closing the incremental
+    story for the third dedup family: ``{path}/buckets`` = (id, the t
+    per-table bucket ids) and ``{path}/vectors`` = (id, vector, norm)
+    for exact verification.
+
+    Daily embedding ingest then stays O(batch): corpus projections (the
+    Arrow matmul, the expensive part) are computed ONCE here; each new
+    batch hashes only itself and joins the persisted buckets
+    (:func:`srp_dedup_incremental`). The hash family is deterministic
+    (:func:`_hyperplane`), so the same (dim, n_planes, n_tables) at
+    query time reproduces build-time buckets exactly — the index's
+    contract, like minhash's band parameters.
+    """
+    buckets = srp_buckets_udf(dim, n_planes, n_tables)
+    df.select(
+        F.col(id_col), buckets(F.col(vec_col)).alias("bkts")
+    ).write.mode("overwrite").parquet(f"{path}/buckets")
+    df.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("norm", l2_norm(F.col("v"))).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/vectors")
+
+
+def srp_dedup_incremental(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_path: str,
+    dim: int,
+    threshold: float = 0.45,
+    n_planes: int = 12,
+    n_tables: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    include_batch_pairs: bool = True,
+) -> DataFrame:
+    """Cosine near-duplicate pairs of a NEW batch against an indexed
+    corpus, never re-projecting corpus vectors.
+
+    Returns ``(id_a, id_b, cosine_sim >= threshold)`` with id_a the
+    corpus vector and id_b the batch vector; with
+    ``include_batch_pairs`` the batch's internal pairs union in.
+    Because the hyperplanes are deterministic, the result EXACTLY
+    equals the pairs of a from-scratch
+    :func:`cosine_near_duplicates` run over corpus ∪ batch that touch
+    the batch (pinned in tests/test_similarity_batch.py) — same
+    candidates, same verification, none of the corpus-side recompute.
+
+    Scale: batch buckets shuffle on (table, bucket) against the
+    persisted bucket files; the first-collision filter dedups
+    candidates map-side exactly like the self-join path; verification
+    reads only the candidate ids' vector rows.
+    """
+    buckets = srp_buckets_udf(dim, n_planes, n_tables)
+    nb = batch.select(
+        F.col(id_col).alias("_bid"), buckets(F.col(vec_col)).alias("_bbkts")
+    ).select(
+        "_bid", "_bbkts", F.posexplode("_bbkts").alias("_tbl", "_bkt")
+    )
+    cx = (
+        spark.read.parquet(f"{index_path}/buckets")
+        .select(F.col(id_col).alias("_cid"), F.col("bkts").alias("_cbkts"))
+        .select("_cid", "_cbkts", F.posexplode("_cbkts").alias("_tbl", "_bkt"))
+    )
+    first_collision = F.when(F.col("_tbl") == 0, F.lit(True)).otherwise(
+        ~F.exists(
+            F.sequence(F.lit(0), F.col("_tbl") - 1),
+            lambda j: F.element_at(F.col("_cbkts"), (j + 1).cast("int"))
+            == F.element_at(F.col("_bbkts"), (j + 1).cast("int")),
+        )
+    )
+    cand = (
+        cx.hint("shuffle_hash")
+        .join(nb.hint("shuffle_hash"), ["_tbl", "_bkt"])
+        .where(first_collision)
+        .select("_cid", "_bid")
+    )
+    vc = spark.read.parquet(f"{index_path}/vectors").select(
+        F.col(id_col).alias("_cid"),
+        F.col("v").alias("_va"),
+        F.col("norm").alias("_na"),
+    )
+    vb = batch.select(
+        F.col(id_col).alias("_bid"),
+        as_double(F.col(vec_col)).alias("_vb"),
+    ).withColumn("_nb", l2_norm(F.col("_vb")))
+    cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    cross = (
+        cand.join(vc, "_cid")
+        .join(vb, "_bid")
+        .select(
+            F.col("_cid").alias("id_a"),
+            F.col("_bid").alias("id_b"),
+            F.round(cos, 4).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+    if include_batch_pairs:
+        internal = cosine_near_duplicates(
+            batch,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_planes=n_planes,
+            n_tables=n_tables,
+            dim=dim,
+        )
+        cross = cross.unionByName(internal)
+    return cross
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) ANN
 # ---------------------------------------------------------------------------

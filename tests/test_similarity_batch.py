@@ -90,3 +90,41 @@ def test_semantic_dedup_pairs_are_exact_within_cells(spark):
         .collect()
     }
     assert {(r["id_a"], r["id_b"]) for r in got} <= exact
+
+
+def test_srp_incremental_equals_full_run_batch_pairs(spark, tmp_path):
+    """srp_dedup_incremental over a persisted index must EXACTLY equal
+    the batch-touching pairs of a from-scratch cosine_near_duplicates
+    over corpus ∪ batch — the hyperplanes are deterministic, so
+    candidates and verification are identical; only the corpus-side
+    recompute is skipped."""
+    from pyspark.sql import functions as F
+
+    from etl_mudah_spark.operators import similarity as sim
+    from etl_mudah_spark.plans.datapipe import EMB_DIM
+    from etl_mudah_spark.tables import load
+    from tests.conftest import SF_SMOKE
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    corpus = emb.where(F.col("vec_id") % 2 == 0)
+    batch = emb.where(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "srp_idx")
+    sim.srp_index_build(corpus, idx, dim=EMB_DIM, n_planes=8, n_tables=24)
+
+    incr = sim.srp_dedup_incremental(
+        spark, batch, idx, dim=EMB_DIM, threshold=0.45,
+        n_planes=8, n_tables=24,
+    )
+    got = {
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+        for r in incr.collect()
+    }
+    full = sim.cosine_near_duplicates(
+        emb, threshold=0.45, n_planes=8, n_tables=24, dim=EMB_DIM
+    )
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in full.collect()
+        if r["id_a"] % 2 == 1 or r["id_b"] % 2 == 1
+    }
+    assert got == want and got, "known near-dup pairs exist at smoke scale"
