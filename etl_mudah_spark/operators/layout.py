@@ -99,10 +99,40 @@ def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 10):
     Numeric and timestamp columns supported (timestamps cluster on
     epoch seconds); NULLs sort first (bucket 0). Re-derive the key
     after large appends — the min/max frame is snapshot at call time.
+
+    ``bits`` auto-scales down so the interleaved key fits a signed
+    64-bit long: Spark's ``shiftleft`` wraps its shift amount mod 64,
+    so a bit position past 63 would silently SCRAMBLE the interleave
+    order instead of overflowing loudly (ADVICE r6). String and other
+    non-orderable-as-number dtypes raise — casting them to double
+    yields NULL, which would put every row in bucket 0 and quietly
+    produce zero clustering on that dimension.
     """
     from pyspark.sql import functions as F
 
+    if not cols:
+        raise ValueError("zorder_key needs at least one cluster column")
     dtypes = dict(df.dtypes)
+    _NUMERIC_PREFIXES = ("decimal(",)
+    _OK = {"tinyint", "smallint", "int", "bigint", "float", "double",
+           "timestamp", "timestamp_ntz", "date"}
+    for c in cols:
+        dt = dtypes[c]
+        if dt not in _OK and not dt.startswith(_NUMERIC_PREFIXES):
+            raise TypeError(
+                f"zorder_key: column {c!r} has dtype {dt!r}; only numeric/"
+                "temporal columns cluster meaningfully (a string cast to "
+                "double is NULL => bucket 0 for every row). Derive a "
+                "numeric key first (e.g. xxhash64, a dictionary code)."
+            )
+    # highest bit position used is (bits-1)*len(cols) + (len(cols)-1)
+    # = bits*len(cols) - 1; keep it <= 62 so the key stays positive.
+    bits = min(bits, 62 // len(cols))
+    if bits < 1:
+        raise ValueError(
+            f"zorder_key: {len(cols)} cluster columns cannot interleave "
+            "into a 64-bit key with >=1 bit each; cluster on <=62 columns"
+        )
     top = (1 << bits) - 1
     norms = []
     stats = df.agg(

@@ -34,8 +34,6 @@ with plans/datapipe.py: whitespace split of trim(text)).
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 

@@ -1,0 +1,109 @@
+"""The round-6 bench record was lost because bench.py's stdout JSON
+line outgrew the driver's capture (BENCH_r06.json: "parsed": null).
+These tests pin the fix: the emitted line stays under MAX_LINE_BYTES
+for a full-size result, and nothing is dropped — the detail file keeps
+the complete record."""
+
+import json
+
+import bench
+
+
+def _full_result() -> dict:
+    """A synthetic result at least as large as round 6's real one:
+    14 queries x 3 scale points with per-query IO maps, per-query
+    DuckDB timings at two points, staging policies, streaming block."""
+    qnames = [f"query_with_a_long_descriptive_name_{i:02d}" for i in range(14)]
+    q = {n: 12.345678 for n in qnames}
+    io = {
+        n: {
+            "shuffle_read": 123456789,
+            "shuffle_write": 987654321,
+            "input": 10**12,
+            "spill": 0,
+        }
+        for n in qnames
+    }
+    return {
+        "metric": "headline_queries_total",
+        "value": 123.456,
+        "unit": "sec",
+        "sf": 0.1,
+        "queries": q,
+        "io": io,
+        "merge_upsert_batch": 0.6,
+        "methodology": {
+            "reps": 5,
+            "reps_used": {n: 5 for n in qnames},
+            "reps_used_multifile": {n: 5 for n in qnames},
+            "reps_used_sf_x10": {n: 3 for n in qnames},
+            "stat": "median",
+            "sink": "noop",
+            "merge_stat": "best",
+        },
+        "queries_multifile": q,
+        "io_multifile": io,
+        "value_multifile": 7.1,
+        "multifile_policy": {"target_bytes": 524288, "cap": 32},
+        "queries_sf_x10": q,
+        "io_sf_x10": io,
+        "value_sf_x10": 99.9,
+        "scale_policy": {
+            "factor": 10,
+            "bytes": 10**9,
+            "bytes_base": 10**8,
+            "reps": 3,
+            "notes": "x" * 200,
+        },
+        "duckdb": {n: 0.123 for n in qnames},
+        "value_duckdb": 0.67,
+        "duckdb_sf_x10": {n: 1.234 for n in qnames},
+        "value_duckdb_sf_x10": 12.3,
+        "queries_sf_x100": {n: 30.0 for n in qnames[:3]},
+        "io_sf_x100": {n: io[n] for n in qnames[:3]},
+        "value_sf_x100": 90.0,
+        "duckdb_sf_x100": {n: 20.0 for n in qnames[:3]},
+        "scale_policy_x2": {"factor": 100, "bytes": 10**10},
+        "spark_vs_duckdb": {
+            "base_singlefile": 9.7,
+            "x10": 2.2,
+            "x100_scan_bound": 0.9,
+        },
+        "streaming_rows_per_sec": 6300,
+        "streaming_rows_per_sec_saturated": 45800,
+        "streaming_input_rows": 10**6,
+        "streaming_batches": 16,
+        "streaming_batch_latency_sec": 0.5,
+        "streaming_state_groups": 1234,
+        "detail": "BENCH_DETAIL.json",
+    }
+
+
+def test_line_fits_driver_capture():
+    line, detail = bench.split_result(_full_result())
+    blob = json.dumps(line)
+    assert len(blob) <= bench.MAX_LINE_BYTES
+    parsed = json.loads(blob)
+    # the headline numbers the judge reads must survive on the line
+    assert parsed["metric"] == "headline_queries_total"
+    assert len(parsed["queries"]) == 14
+    assert "queries_sf_x10" in parsed
+    assert parsed["spark_vs_duckdb"]["x10"] == 2.2
+    assert parsed["streaming_rows_per_sec_saturated"] == 45800
+
+
+def test_detail_keeps_everything():
+    full = _full_result()
+    _, detail = bench.split_result(full)
+    # the detail file is the FULL record — io maps, duckdb per-query,
+    # methodology, and the x100 subset all present
+    for k in full:
+        assert k in detail, k
+    assert detail["io"] and detail["duckdb"] and detail["queries_sf_x100"]
+
+
+def test_bulky_keys_never_on_line():
+    line, _ = bench.split_result(_full_result())
+    for k in ("io", "io_multifile", "io_sf_x10", "duckdb", "duckdb_sf_x10",
+              "methodology", "scale_policy", "queries_sf_x100"):
+        assert k not in line, k

@@ -233,3 +233,33 @@ def test_zorder_handles_all_null_column_and_rejects_conflicting_sorts(
 
     with pytest.raises(ValueError, match="not both"):
         compact_files(spark, path, sort_within_by=["y"], zorder_by=["x"])
+
+
+def test_zorder_key_rejects_strings_and_fits_64_bits(spark):
+    """ADVICE r6: (1) a string cluster column must raise — cast-to-
+    double NULLs would silently bucket every row to 0; (2) with many
+    columns the bit positions must stay <= 62 — Spark's shiftleft
+    wraps shifts mod 64, which would scramble the interleave order."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_mudah_spark.operators.layout import zorder_key
+
+    df = spark.range(1000).selectExpr(
+        "id AS a", "id * 3 % 997 AS b", "id * 7 % 101 AS c",
+        "id * 11 % 53 AS d", "id * 13 % 29 AS e", "id * 17 % 19 AS f",
+        "id * 19 % 13 AS g", "CAST(id AS STRING) AS s"
+    )
+    with pytest.raises(TypeError, match="dtype 'string'"):
+        zorder_key(df, ["a", "s"])
+
+    # 7 columns at requested bits=10 would reach bit position 69 without
+    # the auto-scale; the produced key must be non-negative (no sign-bit
+    # or wrap artifacts) and still order-distinguishing.
+    cols = ["a", "b", "c", "d", "e", "f", "g"]
+    keyed = df.select(zorder_key(df, cols, bits=10).alias("k"))
+    mn, mx = keyed.agg(F.min("k"), F.max("k")).first()
+    assert mn >= 0
+    # 62 // 7 = 8 bits/column => key < 2^56
+    assert mx < 1 << 56
+    assert keyed.select("k").distinct().count() > 1
