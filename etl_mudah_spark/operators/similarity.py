@@ -129,6 +129,7 @@ def probe_row(
     probe_id: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    require: bool = False,
 ) -> DataFrame:
     """The query vector as a 1-ROW DATAFRAME (column ``_pv``) instead of
     a driver-side list.
@@ -140,10 +141,25 @@ def probe_row(
     layer now rides this for every registered ANN query; the
     list-parameter variants remain for callers that already hold the
     vector, which IS the production retrieval shape).
+
+    EMPTY-PROBE CONTRACT (ADVICE r6): a ``probe_id`` absent from ``df``
+    yields a 0-row relation, and every downstream crossJoin-based query
+    then returns 0 rows — silently, which is correct relational algebra
+    but a foot-gun when the id was a typo. Pass ``require=True`` to
+    fail loudly instead: it runs ONE key-pushdown count (a bounded,
+    footer-pruned scan) and raises KeyError on a missing id. The
+    registered queries stay on the lazy default because their probe ids
+    are fixture constants verified by the oracle twin.
     """
-    return df.where(F.col(id_col) == probe_id).select(
+    out = df.where(F.col(id_col) == probe_id).select(
         as_double(F.col(vec_col)).alias("_pv")
     )
+    if require and out.limit(1).count() == 0:
+        raise KeyError(
+            f"probe_row: no row with {id_col} == {probe_id!r} — downstream "
+            "ANN queries would silently return 0 rows"
+        )
+    return out
 
 
 def brute_force_topk_df(
@@ -612,6 +628,7 @@ def cosine_near_duplicates(
     target_recall: float = 0.95,
     max_tables: int = 32,
     dim: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via OR-amplified SRP-LSH
     blocking + exact cosine verification.
@@ -644,6 +661,25 @@ def cosine_near_duplicates(
       (the multi-collided candidate set).
     - L2 norms are materialized per row before the pair join, so
       verification is one dot product per unique pair.
+    - ``max_bucket_size`` is the hot-bucket guardrail (VERDICT r6): per
+      bucket the candidate join is QUADRATIC in bucket population, so a
+      degenerate embedding region (a mode-collapsed encoder, a burst of
+      near-constant vectors — or uniform synthetic data at a loose
+      threshold) silently turns the blocked plan back into ~all-pairs.
+      With the cap set, oversized (table, bucket) groups are keymod-
+      sampled down to ~max_bucket_size members BEFORE the self-join
+      (the same explicit-exclusion discipline as the fuzzy-join
+      FUZZY_MAX_BLOCK and the shingle df cap), bounding per-bucket pair
+      work at ~cap²/2. Sampling keys on xxhash64(id) only, so a row
+      keeps or loses ALL its tables together and hot-cluster pairs stay
+      discoverable among the kept members. The map-side first-collision
+      dedup assumes every earlier-table collision actually joined, which
+      sampling breaks — the capped path dedups candidates with a
+      ``dropDuplicates`` shuffle instead, acceptable BECAUSE the cap has
+      just bounded the candidate volume. Recall within a hot bucket
+      degrades to ~(cap/size)² of its pairs — the explicit, reported
+      (:func:`srp_bucket_profile`) price of bounded work; pairs in
+      healthy buckets are unaffected.
     """
     if n_planes is None:
         n_planes, auto_t = srp_params(threshold, target_recall, max_tables)
@@ -651,11 +687,14 @@ def cosine_near_duplicates(
     elif n_tables is None:
         n_tables = 1
     if dim is None:
-        # Fallback probe: array columns don't carry their length in the
-        # schema. Callers that know the embedding width should pass
-        # ``dim`` — it keeps the whole plan lazy (this .first() is the
-        # only driver action the operator would otherwise run).
-        dim = len(df.select(vec_col).first()[0])
+        # Array columns don't carry their length in the schema, and an
+        # eager .first() probe here (the round-1..6 fallback) was the
+        # operator's only non-lazy action — callers always know their
+        # embedding width (VERDICT r6 item 7).
+        raise ValueError(
+            "cosine_near_duplicates requires dim= (the embedding width); "
+            "an automatic schema probe would run an eager job per call"
+        )
     buckets = srp_buckets_udf(dim, n_planes, n_tables)
     base = df.select(
         F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v")
@@ -666,28 +705,59 @@ def cosine_near_duplicates(
     ).select(
         "_id", "_bkts", F.posexplode(F.col("_bkts")).alias("_tbl", "_bkt")
     )
+    if max_bucket_size is not None:
+        # (table, bucket) populations: grouped on the SAME key the
+        # self-join shuffles on; output is at most t * 2^b rows (AQE
+        # broadcasts it when small). A row in an oversized bucket
+        # survives with probability ~cap/size via a deterministic
+        # keymod on its id — no RNG, rerun-stable.
+        sizes = ids.groupBy("_tbl", "_bkt").agg(F.count("*").alias("_sz"))
+        ids = (
+            ids.join(sizes, ["_tbl", "_bkt"])
+            .where(
+                (F.col("_sz") <= max_bucket_size)
+                | (
+                    F.pmod(
+                        F.xxhash64("_id"),
+                        F.ceil(
+                            F.col("_sz") / F.lit(max_bucket_size)
+                        ).cast("bigint"),
+                    )
+                    == 0
+                )
+            )
+            .drop("_sz")
+        )
     l, r = ids.alias("l"), ids.alias("r")
-    # keep a colliding pair only in its FIRST colliding table: exact
-    # dedup with zero extra shuffle (sequence(0, -1) is descending in
-    # Spark, so table 0 needs the explicit guard)
-    first_collision = F.when(F.col("l._tbl") == 0, F.lit(True)).otherwise(
-        ~F.exists(
-            F.sequence(F.lit(0), F.col("l._tbl") - 1),
-            lambda j: F.element_at(F.col("l._bkts"), (j + 1).cast("int"))
-            == F.element_at(F.col("r._bkts"), (j + 1).cast("int")),
-        )
+    join_on = (
+        (F.col("l._tbl") == F.col("r._tbl"))
+        & (F.col("l._bkt") == F.col("r._bkt"))
+        & (F.col("l._id") < F.col("r._id"))
     )
-    cand = (
-        l.hint("shuffle_hash")
-        .join(
-            r.hint("shuffle_hash"),
-            (F.col("l._tbl") == F.col("r._tbl"))
-            & (F.col("l._bkt") == F.col("r._bkt"))
-            & (F.col("l._id") < F.col("r._id")),
+    if max_bucket_size is None:
+        # keep a colliding pair only in its FIRST colliding table: exact
+        # dedup with zero extra shuffle (sequence(0, -1) is descending in
+        # Spark, so table 0 needs the explicit guard)
+        first_collision = F.when(F.col("l._tbl") == 0, F.lit(True)).otherwise(
+            ~F.exists(
+                F.sequence(F.lit(0), F.col("l._tbl") - 1),
+                lambda j: F.element_at(F.col("l._bkts"), (j + 1).cast("int"))
+                == F.element_at(F.col("r._bkts"), (j + 1).cast("int")),
+            )
         )
-        .where(first_collision)
-        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
-    )
+        cand = (
+            l.hint("shuffle_hash")
+            .join(r.hint("shuffle_hash"), join_on)
+            .where(first_collision)
+            .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        )
+    else:
+        cand = (
+            l.hint("shuffle_hash")
+            .join(r.hint("shuffle_hash"), join_on)
+            .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
     pairs = cand.join(
         base.select(
             F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_norm").alias("_na")
@@ -706,6 +776,56 @@ def cosine_near_duplicates(
         )
         .where(F.col("cosine_sim") >= threshold)
     )
+
+
+def srp_bucket_profile(
+    df: DataFrame,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    max_bucket_size: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-(table, bucket) population report for the SRP-LSH family —
+    the "report what was dropped" companion to
+    :func:`cosine_near_duplicates`'s ``max_bucket_size`` cap.
+
+    Returns ``(table, bucket, size, capped, kept_expected)`` sorted by
+    descending size: ``capped`` marks buckets past the bound, and
+    ``kept_expected`` is the ~population the keymod sample retains
+    there. Run it (or its agg) alongside a capped dedup to quantify the
+    recall trade: sum(size) vs sum(kept_expected) over capped buckets.
+    One groupBy on the explode — no pair join, safe at any skew.
+    """
+    buckets = srp_buckets_udf(dim, n_planes, n_tables)
+    sizes = (
+        df.select(buckets(F.col(vec_col)).alias("_bkts"))
+        .select(F.posexplode("_bkts").alias("table", "bucket"))
+        .groupBy("table", "bucket")
+        .agg(F.count("*").alias("size"))
+    )
+    cap = F.lit(max_bucket_size) if max_bucket_size is not None else None
+    if cap is None:
+        out = sizes.select(
+            "table", "bucket", "size",
+            F.lit(False).alias("capped"),
+            F.col("size").alias("kept_expected"),
+        )
+    else:
+        out = sizes.select(
+            "table",
+            "bucket",
+            "size",
+            (F.col("size") > cap).alias("capped"),
+            F.when(F.col("size") <= cap, F.col("size"))
+            .otherwise(
+                F.floor(F.col("size") / F.ceil(F.col("size") / cap))
+            )
+            .cast("bigint")
+            .alias("kept_expected"),
+        )
+    return out.orderBy(F.desc("size"), F.asc("table"), F.asc("bucket"))
 
 
 def srp_index_build(
@@ -760,6 +880,12 @@ def srp_dedup_incremental(
     Returns ``(id_a, id_b, cosine_sim >= threshold)`` with id_a the
     corpus vector and id_b the batch vector; with
     ``include_batch_pairs`` the batch's internal pairs union in.
+    Self-pairs from re-ingested ids (batch ∩ corpus) are filtered, but
+    orientation is SEMANTIC, not canonical: when an overlapping ingest
+    makes the same logical pair reachable both as corpus-batch and as
+    an internal batch pair, both orientations appear — normalize with
+    least/greatest if set semantics are needed (as the parity test
+    does).
     Because the hyperplanes are deterministic, the result EXACTLY
     equals the pairs of a from-scratch
     :func:`cosine_near_duplicates` run over corpus ∪ batch that touch
@@ -793,6 +919,9 @@ def srp_dedup_incremental(
         cx.hint("shuffle_hash")
         .join(nb.hint("shuffle_hash"), ["_tbl", "_bkt"])
         .where(first_collision)
+        # a re-ingested id (batch ∩ corpus) collides with itself in
+        # every table — a meaningless (x, x, 1.0) self-pair (ADVICE r6)
+        .where(F.col("_cid") != F.col("_bid"))
         .select("_cid", "_bid")
     )
     vc = spark.read.parquet(f"{index_path}/vectors").select(

@@ -37,7 +37,7 @@ def test_near_dup_lsh_recall_vs_exact(spark):
     lsh = {
         (r.id_a, r.id_b)
         for r in sim.cosine_near_duplicates(
-            emb, threshold=0.45, target_recall=0.95, max_tables=96
+            emb, threshold=0.45, target_recall=0.95, max_tables=96, dim=64
         ).collect()
     }
     assert len(exact) >= 10  # sanity: the fixture has true pairs to find
@@ -49,10 +49,61 @@ def test_near_dup_lsh_unique_pairs(spark):
     """A pair colliding in several tables must be emitted once."""
     emb = load(spark, SF_CORRECT, "embeddings")
     rows = sim.cosine_near_duplicates(
-        emb, threshold=0.45, target_recall=0.95, max_tables=96
+        emb, threshold=0.45, target_recall=0.95, max_tables=96, dim=64
     ).collect()
     pairs = [(r.id_a, r.id_b) for r in rows]
     assert len(pairs) == len(set(pairs))
+
+
+def test_near_dup_requires_dim(spark):
+    """VERDICT r6 item 7: the eager .first() schema probe is gone —
+    omitting dim is a loud error, not a hidden driver job."""
+    import pytest
+
+    emb = load(spark, SF_CORRECT, "embeddings")
+    with pytest.raises(ValueError, match="requires dim"):
+        sim.cosine_near_duplicates(emb, threshold=0.45)
+
+
+def test_hot_bucket_cap_bounds_candidates(spark):
+    """VERDICT r6 item 2: a planted hot bucket (500 near-identical
+    vectors, which collide in EVERY table) must not produce ~125k
+    pairs when max_bucket_size caps it. The keymod sample keys on the
+    id alone, so the kept subset agrees across tables and its internal
+    pairs are still found — bounded at ~(expected kept)²/2."""
+    # 500 clones of one direction (+ tiny id-dependent jitter on one
+    # axis keeps vectors distinct without breaking sim≈1), plus 100
+    # scattered vectors that pair with nothing.
+    clones = spark.range(500).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 64), "
+        " i -> CASE WHEN i = 1 THEN 1.0 + id * 1e-6 ELSE 1.0 END)"
+        " AS embedding",
+    )
+    noise = spark.range(500, 600).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 64), i -> sin(id * i * 2.7)) AS embedding",
+    )
+    df = clones.unionByName(noise)
+
+    capped = sim.cosine_near_duplicates(
+        df, threshold=0.9, n_planes=8, n_tables=16, dim=64,
+        max_bucket_size=50,
+    ).collect()
+    n_capped = len(capped)
+    # every emitted pair is clone-internal (exact verification) …
+    assert all(r.id_a < 500 and r.id_b < 500 for r in capped)
+    # … and the volume is the sampled bucket's quadratic, not the
+    # full cluster's: uncapped would emit 500*499/2 = 124750 pairs.
+    assert 100 <= n_capped <= 6000, n_capped
+
+    # the profile reports the hot buckets as capped
+    prof = sim.srp_bucket_profile(
+        df, dim=64, n_planes=8, n_tables=16, max_bucket_size=50
+    )
+    hot = prof.where("capped").collect()
+    assert len(hot) >= 16  # the clone bucket in every table
+    assert all(r.size >= 500 and r.kept_expected <= 50 for r in hot)
 
 
 def test_srp_topk_full_k_and_recall(spark):
