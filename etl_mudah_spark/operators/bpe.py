@@ -95,8 +95,8 @@ def bpe_train(
     return merges
 
 
-def _encode_len(word: str, ranks: dict[tuple[str, str], int]) -> int:
-    """Token count of one word under the learned merges (GPT-2-style
+def _encode_syms(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Symbol sequence of one word under the learned merges (GPT-2-style
     apply: repeatedly fuse the present pair with the lowest rank)."""
     seq = list(word) + [END]
     while len(seq) > 1:
@@ -109,7 +109,12 @@ def _encode_len(word: str, ranks: dict[tuple[str, str], int]) -> int:
         if best_rank is None:
             break
         seq[best_i : best_i + 2] = [seq[best_i] + seq[best_i + 1]]
-    return len(seq)
+    return seq
+
+
+def _encode_len(word: str, ranks: dict[tuple[str, str], int]) -> int:
+    """Token count of one word under the learned merges."""
+    return len(_encode_syms(word, ranks))
 
 
 def bpe_token_counts(
@@ -142,6 +147,73 @@ def bpe_token_counts(
         return pd.Series(out, dtype="int64")
 
     return df.withColumn(out_col, count_tokens(F.col(text_col)))
+
+
+# Token-id space (VERDICT r6 item 4): single characters take their
+# Unicode codepoint (corpus-independent, no vocabulary pass needed);
+# the </w> marker and each fused symbol take ids above SPECIAL_BASE in
+# rank order. Deterministic, merge-table-derived, and trivially
+# reproducible in SQL (codepoint + a rank-indexed lookup) — the
+# property the exact-sequence oracle rides on.
+SPECIAL_BASE = 1_000_000
+
+
+def bpe_vocab(merges: list[tuple[str, str]]) -> dict[str, int]:
+    """Symbol -> token-id table for a merge list: ``</w>`` ->
+    SPECIAL_BASE, fused symbol of rank i -> SPECIAL_BASE + 1 + i.
+    Single characters are NOT listed — their id is their codepoint
+    (:func:`bpe_encode` falls back to ``ord``). Two merge rules fusing
+    to the same string keep the FIRST rank's id, matching the apply
+    (which emits one symbol string regardless of which rule built it).
+    """
+    vocab = {END: SPECIAL_BASE}
+    for i, (a, b) in enumerate(merges):
+        vocab.setdefault(a + b, SPECIAL_BASE + 1 + i)
+    return vocab
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_ids",
+) -> DataFrame:
+    """Append the full BPE token-ID SEQUENCE of ``text_col`` as
+    ``out_col`` (``array<int>``) — the training-data output format,
+    closing the gap between the tokenizer artifact and shard packing
+    (doc_shard_pack packs documents by token counts; this emits the
+    ids those counts count).
+
+    Same scale shape as :func:`bpe_token_counts`: one Arrow-batched
+    pandas UDF map pass, per-batch word -> ids memo (Zipfian word
+    frequency makes the memo absorb almost every lookup), no shuffle.
+    Ids follow :func:`bpe_vocab`: codepoints for single chars,
+    SPECIAL_BASE+ for ``</w>`` and fused symbols. Whitespace
+    pre-tokenization (the repo-wide contract): inter-word whitespace
+    itself is not represented, each word ends in its ``</w>`` marker.
+    """
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    vocab = bpe_vocab(merges)
+
+    @F.pandas_udf("array<int>")
+    def encode(texts: pd.Series) -> pd.Series:
+        memo: dict[str, list[int]] = {}
+        out = []
+        for t in texts:
+            ids: list[int] = []
+            for w in (t or "").split():
+                got = memo.get(w)
+                if got is None:
+                    got = [
+                        vocab.get(s) or ord(s)
+                        for s in _encode_syms(w, ranks)
+                    ]
+                    memo[w] = got
+                ids.extend(got)
+            out.append(ids)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, encode(F.col(text_col)))
 
 
 def bpe_save(spark, merges: list[tuple[str, str]], path: str) -> None:

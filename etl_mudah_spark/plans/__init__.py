@@ -34,67 +34,67 @@ from etl_mudah_spark.plans import temporal  # noqa: F401
 from etl_mudah_spark.plans import mlq  # noqa: F401
 
 _PRIORITY = [
-    # Round-6 window (exactly 50 names), executing the rotation planned
-    # in round 5: (a) the 25 queries that have NEVER had a
-    # driver-produced CORRECTNESS row (late round-5 additions + the
-    # r3-sim-only tail) — all sim-verified HASH-OK at sf0.01, this
-    # round puts them on the external record; (b) the 16 r3-checked
-    # parity names whose last driver row is three rounds old; (c) the
-    # oldest r4-checked names to fill to 50. New round-6 queries are
-    # spliced into (a) as they land.
-    # --- (a) never driver-rowed ---
-    "ann_batch_topk",
-    "doc_dedup_keep_best",
-    "doc_split_leakage",
-    "doc_repeated_spans",
-    "doc_token_budget_mix",
-    "doc_media_features",
-    "ann_filtered_topk",
-    "ann_filtered_indexed",  # new in round 6 (VERDICT r5 item 3)
-    "ann_pq_filtered_topk",  # new in round 6 (PQ twin of item 3)
-    "emb_semantic_dedup",  # new in round 6 (SemDeDup blocking)
-    "doc_excise_repeated_spans",
-    "events_stream_sessions_native",
-    "events_stream_enriched",
-    "events_daily_users_rollup",
-    "events_stream_users_rollup",
-    "events_stream_unconverted",
-    "nation_pair_trade_volume",
-    "nation_market_share_in_region",
-    "returned_item_customers",
-    "part_profit_by_nation_year",
-    "doc_bm25_search",
-    "vocab_zipf_fit",
-    "doc_bpe_token_stats",  # new in round 6 (VERDICT r5 item 7)
-    "doc_unigram_surprisal",
-    "doc_hybrid_rrf",
-    "join_key_skew_profile",
-    "customer_priority_scd2",
-    "brand_price_regression",
-    "emb_pca_variance",
-    # --- (b) r3-checked parity names (last driver row: round 3) ---
-    "pricing_summary",
-    "top_brands",
-    "brand_share",
-    "price_segments",
-    "order_year_stats",
-    "filter_stack_metrics",
-    "regex_and_search",
-    "distinct_priorities",
-    "keep_one_per_order",
-    "region_revenue",
-    "top_customers",
-    "similar_parts",
-    "priority_shares",
-    "top3_orders_per_customer",
-    "shipping_priority",
-    "big_orders",
-    # --- (c) oldest r4-checked fill ---
-    "monthly_order_volume",
-    "customer_order_links",
-    "doc_token_stats",
-    "doc_quality",
-    "doc_lang_guess",
+    # Round-7 window (exactly 50 names), executing the rotation planned
+    # in round 6 (plans/__init__.py r6 comment + VERDICT r6 item 3):
+    # (a) the 30 names whose newest driver row is round 4 — after this
+    # round no registered query's newest driver row is older than
+    # round 5; (b) the two round-7 additions (exact BPE id sequences +
+    # BPE shard packing); (c) alphabetically-first r5-checked names to
+    # fill to 50. All 131 remain sim-checked at sf0.01 and sf0.1 every
+    # round regardless (scripts/driver_sim.py).
+    # --- (a) r4-checked names (last driver row: round 4) ---
+    "ann_bruteforce_topk",
+    "doc_chunk_dedup",
+    "doc_clean_pipeline",
+    "doc_decontaminate",
+    "doc_domain_mix",
+    "doc_exact_dedup",
+    "doc_fingerprint",
+    "doc_global_shuffle",
+    "doc_ngram_jaccard",
+    "doc_pii_scrub",
+    "doc_repetition_scores",
+    "doc_shard_pack",
+    "doc_train_split",
+    "emb_cosine_near_dup",
+    "emb_label_centroids",
+    "emb_norm_stats",
+    "events_anomaly",
+    "events_attribution",
+    "events_funnel",
+    "events_hourly",
+    "events_hourly_dense",
+    "events_json_stats",
+    "events_retention",
+    "events_sessionize",
+    "events_stream_dedup",
+    "events_stream_hourly",
+    "events_stream_sessions",
+    "orders_per_customer_dist",
+    "parts_pareto_80",
+    "waiting_sole_late_supplier",
+    # --- (b) new in round 7 ---
+    "doc_bpe_encode",
+    "doc_shard_pack_bpe",
+    # --- (c) r5-checked fill ---
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "ann_srp_topk",
+    "brand_quartiles",
+    "brand_type_supplier_counts",
+    "cheapest_supplier_per_part",
+    "customer_balance_deciles",
+    "customers_churned",
+    "customers_retained",
+    "customers_without_orders",
+    "daily_revenue_moving_avg",
+    "disjunctive_join_revenue",
+    "doc_chunks",
+    "doc_decontaminate_spans",
+    "doc_dup_clusters",
+    "doc_minhash_incremental",
+    "doc_minhash_near_dup",
+    "doc_quality_model",
 ]
 
 

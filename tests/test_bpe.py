@@ -71,3 +71,51 @@ def test_bpe_merge_table_round_trips(spark, tmp_path):
     a = bpe.bpe_token_counts(docs, merges).orderBy("doc_id").collect()
     b = bpe.bpe_token_counts(docs, bpe.bpe_load(spark, path)).orderBy("doc_id").collect()
     assert [r["n_bpe"] for r in a] == [r["n_bpe"] for r in b]
+
+
+def test_bpe_encode_ids_consistent_with_counts(spark):
+    """bpe_encode's sequence length must equal bpe_token_counts for
+    every doc, its ids must decode through bpe_vocab (specials) or
+    codepoints (chars), and empty docs must encode to []."""
+    from pyspark.sql import functions as F
+
+    from etl_mudah_spark.tables import load
+    from tests.conftest import SF_SMOKE
+
+    docs = load(spark, SF_SMOKE, "documents")
+    merges = bpe.bpe_train(docs, n_merges=30)
+    both = bpe.bpe_encode(bpe.bpe_token_counts(docs, merges), merges)
+    bad = both.where(F.size("bpe_ids") != F.col("n_bpe")).count()
+    assert bad == 0
+    vocab_ids = set(bpe.bpe_vocab(merges).values())
+    rows = both.select("bpe_ids").collect()
+    assert any(r["bpe_ids"] for r in rows)
+    for r in rows:
+        for i in r["bpe_ids"]:
+            assert i in vocab_ids or (0 <= i < bpe.SPECIAL_BASE), i
+
+    empty = spark.createDataFrame(
+        [(1, ""), (2, "   ")], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: r["bpe_ids"]
+        for r in bpe.bpe_encode(empty, merges).collect()
+    }
+    assert got == {1: [], 2: []}
+
+
+def test_bpe_encode_exact_sequence_on_fixture():
+    """Pin the apply semantics on the registered fixture: deep fusion
+    ('table' -> one token), partial fusion, and codepoint fallback."""
+    from etl_mudah_spark.plans.llmprep import BPE_FIXTURE_MERGES
+
+    ranks = {p: i for i, p in enumerate(BPE_FIXTURE_MERGES)}
+    vocab = bpe.bpe_vocab(BPE_FIXTURE_MERGES)
+    ids = lambda w: [
+        vocab.get(s) or ord(s) for s in bpe._encode_syms(w, ranks)
+    ]
+    B = bpe.SPECIAL_BASE
+    assert ids("table") == [B + 5]              # tabl + e</w>, rank 4
+    assert ids("scan") == [B + 13]              # scan</w>, rank 12
+    assert ids("data") == [ord("d"), ord("a"), B + 2, B]  # d a ta </w>
+    assert ids("zz") == [ord("z"), ord("z"), B]  # pure fallback
