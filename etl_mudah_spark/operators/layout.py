@@ -181,6 +181,7 @@ def compact_files(
     sort_within_by: Sequence[str] | None = None,
     max_files: int | None = None,
     zorder_by: Sequence[str] | None = None,
+    swap: str = "rename",
 ) -> int:
     """Compact a parquet directory's small files into ~target-size
     files, returning the new file count.
@@ -204,17 +205,32 @@ def compact_files(
     in that window is self-healing — :func:`recover_compaction` runs
     first on every call (and can be invoked standalone at startup) and
     renames the intact ``._precompact`` copy back if the dataset is
-    absent. (On a real object store the swap is a metastore/manifest
-    pointer flip and none of this applies.)
+    absent.
+
+    ``swap="manifest"`` selects the object-store-safe strategy
+    (operators/manifest.py): the compacted layout lands in a fresh
+    versioned directory under ``path`` and a single atomic ``_current``
+    pointer write publishes it — no rename of data objects, no
+    dataset-missing window, no reader quiescing (readers resolve the
+    pointer via ``manifest_resolve``). The first manifest compaction
+    migrates a plain parquet directory in place.
     """
     import math
     import os
     import shutil
 
-    recover_compaction(path)
+    if swap not in ("rename", "manifest"):
+        raise ValueError(f"swap must be 'rename' or 'manifest', got {swap!r}")
+    if swap == "manifest":
+        from etl_mudah_spark.operators.manifest import manifest_resolve
+
+        data_path = manifest_resolve(path)
+    else:
+        recover_compaction(path)
+        data_path = path
     size = sum(
         os.path.getsize(os.path.join(dp, f))
-        for dp, _, fs in os.walk(path)
+        for dp, _, fs in os.walk(data_path)
         for f in fs
         if not f.startswith(("_", "."))
     )
@@ -231,7 +247,7 @@ def compact_files(
             "dropping the requested sort would silently drop its "
             "pruning downstream"
         )
-    df = spark.read.parquet(path)
+    df = spark.read.parquet(data_path)
     if zorder_by:
         # GLOBAL clustering: range-partition on the Morton key so each
         # output file owns a contiguous z-range (a hyper-rectangle-ish
@@ -248,17 +264,26 @@ def compact_files(
         out = df.repartition(n_files)
         if sort_within_by:
             out = out.sortWithinPartitions(*sort_within_by)
-    staging = path.rstrip("/") + "._compacting"
-    retired = path.rstrip("/") + "._precompact"
-    out.write.mode("overwrite").parquet(staging)
-    shutil.rmtree(retired, ignore_errors=True)
-    os.rename(path, retired)
-    os.rename(staging, path)
-    shutil.rmtree(retired)
+    if swap == "manifest":
+        from etl_mudah_spark.operators.manifest import manifest_publish
+
+        new_dir = manifest_publish(
+            path, lambda d: out.write.mode("overwrite").parquet(d)
+        )
+        final = new_dir
+    else:
+        staging = path.rstrip("/") + "._compacting"
+        retired = path.rstrip("/") + "._precompact"
+        out.write.mode("overwrite").parquet(staging)
+        shutil.rmtree(retired, ignore_errors=True)
+        os.rename(path, retired)
+        os.rename(staging, path)
+        shutil.rmtree(retired)
+        final = path
     return len(
         [
             f
-            for f in os.listdir(path)
+            for f in os.listdir(final)
             if f.endswith(".parquet") and not f.startswith(("_", "."))
         ]
     )

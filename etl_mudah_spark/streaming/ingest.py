@@ -97,6 +97,7 @@ def stream_scd2_ingest(
     ts_col: str,
     tiebreak_cols: list[str] | None = None,
     max_files_per_trigger: int = 1,
+    swap: str = "rename",
 ) -> None:
     """Maintain an SCD type-2 dimension history from a stream of change
     snapshots (CDC feed / periodic dimension dumps in ``drop_dir`` as
@@ -122,13 +123,20 @@ def stream_scd2_ingest(
     that crashed after its append but before its history swap still
     repairs the history (at-least-once safe end to end).
 
-    Crash-safe swap protocol (local FS; on an object store use a
-    manifest/table format instead): staging is fully written (Spark
-    drops ``_SUCCESS`` on completion) BEFORE the swap begins; the swap
-    is rename-history-aside → rename-staging-in → delete-aside.
-    ``_recover()`` runs before the stream starts and finishes or rolls
-    back any interrupted swap; if the history directory is lost
-    entirely it is rebuilt from the log (the stated source of truth).
+    Crash-safe swap protocol (local FS default): staging is fully
+    written (Spark drops ``_SUCCESS`` on completion) BEFORE the swap
+    begins; the swap is rename-history-aside → rename-staging-in →
+    delete-aside. ``_recover()`` runs before the stream starts and
+    finishes or rolls back any interrupted swap; if the history
+    directory is lost entirely it is rebuilt from the log (the stated
+    source of truth).
+
+    ``swap="manifest"`` selects the object-store-safe protocol
+    (operators/manifest.py): each rebuilt history lands in a fresh
+    versioned dir under ``history_path`` and one atomic ``_current``
+    pointer write publishes it — no data renames, no missing window; a
+    crashed publish leaves only an unreferenced dir pruned on recover.
+    Readers resolve via ``manifest_resolve(history_path)``.
 
     Scale: the history rewrite is full-table here (read + anti-join +
     rewrite); at 100 TB partition the history by a key bucket and make
@@ -140,44 +148,90 @@ def stream_scd2_ingest(
 
     from etl_mudah_spark.operators.scd import scd2_collapse
 
+    if swap not in ("rename", "manifest"):
+        raise ValueError(f"swap must be 'rename' or 'manifest', got {swap!r}")
+
     staging = history_path.rstrip("/") + "._staging"
     aside = history_path.rstrip("/") + "._old"
 
-    def _swap_in(out: DataFrame) -> None:
-        """Atomically-enough replace history with ``out`` (see
-        _recover for the crash matrix)."""
-        out.write.mode("overwrite").parquet(staging)
-        if os.path.exists(history_path):
-            os.rename(history_path, aside)
-        os.rename(staging, history_path)
-        shutil.rmtree(aside, ignore_errors=True)
+    if swap == "manifest":
+        from etl_mudah_spark.operators.manifest import (
+            manifest_current,
+            manifest_publish,
+            manifest_recover,
+            manifest_resolve,
+        )
 
-    def _recover() -> None:
-        """Finish or roll back an interrupted _swap_in.
+        def _history_exists() -> bool:
+            return manifest_current(history_path) is not None
 
-        Crash matrix: (a) during the staging write → staging exists
-        without _SUCCESS → discard it (the failed micro-batch replays
-        and rebuilds); (b) between rename-aside and rename-in →
-        history missing, staging complete → promote staging; (c) after
-        rename-in → only the aside dir remains → delete it; (d)
-        history dir lost by external means → rebuild from the log.
-        """
-        complete = os.path.exists(os.path.join(staging, "_SUCCESS"))
-        if complete and not os.path.exists(history_path):
-            os.rename(staging, history_path)
-        shutil.rmtree(aside, ignore_errors=True)
-        if os.path.exists(staging):
-            shutil.rmtree(staging, ignore_errors=True)
-        if not os.path.exists(history_path) and os.path.exists(log_path):
-            full = scd2_collapse(
-                spark.read.parquet(log_path),
-                key_cols,
-                attr_cols,
-                ts_col,
-                tiebreak_cols,
+        def _history_path() -> str:
+            return manifest_resolve(history_path)
+
+        def _swap_in(out: DataFrame) -> None:
+            manifest_publish(
+                history_path,
+                lambda d: out.write.mode("overwrite").parquet(d),
             )
-            full.write.mode("overwrite").parquet(staging)
+
+        def _recover() -> None:
+            """Prune unreferenced version dirs from crashed publishes;
+            rebuild from the log when no version was ever published
+            (or the table was lost externally)."""
+            manifest_recover(history_path)
+            if not _history_exists() and os.path.exists(log_path):
+                full = scd2_collapse(
+                    spark.read.parquet(log_path),
+                    key_cols,
+                    attr_cols,
+                    ts_col,
+                    tiebreak_cols,
+                )
+                _swap_in(full)
+
+    else:
+
+        def _history_exists() -> bool:
+            return os.path.exists(history_path)
+
+        def _history_path() -> str:
+            return history_path
+
+        def _swap_in(out: DataFrame) -> None:
+            """Atomically-enough replace history with ``out`` (see
+            _recover for the crash matrix)."""
+            out.write.mode("overwrite").parquet(staging)
+            if os.path.exists(history_path):
+                os.rename(history_path, aside)
             os.rename(staging, history_path)
+            shutil.rmtree(aside, ignore_errors=True)
+
+        def _recover() -> None:
+            """Finish or roll back an interrupted _swap_in.
+
+            Crash matrix: (a) during the staging write → staging exists
+            without _SUCCESS → discard it (the failed micro-batch replays
+            and rebuilds); (b) between rename-aside and rename-in →
+            history missing, staging complete → promote staging; (c) after
+            rename-in → only the aside dir remains → delete it; (d)
+            history dir lost by external means → rebuild from the log.
+            """
+            complete = os.path.exists(os.path.join(staging, "_SUCCESS"))
+            if complete and not os.path.exists(history_path):
+                os.rename(staging, history_path)
+            shutil.rmtree(aside, ignore_errors=True)
+            if os.path.exists(staging):
+                shutil.rmtree(staging, ignore_errors=True)
+            if not os.path.exists(history_path) and os.path.exists(log_path):
+                full = scd2_collapse(
+                    spark.read.parquet(log_path),
+                    key_cols,
+                    attr_cols,
+                    ts_col,
+                    tiebreak_cols,
+                )
+                full.write.mode("overwrite").parquet(staging)
+                os.rename(staging, history_path)
 
     def apply_batch(batch: DataFrame, _batch_id: int) -> None:
         if batch.isEmpty():
@@ -221,8 +275,8 @@ def stream_scd2_ingest(
         hist = scd2_collapse(
             affected, key_cols, attr_cols, ts_col, tiebreak_cols
         )
-        if os.path.exists(history_path):
-            keep = spark.read.parquet(history_path).join(
+        if _history_exists():
+            keep = spark.read.parquet(_history_path()).join(
                 F.broadcast(keys), key_cols, "left_anti"
             )
             out = keep.unionByName(hist)

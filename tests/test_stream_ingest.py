@@ -342,3 +342,56 @@ def test_stream_scd2_recover_interrupted_swap(spark, tmp_path):
     stream_scd2_ingest(spark, str(drop), SCD_DDL, log_p, hist_p,
                        str(tmp_path / "ckpt3"), **SCD_KW)
     assert sorted(map(tuple, spark.read.parquet(hist_p).collect())) == want
+
+
+def test_stream_scd2_manifest_swap(spark, tmp_path):
+    """swap='manifest' (VERDICT r6 item 5): the history lives in
+    versioned dirs behind a _current pointer — same semantics as the
+    rename path (incremental == from-scratch collapse; replay no-op),
+    plus: a crashed publish (unreferenced version dir) never affects
+    readers and is pruned on the next run."""
+    import os
+
+    from etl_mudah_spark.operators import manifest as mf
+    from etl_mudah_spark.operators.scd import scd2_collapse
+    from etl_mudah_spark.streaming.ingest import stream_scd2_ingest
+
+    drop = tmp_path / "d"
+    drop.mkdir()
+    log_p, hist_p, ckpt = (
+        str(tmp_path / "log"), str(tmp_path / "hist"), str(tmp_path / "ckpt")
+    )
+    now = time.time()
+    _scd_snap(drop, "s1.jsonl",
+              [(1, "bronze", "2024-01-01T00:00:00"),
+               (2, "silver", "2024-01-01T00:00:00")], now - 30)
+    _scd_snap(drop, "s2.jsonl",
+              [(1, "gold", "2024-02-01T00:00:00"),
+               (3, "bronze", "2024-02-01T00:00:00")], now - 20)
+    stream_scd2_ingest(spark, str(drop), SCD_DDL, log_p, hist_p, ckpt,
+                       swap="manifest", **SCD_KW)
+
+    cur = mf.manifest_resolve(hist_p)
+    assert cur != hist_p and os.path.basename(cur).startswith("v=")
+    hist_rows = sorted(map(tuple, spark.read.parquet(cur).collect()))
+    full = scd2_collapse(spark.read.parquet(log_p), ["cust_id"], ["tier"], "ts")
+    assert hist_rows == sorted(map(tuple, full.collect()))
+
+    # simulate a crashed publish: a newer, unreferenced version dir
+    orphan = os.path.join(hist_p, "v=99999999")
+    os.makedirs(orphan)
+    assert mf.manifest_resolve(hist_p) == cur  # readers unaffected
+
+    # replay of s2 content under a new name: log unchanged, history
+    # content identical, orphan pruned, pointer advanced to a fresh dir
+    n_log = spark.read.parquet(log_p).count()
+    _scd_snap(drop, "s2_replay.jsonl",
+              [(1, "gold", "2024-02-01T00:00:00"),
+               (3, "bronze", "2024-02-01T00:00:00")], now - 10)
+    stream_scd2_ingest(spark, str(drop), SCD_DDL, log_p, hist_p, ckpt,
+                       swap="manifest", **SCD_KW)
+    assert spark.read.parquet(log_p).count() == n_log
+    assert not os.path.exists(orphan)
+    cur2 = mf.manifest_resolve(hist_p)
+    assert cur2 != cur
+    assert sorted(map(tuple, spark.read.parquet(cur2).collect())) == hist_rows
