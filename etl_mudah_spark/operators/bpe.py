@@ -54,6 +54,12 @@ def bpe_train(
     terminal ``</w>`` marker; each round counts adjacent symbol pairs
     weighted by word frequency and fuses the most frequent pair
     (ties: lexicographically smallest pair — deterministic).
+
+    COST NOTE (VERDICT r6 item 7): the default ``sample_mod=None``
+    sizes the modulus with one extra full ``df.count()`` job before
+    the sample collect. Callers that already know the corpus size (or
+    re-train on a fixed cadence) should pass ``sample_mod`` explicitly
+    to skip it; registered queries reuse counts they already run.
     """
     if sample_mod is None:
         sample_mod = max(1, df.count() // 4096)

@@ -980,7 +980,10 @@ def pq_train_codebooks(
     the codebook are reproducible, no RNG. The default (None) sizes the
     modulus from the corpus count to cap the driver collect at ~8k
     vectors — codebook quality saturates far below that, and an
-    unbounded collect is a driver OOM at scale.
+    unbounded collect is a driver OOM at scale. COST NOTE (VERDICT r6
+    item 7): that default runs one extra full ``df.count()`` job
+    before training — pass ``sample_mod`` explicitly when the corpus
+    size is already known; registered queries reuse their counts.
 
     The keymod rule assumes ``id_col`` is a roughly DENSE integer
     sequence (the testdata contract): for sparse or clustered id
@@ -1374,3 +1377,78 @@ def ivf_index_balance(spark: SparkSession, index_path: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+def ivf_maintain(
+    spark: SparkSession,
+    index_path: str,
+    max_imbalance: float = 4.0,
+    n_cells: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> dict:
+    """Close the re-fit loop :func:`ivf_index_balance` only measures
+    (VERDICT r6 item 8): when the max/mean cell-occupancy ratio crosses
+    ``max_imbalance``, re-fit the coarse quantizer over the index's
+    CURRENT contents and republish the partitioned layout; otherwise
+    do nothing. Returns ``{"rebuilt", "imbalance_ratio", "n_cells",
+    "n_vectors"}`` so schedulers can log the decision.
+
+    The maintenance story as an operator: run it after (or every N)
+    :func:`ivf_index_append` ingests — appends assign to frozen
+    centroids, drift concentrates new vectors in few cells, and past
+    the bound probe pruning degrades toward brute force. The ratio
+    check is one partition-pruned aggregate (O(cells) driver read);
+    the rebuild is the same one-pass + one-shuffle-on-cell build as
+    :func:`ivf_build_index`, staged to a sibling dir and rename-swapped
+    in (the compact_files discipline — writing over a path Spark is
+    reading from is not allowed, and the stage+swap leaves a complete
+    index under a well-known name at every instant; on an object store
+    publish via operators/manifest.py instead).
+
+    ``n_cells`` defaults to the current centroid count — maintenance
+    preserves the index's resolution unless told otherwise.
+    """
+    import os
+    import shutil
+
+    stats = (
+        spark.read.parquet(index_path)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.max("n").alias("mx"),
+            F.avg("n").alias("avg"),
+            F.sum("n").alias("total"),
+        )
+        .first()
+    )
+    ratio = float(stats["mx"]) / float(stats["avg"])
+    cur_cells = spark.read.parquet(f"{index_path}/_centroids").count()
+    report = {
+        "rebuilt": False,
+        "imbalance_ratio": round(ratio, 3),
+        "n_cells": n_cells or cur_cells,
+        "n_vectors": int(stats["total"]),
+    }
+    if ratio <= max_imbalance:
+        return report
+    vectors = spark.read.parquet(index_path).drop("cell")
+    staging = index_path.rstrip("/") + "._rebuilding"
+    retired = index_path.rstrip("/") + "._preindex"
+    shutil.rmtree(staging, ignore_errors=True)
+    ivf_build_index(
+        vectors,
+        staging,
+        n_cells=n_cells or cur_cells,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+    )
+    shutil.rmtree(retired, ignore_errors=True)
+    os.rename(index_path, retired)
+    os.rename(staging, index_path)
+    shutil.rmtree(retired)
+    report["rebuilt"] = True
+    return report
