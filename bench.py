@@ -750,7 +750,8 @@ def main() -> None:
         subset = ["pricing_summary", "big_orders", "keep_one_per_order"]
         scratch = tempfile.mkdtemp(prefix="bench_x100_")
         saved_reps = N_REPS
-        try:
+        try:  # noqa: SIM105 — a failure in the NEW x100 path must
+            # degrade to a recorded error, never cost the whole record
             sc_dir, sc_bytes = stage_scaled(
                 spark,
                 sf_dir,
@@ -784,6 +785,9 @@ def main() -> None:
                 "queries": subset,
                 "reps": 1,
             }
+        except Exception as exc:  # pragma: no cover — recorded, not fatal
+            result[f"error_sf_x{x2}"] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"  [x{x2}] FAILED: {exc}", file=sys.stderr)
         finally:
             N_REPS = saved_reps
             shutil.rmtree(scratch, ignore_errors=True)

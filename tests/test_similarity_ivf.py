@@ -171,38 +171,39 @@ def test_ivf_maintain_rebuilds_exactly_once_on_drift(spark, tmp_path):
     r0 = ivf_maintain(spark, index, max_imbalance=50.0)
     assert r0["rebuilt"] is False and sorted(os.listdir(index)) == before
 
-    # drift: 4x the corpus in a far-away region (offset 9 per dim, so
-    # assignment to the frozen centroids is offset-dominated -> ~one
-    # hot cell) with REAL internal spread (unit sin per dim), so a
-    # re-fit can and should split it across fresh cells
+    # drift: 4x the corpus as FOUR tight far-away blobs (offsets 9, 12,
+    # 15, 18 per dim along the all-ones direction). Assignment to the
+    # frozen centroids is offset-dominated, so all four blobs land in
+    # the SAME hot cell (ratio ~6+); a re-fit trivially separates the
+    # pairwise-distant blobs into their own cells (ratio ~1.6). Both
+    # margins are wide so the decision is stable against the
+    # partitioning-dependent KMeans init sample.
     n = emb.count()
     drift = spark.range(10_000, 10_000 + 4 * n).selectExpr(
         "id AS vec_id",
         "transform(sequence(1, 64),"
-        " i -> CAST(9.0 + sin(id * i * 2.7) AS FLOAT)) AS embedding",
+        " i -> CAST(9.0 + 3.0 * (id % 4) + 0.1 * sin(id * i * 2.7)"
+        " AS FLOAT)) AS embedding",
         "CAST(99 AS INT) AS label",
     )
     ivf_index_append(spark, index, drift)
     from etl_mudah_spark.operators.similarity import ivf_index_balance
 
     ratio_before = ivf_index_balance(spark, index).first()["imbalance_ratio"]
-    # bound 5.0: comfortably between the drifted ratio (~6.8) and the
-    # post-re-fit ratio (~3.5-4.2, partitioning-dependent via the
-    # KMeans init sample) so both decisions are stable across sessions
-    assert ratio_before > 5.0
+    assert ratio_before > 4.0
 
-    r1 = ivf_maintain(spark, index, max_imbalance=5.0)
+    r1 = ivf_maintain(spark, index, max_imbalance=4.0)
     assert r1["rebuilt"] is True
     assert r1["imbalance_ratio"] == round(ratio_before, 3)
     # contents preserved across the rebuild swap
     rebuilt = spark.read.parquet(index)
     assert rebuilt.count() == 5 * n
-    assert rebuilt.select("cell").distinct().count() == 8
+    assert 5 <= rebuilt.select("cell").distinct().count() <= 8
     # drift resolved: the re-fit separates the new mass
     ratio_after = ivf_index_balance(spark, index).first()["imbalance_ratio"]
     assert ratio_after < ratio_before
     # second call: no-op (exactly one rebuild for one drift event)
-    r2 = ivf_maintain(spark, index, max_imbalance=5.0)
+    r2 = ivf_maintain(spark, index, max_imbalance=4.0)
     assert r2["rebuilt"] is False
     assert not os.path.exists(index + "._rebuilding")
     assert not os.path.exists(index + "._preindex")
