@@ -969,10 +969,14 @@ def pq_train_codebooks(
     vec_col: str = "embedding",
     sample_mod: int | None = None,
     iters: int = 15,
+    normalize: bool = True,
 ) -> np.ndarray:
     """Train PQ codebooks: split each L2-normalized vector into ``m``
     subvectors and run k-means (``k`` centroids) per subspace on a
-    deterministic corpus sample.
+    deterministic corpus sample. ``normalize=False`` trains on the raw
+    values — the IVF-PQ residual path (:func:`ivfpq_build_index`),
+    where the input is ALREADY a residual against a coarse centroid
+    and re-normalizing would distort the geometry being quantized.
 
     PQ training is ALWAYS on a sample (the codebook is a few KB; fitting
     it needs thousands of points, not the corpus) — ``sample_mod``
@@ -1010,7 +1014,8 @@ def pq_train_codebooks(
             "trains on every row)."
         )
     x = np.array([r["v"] for r in rows], dtype=np.float64)
-    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    if normalize:
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     n, dim = x.shape
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -1036,9 +1041,11 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_cols: list[str] | None = None,
+    normalize: bool = True,
 ) -> DataFrame:
     """Encode every vector to ``m`` one-byte-ish codes (nearest centroid
-    per subspace, after L2 normalization).
+    per subspace, after L2 normalization; ``normalize=False`` for the
+    IVF-PQ residual path, matching :func:`pq_train_codebooks`).
 
     Python is justified here: the argmin over (m × k) centroids has no
     codegen expression form that doesn't explode to m·k aggregate
@@ -1051,10 +1058,13 @@ def pq_encode(
     books = codebooks  # closure → serialized once per task, not per row
     m, k, sub = books.shape
 
+    do_norm = normalize
+
     @pandas_udf("array<int>")
     def codes(vs: pd.Series) -> pd.Series:
         x = np.array(vs.tolist(), dtype=np.float64)
-        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        if do_norm:
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         out = np.empty((len(x), m), dtype=np.int32)
         for i in range(m):
             xs = x[:, i * sub : (i + 1) * sub]
@@ -1446,9 +1456,480 @@ def ivf_maintain(
         vec_col=vec_col,
         seed=seed,
     )
+    _publish_rebuild(spark, index_path, staging, retired)
+    report["rebuilt"] = True
+    return report
+
+
+def _publish_rebuild(
+    spark: SparkSession, index_path: str, staging: str, retired: str
+) -> None:
+    """Swap a staged index rebuild into place (shared by
+    :func:`ivf_maintain` / :func:`ivfpq_maintain`): retire the live
+    dir, rename the staging dir in, drop both paths' cached file
+    listings — the session read the OLD index this call and may have
+    listed the staging dir; a stale InMemoryFileIndex would hand
+    readers deleted files. POSIX-rename strategy; on an object store
+    publish via operators/manifest.py instead."""
+    import os
+    import shutil
+
     shutil.rmtree(retired, ignore_errors=True)
     os.rename(index_path, retired)
     os.rename(staging, index_path)
     shutil.rmtree(retired)
+    spark.catalog.refreshByPath(index_path)
+    spark.catalog.refreshByPath(staging)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composite index: coarse cells (planning-time partition pruning)
+# + residual product quantization (compressed in-cell scan). The
+# standard billion-scale ANN layout (Jégou et al., "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011; the FAISS
+# IVFPQ default): IVF bounds WHICH files a query opens, PQ bounds how
+# WIDE the rows it reads are. At 100 TB the per-query scan is
+# n_probe/n_cells of the partitions × ~m bytes/vector — both axes of
+# the corpus scan cost collapse at once, which neither index achieves
+# alone (IVF still reads raw vectors inside probed cells; flat PQ
+# still reads every row's codes).
+# ---------------------------------------------------------------------------
+
+
+def _centroids_to_expr(centroids: list[list[float]]) -> Column:
+    """The (n_cells × dim, bounded by construction) coarse-centroid
+    table as ONE parsed array<array<double>> literal — same
+    plan-construction trick as the PQ codebook literals (a parsed SQL
+    string costs ms where n_cells·dim F.lit py4j round-trips cost
+    seconds)."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(v)!r}D" for v in c) + ")"
+            for c in centroids
+        )
+        + ")"
+    )
+
+
+def _normalized(vec_col: str) -> Column:
+    v = as_double(F.col(vec_col))
+    return F.transform(v, lambda x: x / F.greatest(l2_norm(v), F.lit(1e-12)))
+
+
+def ivfpq_build_index(
+    df: DataFrame,
+    index_path: str,
+    n_cells: int = 16,
+    m: int = 8,
+    k: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_mod: int | None = None,
+    keep_cols: list[str] | None = None,
+) -> None:
+    """Materialize the IVF-PQ layout: fit the coarse quantizer on the
+    L2-NORMALIZED corpus, PQ-encode each vector's RESIDUAL against its
+    cell centroid, and write ``(id, keep_cols, pq_codes)``
+    ``partitionBy(cell)``.
+
+    Residual encoding is what makes the composite better than
+    PQ-inside-cells: after subtracting the centroid the remaining
+    variance is a fraction of the corpus variance, so the same (m, k)
+    codebook budget spends its centroids on a much tighter
+    distribution — the quantization error drops with no extra bytes.
+    One shared codebook set is trained across cells on residual
+    samples (the FAISS default, vs per-cell books at n_cells× the
+    codebook memory).
+
+    Build cost: one KMeans fit (sampled iterative), one bounded
+    residual-sample collect for codebook training, one encode map
+    pass + one shuffle on cell. Artifacts: ``_centroids`` (n_cells ×
+    dim) and ``_codebooks`` (m · k × dim/m) — both KB-scale,
+    underscore-invisible to the partitioned data scan.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = df.sparkSession
+    feats = df.withColumn("_xn", _normalized(vec_col)).withColumn(
+        "_feat", array_to_vector(F.col("_xn"))
+    )
+    km = KMeans(
+        k=n_cells, seed=seed, maxIter=5, featuresCol="_feat", predictionCol="cell"
+    )
+    model = km.fit(feats.select("_feat"))
+    cents = [[float(x) for x in c] for c in model.clusterCenters()]
+    chosen = F.element_at(_centroids_to_expr(cents), F.col("cell") + 1)
+    resid = feats.transform(model.transform).select(
+        F.col(id_col),
+        *[F.col(c) for c in (keep_cols or [])],
+        F.col("cell"),
+        F.zip_with(F.col("_xn"), chosen, lambda a, b: a - b).alias("_resid"),
+    )
+    books = pq_train_codebooks(
+        resid,
+        m=m,
+        k=k,
+        id_col=id_col,
+        vec_col="_resid",
+        sample_mod=sample_mod,
+        normalize=False,
+    )
+    pq_encode(
+        resid,
+        books,
+        id_col=id_col,
+        vec_col="_resid",
+        keep_cols=[*(keep_cols or []), "cell"],
+        normalize=False,
+    ).write.mode("overwrite").partitionBy("cell").parquet(index_path)
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/_centroids")
+    mm, kk, sub = books.shape
+    spark.createDataFrame(
+        [
+            (i, j, [float(x) for x in books[i, j]])
+            for i in range(mm)
+            for j in range(kk)
+        ],
+        "subspace int, code int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/_codebooks")
+
+
+def _read_codebooks(spark: SparkSession, index_path: str) -> np.ndarray:
+    """The persisted PQ codebooks back as (m, k, dim/m) — a bounded
+    m·k-row read by construction (shared with the flat-PQ index)."""
+    cb = spark.read.parquet(f"{index_path}/_codebooks").collect()
+    mm = 1 + max(r["subspace"] for r in cb)
+    kk = 1 + max(r["code"] for r in cb)
+    books = np.empty((mm, kk, len(cb[0]["centroid"])))
+    for r in cb:
+        books[r["subspace"], r["code"]] = r["centroid"]
+    return books
+
+
+def ivfpq_index_append(
+    spark: SparkSession,
+    index_path: str,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: list[str] | None = None,
+) -> None:
+    """O(batch) incremental ingest into an :func:`ivfpq_build_index`
+    layout: assign each new vector to the nearest FROZEN centroid
+    (argmin over the bounded centroid literal, pure Column algebra —
+    same shape as :func:`ivf_index_append`), PQ-encode its residual
+    with the FROZEN codebooks, append into the batch's cells only.
+    Centroid/codebook drift accumulates until :func:`ivf_maintain`'s
+    policy (which generalizes: measure occupancy, re-fit past the
+    bound) triggers a rebuild."""
+    cents = [
+        [float(x) for x in r["centroid"]]
+        for r in sorted(
+            spark.read.parquet(f"{index_path}/_centroids").collect(),
+            key=lambda r: r["cell"],
+        )
+    ]
+    books = _read_codebooks(spark, index_path)
+    cent_lit = _centroids_to_expr(cents)
+    xn = _normalized(vec_col)
+    d2s = F.transform(
+        cent_lit,
+        lambda c: F.aggregate(
+            F.zip_with(F.col("_xn"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    assigned = (
+        batch.withColumn("_xn", xn)
+        .withColumn("_d2", d2s)
+        .withColumn(
+            "cell",
+            (F.array_position(F.col("_d2"), F.array_min("_d2")) - 1).cast("int"),
+        )
+    )
+    chosen = F.element_at(cent_lit, F.col("cell") + 1)
+    resid = assigned.select(
+        F.col(id_col),
+        *[F.col(c) for c in (keep_cols or [])],
+        F.col("cell"),
+        F.zip_with(F.col("_xn"), chosen, lambda a, b: a - b).alias("_resid"),
+    )
+    pq_encode(
+        resid,
+        books,
+        id_col=id_col,
+        vec_col="_resid",
+        keep_cols=[*(keep_cols or []), "cell"],
+        normalize=False,
+    ).write.mode("append").partitionBy("cell").parquet(index_path)
+
+
+def _ivfpq_adc_shortlist_df(
+    encoded: DataFrame,
+    centroids: list[list[float]],
+    books: np.ndarray,
+    probe: DataFrame,
+    shortlist: int,
+    id_col: str,
+    where: Column | None = None,
+) -> DataFrame:
+    """In-plan residual-ADC scoring: distance ≈ Σᵢ ‖(q̂ − cent_cell)ᵢ −
+    codebookᵢ[codeᵢ]‖² — the query residual against each row's cell
+    folds in as ``element_at`` on the centroid literal, so ONE pruned
+    scan scores every probed cell (no per-cell plan union). Pure
+    codegen, no Python, no driver job; an optional metadata predicate
+    applies BELOW the scoring (pre-filter in the compressed scan)."""
+    m, _kk, sub = books.shape
+    pvn = F.transform(
+        F.col("_pv"),
+        lambda x: x / F.greatest(l2_norm(F.col("_pv")), F.lit(1e-12)),
+    )
+    if where is not None:
+        encoded = encoded.where(where)
+    chosen_cent = F.element_at(_centroids_to_expr(centroids), F.col("cell") + 1)
+    scored = (
+        encoded.crossJoin(F.broadcast(probe.select(pvn.alias("_pvn"))))
+        .withColumn(
+            "_qr", F.zip_with(F.col("_pvn"), chosen_cent, lambda a, b: a - b)
+        )
+    )
+    score = None
+    for i in range(m):
+        cents_i = F.expr(
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{float(v)!r}D" for v in c) + ")"
+                for c in books[i]
+            )
+            + ")"
+        )
+        code_cent = F.element_at(cents_i, F.element_at("pq_codes", i + 1) + 1)
+        qsub = F.slice(F.col("_qr"), i * sub + 1, sub)
+        term = F.aggregate(
+            F.zip_with(qsub, code_cent, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        score = term if score is None else score + term
+    return (
+        scored.select(id_col, score.alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(shortlist)
+    )
+
+
+def ivfpq_query_index_df(
+    spark: SparkSession,
+    source_df: DataFrame,
+    index_path: str,
+    probe: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    where: Column | None = None,
+) -> DataFrame:
+    """ANN top-k against an :func:`ivfpq_build_index` layout with the
+    probe as a 1-row DataFrame (:func:`probe_row`).
+
+    Query path: (1) rank the bounded centroid table against the probe
+    and collect the ``n_probe`` winning cell ids — the same
+    fixed-size driver step as :func:`ivf_query_index_df`, the price of
+    a PLANNING-time ``cell IN (...)`` partition predicate; (2) ONE
+    pruned compressed scan ADC-scores the probed cells' codes
+    (~m bytes/vector read, raw vectors untouched); (3) the
+    ``shortlist`` winners re-rank with exact cosine against
+    ``source_df`` — only those rows ever touch raw vectors. A
+    metadata predicate (``keep_cols`` at build) pre-filters inside
+    the pruned compressed scan."""
+    cents_rows = sorted(
+        spark.read.parquet(f"{index_path}/_centroids").collect(),
+        key=lambda r: r["cell"],
+    )
+    cents = [[float(x) for x in r["centroid"]] for r in cents_rows]
+    cdf = spark.createDataFrame(
+        [(r["cell"], [float(x) for x in r["centroid"]]) for r in cents_rows],
+        "cell int, centroid array<double>",
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("centroid"), F.col("_pv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cells = [
+        r["cell"]
+        for r in cdf.crossJoin(F.broadcast(probe))
+        .select("cell", d2.alias("_d2"))
+        .orderBy(F.asc("_d2"), F.asc("cell"))
+        .limit(n_probe)
+        .collect()
+    ]
+    books = _read_codebooks(spark, index_path)
+    scan = spark.read.parquet(index_path).where(F.col("cell").isin(cells))
+    short = _ivfpq_adc_shortlist_df(
+        scan, cents, books, probe, shortlist, id_col, where=where
+    )
+    cand = source_df.join(F.broadcast(short.select(id_col)), id_col)
+    return brute_force_topk_df(cand, probe, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def ivfpq_topk_df(
+    df: DataFrame,
+    probe: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    m: int = 8,
+    n_codes: int = 64,
+    n_probe: int = 4,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """:func:`ivfpq_query_index_df` semantics with everything computed
+    on the fly (no persisted layout): fit the coarse quantizer, train
+    residual codebooks, encode, semi-join the in-plan top-``n_probe``
+    cells, residual-ADC shortlist, exact re-rank. The fit and the
+    codebook-sample collect are the only eager steps; probe-cell
+    selection stays IN-plan (centroid literal relation vs the
+    broadcast probe — same shape as :func:`ivf_topk_df`). The demo /
+    correctness twin of the persisted index — at scale use the
+    build/append/query surface, which swaps the on-the-fly cell
+    semi-join for planning-time partition pruning."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = df.sparkSession
+    feats = df.withColumn("_xn", _normalized(vec_col)).withColumn(
+        "_feat", array_to_vector(F.col("_xn"))
+    )
+    km = KMeans(
+        k=n_cells, seed=seed, maxIter=5, featuresCol="_feat", predictionCol="cell"
+    )
+    model = km.fit(feats.select("_feat"))
+    cents = [[float(x) for x in c] for c in model.clusterCenters()]
+    chosen = F.element_at(_centroids_to_expr(cents), F.col("cell") + 1)
+    resid = feats.transform(model.transform).select(
+        F.col(id_col),
+        F.col("cell"),
+        F.zip_with(F.col("_xn"), chosen, lambda a, b: a - b).alias("_resid"),
+    )
+    books = pq_train_codebooks(
+        resid,
+        m=m,
+        k=n_codes,
+        id_col=id_col,
+        vec_col="_resid",
+        sample_mod=sample_mod,
+        normalize=False,
+    )
+    encoded = pq_encode(
+        resid,
+        books,
+        id_col=id_col,
+        vec_col="_resid",
+        keep_cols=["cell"],
+        normalize=False,
+    )
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "pcell int, centroid array<double>"
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("centroid"), F.col("_pv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    top_cells = (
+        cdf.crossJoin(F.broadcast(probe))
+        .select("pcell", d2.alias("_d2"))
+        .orderBy(F.asc("_d2"), F.asc("pcell"))
+        .limit(n_probe)
+        .select("pcell")
+    )
+    pruned = encoded.join(
+        F.broadcast(top_cells), F.col("cell") == F.col("pcell"), "left_semi"
+    )
+    short = _ivfpq_adc_shortlist_df(pruned, cents, books, probe, shortlist, id_col)
+    cand = df.join(F.broadcast(short.select(id_col)), id_col)
+    return brute_force_topk_df(cand, probe, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def ivfpq_maintain(
+    spark: SparkSession,
+    index_path: str,
+    source_df: DataFrame,
+    max_imbalance: float = 4.0,
+    n_cells: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_mod: int | None = None,
+    keep_cols: list[str] | None = None,
+) -> dict:
+    """:func:`ivf_maintain`'s policy for the COMPOSITE layout: measure
+    the cell-occupancy ratio with one aggregate, re-fit past the bound,
+    no-op under it. Same report dict, same stage+rename publish.
+
+    The one structural difference: the IVF-PQ index stores CODES, not
+    raw vectors, so a rebuild cannot self-feed — ``source_df`` (the
+    corpus the index serves, i.e. what build + every append ingested)
+    supplies the vectors. m and k are preserved from the persisted
+    codebooks; ``n_cells`` defaults to the current centroid count.
+    Re-fitting also re-trains the residual codebooks against the NEW
+    centroids — after heavy drift the old books quantize residuals
+    against centroids that no longer describe the data, so the refit
+    restores both pruning selectivity AND quantization fidelity in one
+    pass.
+    """
+    import shutil
+
+    stats = (
+        spark.read.parquet(index_path)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.max("n").alias("mx"),
+            F.avg("n").alias("avg"),
+            F.sum("n").alias("total"),
+        )
+        .first()
+    )
+    ratio = float(stats["mx"]) / float(stats["avg"])
+    cur_cells = spark.read.parquet(f"{index_path}/_centroids").count()
+    books = _read_codebooks(spark, index_path)
+    m, k, _sub = books.shape
+    report = {
+        "rebuilt": False,
+        "imbalance_ratio": round(ratio, 3),
+        "n_cells": n_cells or cur_cells,
+        "n_vectors": int(stats["total"]),
+    }
+    if ratio <= max_imbalance:
+        return report
+    staging = index_path.rstrip("/") + "._rebuilding"
+    retired = index_path.rstrip("/") + "._preindex"
+    shutil.rmtree(staging, ignore_errors=True)
+    ivfpq_build_index(
+        source_df,
+        staging,
+        n_cells=n_cells or cur_cells,
+        m=int(m),
+        k=int(k),
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+        sample_mod=sample_mod,
+        keep_cols=keep_cols,
+    )
+    _publish_rebuild(spark, index_path, staging, retired)
     report["rebuilt"] = True
     return report

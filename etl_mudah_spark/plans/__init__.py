@@ -76,6 +76,7 @@ _PRIORITY = [
     # --- (b) new in round 7 ---
     "doc_bpe_encode",
     "doc_shard_pack_bpe",
+    "ann_ivfpq_topk",
     # --- (c) r5-checked fill ---
     "ann_ivf_topk",
     "ann_pq_topk",
@@ -94,7 +95,6 @@ _PRIORITY = [
     "doc_dup_clusters",
     "doc_minhash_incremental",
     "doc_minhash_near_dup",
-    "doc_quality_model",
 ]
 
 

@@ -1300,6 +1300,52 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_rows(brute, approx)
 
 
+@register(
+    "ann_ivfpq_topk",
+    oracle=_BRUTE_TOPK_ORACLE,
+    doc=(
+        "IVF-PQ composite ANN top-10 recall invariant (KMeans(16) cells "
+        "probe 6 + residual m=8/k=64 PQ, exact re-rank) vs the exact "
+        "cosine top-10."
+    ),
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite index (operators/similarity.py ivfpq_*): coarse
+    KMeans cells bound WHICH partitions a query opens (planning-time
+    pruning in the persisted layout), residual product quantization
+    bounds how WIDE the rows it reads are (~m bytes/vector) — the
+    standard billion-scale ANN layout (Jégou et al. 2011 / FAISS
+    IVFPQ), here as one pruned compressed DataFrame scan scoring
+    residual-ADC in pure codegen, then an exact cosine re-rank on the
+    broadcast shortlist.
+
+    Round-5 invariant shape (same as ann_ivf/pq/srp_topk): KMeans
+    cells aren't SQL-reproducible, so the driver rows are the exact
+    cosine top-10 (DuckDB twin) with ``recall_ok`` asserting the
+    composite recovered >= 5 of them — the IVF floor, since the
+    composite's recall is bounded by its coarse pruning (measured:
+    10/10 at sf0.01, 7/10 at sf0.001 where 64-centroid codebooks train
+    on a 500-row sample; tests/test_similarity_ivfpq.py pins the
+    operator-level recall, round-trip parity, pruning, and the
+    residual-beats-raw quantization-error claim separately)."""
+    emb = load(spark, sf_dir, "embeddings")
+    probe = sim.probe_row(emb)
+    n = emb.count()
+    brute = sim.brute_force_topk_df(emb, probe, k=10)
+    approx = sim.ivfpq_topk_df(
+        emb,
+        probe,
+        k=10,
+        n_cells=16,
+        m=8,
+        n_codes=64,
+        n_probe=6,
+        shortlist=max(100, n // 5),
+        sample_mod=max(1, n // 8192),
+    )
+    return _ann_recall_rows(brute, approx, min_hits=5)
+
+
 REPEATED_SPAN_N = 13
 REPEATED_SPAN_MIN_DOCS = 2
 
