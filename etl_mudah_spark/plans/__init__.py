@@ -77,6 +77,7 @@ _PRIORITY = [
     "doc_bpe_encode",
     "doc_shard_pack_bpe",
     "ann_ivfpq_topk",
+    "orders_version_diff",
     # --- (c) r5-checked fill ---
     "ann_ivf_topk",
     "ann_pq_topk",
@@ -94,7 +95,6 @@ _PRIORITY = [
     "doc_decontaminate_spans",
     "doc_dup_clusters",
     "doc_minhash_incremental",
-    "doc_minhash_near_dup",
 ]
 
 

@@ -267,3 +267,77 @@ def customer_priority_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="o_orderdate",
         tiebreak_cols=["o_orderkey"],
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC snapshot diff (operators/cdc.py): the change-data-feed shape.
+# Two deterministic snapshots derived from orders (v2 = v1 with keymod
+# deletes, repriced updates, and negative-key inserts) diffed into
+# insert/delete/update rows with pre/post images. The reference
+# overwrites its Postgres table in place every run (dags/dag.py:243-266)
+# — this is what makes the manifest-versioned variant of that sink
+# auditable. Exact oracle: the same FULL OUTER JOIN in DuckDB
+# (IS DISTINCT FROM mirrors the null-safe fingerprint compare).
+# ---------------------------------------------------------------------------
+@register(
+    "orders_version_diff",
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderkey, o_orderpriority FROM orders
+    ), v2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 89 = 3 THEN '9-REPRICED'
+                    ELSE o_orderpriority END AS o_orderpriority
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT -o_orderkey, '1-URGENT' FROM orders WHERE o_orderkey % 101 = 5
+    ), j AS (
+        SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+               a.o_orderpriority AS old_o_orderpriority,
+               b.o_orderpriority AS new_o_orderpriority,
+               a.o_orderkey IS NOT NULL AS in_old,
+               b.o_orderkey IS NOT NULL AS in_new
+        FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT o_orderkey,
+           CASE WHEN NOT in_old THEN 'insert'
+                WHEN NOT in_new THEN 'delete'
+                WHEN old_o_orderpriority IS DISTINCT FROM new_o_orderpriority
+                     THEN 'update' END AS change_type,
+           old_o_orderpriority, new_o_orderpriority
+    FROM j
+    WHERE (NOT in_old) OR (NOT in_new)
+       OR old_o_orderpriority IS DISTINCT FROM new_o_orderpriority
+    """,
+    doc=(
+        "CDC snapshot diff: insert/delete/update classification with "
+        "pre/post images between two orders snapshots."
+    ),
+)
+def orders_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/cdc.py table_diff on a deterministic snapshot pair:
+    one full-outer hash join on the key, map-side xxhash64 fingerprint
+    so the wide-row compare never shuffles twice, unchanged keys (the
+    overwhelming majority) dropped at the join. At 100 TB the two
+    snapshots co-locate via shared bucketing (operators/layout.py) and
+    the exchange disappears; here both sides derive from one scan and
+    AQE reuses it."""
+    from etl_mudah_spark.operators.cdc import table_diff
+
+    v1 = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    key = F.col("o_orderkey")
+    v2 = (
+        v1.where(key % 97 != 0)
+        .withColumn(
+            "o_orderpriority",
+            F.when(key % 89 == 3, F.lit("9-REPRICED")).otherwise(
+                F.col("o_orderpriority")
+            ),
+        )
+        .unionByName(
+            v1.where(key % 101 == 5).select(
+                (-key).alias("o_orderkey"), F.lit("1-URGENT").alias("o_orderpriority")
+            )
+        )
+    )
+    return table_diff(v1, v2, ["o_orderkey"], compare_cols=["o_orderpriority"])
