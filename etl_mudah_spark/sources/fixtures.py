@@ -91,3 +91,22 @@ def motor_fixture_fetcher_factory():
         return {"data": [_motor_listing(region, i) for i in range(offset, end)]}
 
     return fetch
+
+
+def growing_fixture_fetcher_factory(count_file: str):
+    """Stream-fixture transport: the per-region row count comes from a
+    tiny state file a test rewrites between micro-batches, so the
+    "API" grows while offsets persist in the checkpoint. Rows are the
+    same deterministic :func:`_listing` records — replaying an offset
+    window (ListingsStreamReader.readBetweenOffsets) reproduces them
+    exactly, like an append-only feed."""
+
+    def fetch(region: str, offset: int, limit: int) -> dict:
+        with open(count_file) as fh:
+            n = int(fh.read().strip() or 0)
+        end = min(offset + limit, n)
+        if offset >= n:
+            return {"data": []}
+        return {"data": [_listing(region, i) for i in range(offset, end)]}
+
+    return fetch

@@ -32,7 +32,12 @@ import time
 from collections.abc import Callable, Iterator, Sequence
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 from etl_mudah_spark.schemas import API_LISTING, API_MOTOR_LISTING
@@ -208,35 +213,47 @@ VEHICLE_TYPES = {
 }
 
 
+def _init_listing_options(obj, options: dict) -> None:
+    """Shared option parsing for the batch and streaming readers."""
+    obj.vehicle_type = options.get("vehicle_type", "car")
+    if obj.vehicle_type not in VEHICLE_TYPES:
+        raise ValueError(f"unknown vehicle_type {obj.vehicle_type!r}")
+    obj.regions = tuple(
+        json.loads(options.get("regions", json.dumps(list(DEFAULT_REGIONS))))
+    )
+    obj.page_size = int(options.get("page_size", DEFAULT_PAGE_SIZE))
+    obj.max_per_region = int(options.get("max_per_region", DEFAULT_MAX_PER_REGION))
+    obj.rate_delay_s = float(options.get("rate_delay_s", DEFAULT_RATE_DELAY_S))
+    obj.max_retries = int(options.get("max_retries", DEFAULT_MAX_RETRIES))
+    obj.initial_backoff_s = float(
+        options.get("initial_backoff_s", DEFAULT_INITIAL_BACKOFF_S)
+    )
+    # Transport: dotted path "pkg.mod:fn" to a PageFetcher factory
+    # (callable returning a PageFetcher; called with the string
+    # 'fetcher_arg' option when one is given — how tests hand a state
+    # file to the growable stream fixture), or base_url for HTTP.
+    obj.fetcher_path = options.get("fetcher")
+    obj.fetcher_arg = options.get("fetcher_arg")
+    obj.base_url = options.get("base_url")
+    if not obj.fetcher_path and not obj.base_url:
+        raise ValueError("listings source needs a 'fetcher' or 'base_url' option")
+
+
+def _make_fetcher_from(obj) -> PageFetcher:
+    if obj.fetcher_path:
+        mod, _, attr = obj.fetcher_path.partition(":")
+        factory = getattr(importlib.import_module(mod), attr)
+        return factory(obj.fetcher_arg) if obj.fetcher_arg else factory()
+    return default_http_fetcher(obj.base_url)
+
+
 class ListingsReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
         self.schema_ = schema
-        self.vehicle_type = options.get("vehicle_type", "car")
-        if self.vehicle_type not in VEHICLE_TYPES:
-            raise ValueError(f"unknown vehicle_type {self.vehicle_type!r}")
-        self.regions: Sequence[str] = tuple(
-            json.loads(options.get("regions", json.dumps(list(DEFAULT_REGIONS))))
-        )
-        self.page_size = int(options.get("page_size", DEFAULT_PAGE_SIZE))
-        self.max_per_region = int(options.get("max_per_region", DEFAULT_MAX_PER_REGION))
-        self.rate_delay_s = float(options.get("rate_delay_s", DEFAULT_RATE_DELAY_S))
-        self.max_retries = int(options.get("max_retries", DEFAULT_MAX_RETRIES))
-        self.initial_backoff_s = float(
-            options.get("initial_backoff_s", DEFAULT_INITIAL_BACKOFF_S)
-        )
-        # Transport: dotted path "pkg.mod:fn" to a PageFetcher factory
-        # (no-arg callable returning a PageFetcher), or base_url for HTTP.
-        self.fetcher_path = options.get("fetcher")
-        self.base_url = options.get("base_url")
-        if not self.fetcher_path and not self.base_url:
-            raise ValueError("listings source needs a 'fetcher' or 'base_url' option")
+        _init_listing_options(self, options)
 
     def _make_fetcher(self) -> PageFetcher:
-        if self.fetcher_path:
-            mod, _, attr = self.fetcher_path.partition(":")
-            factory = getattr(importlib.import_module(mod), attr)
-            return factory()
-        return default_http_fetcher(self.base_url)
+        return _make_fetcher_from(self)
 
     def partitions(self) -> Sequence[RegionPartition]:
         # One partition per region (reference fan-out S2) — Spark
@@ -273,12 +290,109 @@ class ListingsReader(DataSourceReader):
             offset += self.page_size
 
 
+class ListingsStreamReader(SimpleDataSourceStreamReader):
+    """Incremental listings ingest: ``spark.readStream.format(
+    "mudah_listings")`` — the Structured-Streaming expression of the
+    reference's scheduled re-scrape (dags/dag.py:284-342 runs the full
+    extraction daily and overwrites; here each micro-batch ingests only
+    the items past the per-region offset, and the sink decides merge
+    semantics).
+
+    Offsets are ``{region: items_ingested}`` — exactly the page cursor
+    the batch reader walks, persisted in the checkpoint. Each
+    ``read(start)`` pages forward from the cursor until a short page
+    (the reference's termination rule) or the per-trigger cap
+    ``max_per_trigger`` (per region — bounds micro-batch size so a
+    backlog drains in bounded batches instead of one giant one).
+
+    This is the SIMPLE stream reader (driver-side reads): the right
+    fit for a rate-limited REST tail, whose per-trigger volume is
+    bounded by the API's own rate envelope, not by Spark's
+    parallelism. The initial 10k-per-region backfill belongs to the
+    BATCH source's region-partitioned fan-out; switchover = start the
+    stream with a checkpoint whose initial offsets equal the backfill
+    row counts (or just accept one re-paged first batch). Replay
+    (``readBetweenOffsets``) re-fetches the same offset window — exact
+    against an append-only API, best-effort if the remote mutates
+    in-page (documented divergence, same as any offset-replay source
+    over a non-versioned API).
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        self.schema_ = schema
+        _init_listing_options(self, options)
+        self.max_per_trigger = int(
+            options.get("max_per_trigger", self.max_per_region)
+        )
+
+    def initialOffset(self) -> dict:
+        return {r: 0 for r in self.regions}
+
+    def _page_region(
+        self, fetch: PageFetcher, limiter: "RateLimiter", region: str,
+        start: int, cap: int,
+    ) -> tuple[list[tuple], int]:
+        to_attrs = VEHICLE_TYPES[self.vehicle_type][1]
+        rows: list[tuple] = []
+        offset = start
+        while len(rows) < cap:
+            limiter.wait()
+            page = fetch_with_retry(
+                fetch,
+                region,
+                offset,
+                min(self.page_size, cap - len(rows)),
+                max_retries=self.max_retries,
+                initial_backoff_s=self.initial_backoff_s,
+            )
+            listings = page.get("data", [])
+            if not listings:
+                break
+            for item in listings:
+                attrs = item.get("attributes", {}) or {}
+                rows.append((int(item["id"]), to_attrs(attrs, region)))
+            offset += len(listings)
+            if len(listings) < self.page_size:
+                break  # short page = current end of the feed
+        return rows, offset
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        fetch = _make_fetcher_from(self)
+        limiter = RateLimiter(self.rate_delay_s)
+        rows: list[tuple] = []
+        end: dict = {}
+        for region in self.regions:
+            got, cursor = self._page_region(
+                fetch, limiter, region, int(start.get(region, 0)),
+                self.max_per_trigger,
+            )
+            rows.extend(got)
+            end[region] = cursor
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        fetch = _make_fetcher_from(self)
+        limiter = RateLimiter(self.rate_delay_s)
+        for region in self.regions:
+            lo = int(start.get(region, 0))
+            hi = int(end.get(region, lo))
+            if hi > lo:
+                got, _ = self._page_region(fetch, limiter, region, lo, hi - lo)
+                yield from got
+
+    def commit(self, end: dict) -> None:
+        # nothing to release: the remote API holds no reader state
+        return
+
+
 class ListingsDataSource(DataSource):
     """``spark.read.format("mudah_listings")`` after
     ``spark.dataSource.register(ListingsDataSource)``.
 
     ``option("vehicle_type", "motorcycle")`` switches the page shape
     and schema to the motor DAG's field layout (motor_dag.py:81-98).
+    ``spark.readStream`` on the same format yields the incremental
+    tail via :class:`ListingsStreamReader`.
     """
 
     @classmethod
@@ -293,3 +407,6 @@ class ListingsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> ListingsReader:
         return ListingsReader(schema, self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> ListingsStreamReader:
+        return ListingsStreamReader(schema, self.options)
