@@ -84,6 +84,67 @@ def stream_ingest_listings(
         q.stop()
 
 
+def stream_ingest_listings_live(
+    spark: SparkSession,
+    table_path: str,
+    checkpoint_dir: str,
+    source_options: dict,
+    *,
+    partition_col: str | None = None,
+    batch_ts=None,
+) -> None:
+    """The reference's WHOLE pipeline as one streaming statement:
+    paginated API → flatten → keyed upsert, exactly-once.
+
+    Same per-batch merge as :func:`stream_ingest_listings`, but the
+    source is the live listings stream
+    (sources/rest.py:ListingsStreamReader) instead of a JSON
+    drop-zone: per-region page cursors live in the checkpoint, each
+    trigger ingests only the new tail, and the merge writer keeps the
+    newest row per listing_id — so a listing that reappears in a later
+    page window (bumped ad) UPDATES in place rather than duplicating.
+    Where the reference re-extracts everything daily and overwrites
+    its table (dags/dag.py:284-342, 243-266), this reads each item
+    once and converges to the same table.
+
+    Runs to completion (processAllAvailable) like its drop-zone twin —
+    schedule it per-interval, or replace the trigger for a resident
+    stream.
+    """
+    from etl_mudah_spark.sources.rest import ListingsDataSource
+
+    spark.dataSource.register(ListingsDataSource)
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        flat = flatten_listings(batch)
+        if not flat.isEmpty():
+            ts = batch_ts
+            if ts is None:
+                ts = flat.agg(F.max("listing_date")).first()[0]
+            merge_upsert(
+                spark,
+                flat,
+                table_path,
+                key_cols=["listing_id"],
+                order_cols=["listing_date", "listing_id"],
+                partition_col=partition_col,
+                batch_ts=ts,
+            )
+
+    stream = (
+        spark.readStream.format("mudah_listings").options(**source_options).load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def stream_scd2_ingest(
     spark: SparkSession,
     drop_dir: str,

@@ -109,3 +109,28 @@ def test_growing_fixture_matches_static_fixture_prefix(count_file):
     static = fixture_fetcher_factory()
     assert grow("1", 0, 20) == static("1", 0, 20)
     assert grow("2", 20, 10) == static("2", 20, 10)
+
+
+def test_stream_ingest_listings_live_end_to_end(spark, tmp_path, count_file):
+    # API -> flatten -> keyed upsert, exactly-once across feed growth:
+    # the reference's whole pipeline as one streaming statement
+    from etl_mudah_spark.streaming.ingest import stream_ingest_listings_live
+
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    opts = _opts(count_file)
+
+    stream_ingest_listings_live(spark, table, ckpt, opts)
+    t1 = spark.read.parquet(table)
+    n1 = t1.count()
+    # 30/region x 2 regions minus cross-region id dups merged away
+    assert n1 == t1.select("listing_id").distinct().count()
+    assert 50 < n1 <= 60
+
+    with open(count_file, "w") as fh:
+        fh.write("50")
+    stream_ingest_listings_live(spark, table, ckpt, opts)
+    t2 = spark.read.parquet(table)
+    n2 = t2.count()
+    assert n2 == t2.select("listing_id").distinct().count()
+    assert n2 > n1  # the tail arrived, still one row per listing
