@@ -1641,6 +1641,68 @@ def ann_filtered_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_rows(brute, approx, min_hits=ANN_IDX_MIN_HITS_AT_10)
 
 
+@register(
+    "ann_ivfpq_filtered_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id, ROUND({_COS_SQL}, 4) AS cosine_sim, TRUE AS recall_ok
+    FROM e a, (SELECT v FROM e WHERE vec_id = 0) b
+    WHERE a.label = {ANN_FILTER_LABEL}
+    ORDER BY cosine_sim DESC, a.vec_id ASC
+    LIMIT 10
+    """,
+    doc=(
+        "Filtered ANN over the PERSISTED IVF-PQ composite index: "
+        "metadata predicate inside the partition-pruned compressed "
+        "scan, recall vs the exact filtered top-10."
+    ),
+)
+def ann_ivfpq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``nearest neighbors WHERE label = X`` against the COMPOSITE
+    layout (operators/similarity.py ivfpq_*): the one per-query scan
+    carries all three cost reducers at once — ``cell IN (probes)``
+    resolves at planning time against the partition layout, ``label``
+    (stored in the index via ``keep_cols``) pushes into the surviving
+    files as a data filter BELOW the ADC scoring, and the rows read
+    are ~m-byte code rows, never raw vectors (those surface only for
+    the shortlist re-rank). Driver rows are the exact filtered top-10
+    (DuckDB twin) with ``recall_ok`` at the shared indexed floor
+    (measured hits@10 with n_probe=10: 9 / 9 / 8 at
+    sf0.001/0.01/0.1)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    emb = load(spark, sf_dir, "embeddings")
+    probe = sim.probe_row(emb)
+    n = emb.count()
+    scratch = tempfile.mkdtemp(prefix="ivfpq_index_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    sim.ivfpq_build_index(
+        emb,
+        scratch,
+        n_cells=16,
+        m=8,
+        k=64,
+        sample_mod=max(1, n // 8192),
+        keep_cols=["label"],
+    )
+    approx = sim.ivfpq_query_index_df(
+        spark,
+        emb,
+        scratch,
+        probe,
+        k=10,
+        n_probe=10,
+        shortlist=max(100, n // 5),
+        where=F.col("label") == ANN_FILTER_LABEL,
+    )
+    brute = sim.brute_force_topk_df(
+        emb.where(F.col("label") == ANN_FILTER_LABEL), probe, k=10
+    )
+    return _ann_recall_rows(brute, approx, min_hits=ANN_IDX_MIN_HITS_AT_10)
+
+
 # SemDeDup recall floor: cluster-blocking assumes near-dups share a
 # cell; on these near-uniform vectors a 0.45-cosine pair is barely
 # tighter than the bulk, so measured within-cell recall at n_cells=4 is
