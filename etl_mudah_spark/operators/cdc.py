@@ -97,6 +97,37 @@ def table_diff(
     return out.select(*keep)
 
 
+def apply_diff(
+    snapshot: DataFrame,
+    diff: DataFrame,
+    key_cols: Sequence[str],
+) -> DataFrame:
+    """Replay a :func:`table_diff` (with images) onto the OLD snapshot,
+    reconstructing the new one: delete the deletes, upsert the
+    insert/update post-images. ``table_diff`` ∘ ``apply_diff`` is the
+    identity on the compared columns — the round-trip invariant
+    pinned (property-based) in tests/test_cdc.py.
+
+    This is the downstream half of CDC: ship the (small) diff instead
+    of the (huge) snapshot, apply it at the replica. One left_anti
+    join removes deleted/updated keys, one union adds the post-images
+    — both shuffle only on the keys, and the anti join's build side is
+    the diff, which is small by the premise of shipping diffs at all.
+    Only columns captured by the diff (keys + compared columns) are
+    reconstructed; project the snapshot accordingly before comparing.
+    """
+    keys = list(key_cols)
+    new_cols = [c for c in diff.columns if c.startswith("new_")]
+    post = diff.where(F.col(CHANGE_COL) != "delete").select(
+        *keys, *[F.col(c).alias(c[len("new_"):]) for c in new_cols]
+    )
+    touched = diff.select(*keys)
+    kept = snapshot.select(*keys, *[c[len("new_"):] for c in new_cols]).join(
+        touched, keys, "left_anti"
+    )
+    return kept.unionByName(post)
+
+
 def manifest_diff(
     spark: SparkSession,
     base: str,

@@ -115,6 +115,32 @@ def manifest_publish(
     return new_dir
 
 
+def manifest_versions(base: str) -> list[int]:
+    """Version numbers on disk, ascending — the live one plus whatever
+    ``manifest_publish(keep=…)`` retention kept (the queryable
+    time-travel window)."""
+    return [int(d[len(_VPREFIX):]) for d in _version_dirs(base)]
+
+
+def manifest_read(spark, base: str, version: int | None = None):
+    """Snapshot read: the live version by default, or any RETAINED
+    ``version`` — time travel over the publish history, the same
+    pointer-plus-immutable-dirs mechanics Delta/Iceberg expose as
+    ``VERSION AS OF``. Raises on a pruned/unknown version instead of
+    silently reading the wrong data. Old versions are immutable, so a
+    long scan of version N is consistent even while N+1 publishes."""
+    if version is None:
+        return spark.read.parquet(manifest_resolve(base))
+    name = f"{_VPREFIX}{version:08d}"
+    if name not in _version_dirs(base):
+        raise ValueError(
+            f"manifest_read: version {version} not on disk at {base!r} "
+            f"(retained: {manifest_versions(base)}; raise "
+            "manifest_publish(keep=…) to travel further back)"
+        )
+    return spark.read.parquet(os.path.join(base, name))
+
+
 def manifest_recover(base: str) -> int:
     """Prune version directories NEWER than the live pointer (crashed
     publishes that never flipped) plus any stale pointer tmp file;

@@ -99,3 +99,33 @@ def test_manifest_diff_pruned_version_raises(spark, tmp_path):
         manifest_diff(spark, base, ["k"])
     with pytest.raises(ValueError, match="not on disk"):
         manifest_diff(spark, base, ["k"], from_version=99)
+
+
+# ---------------------------------------------------------------------------
+# Round-trip property: apply_diff(old, table_diff(old, new)) == new on
+# the compared columns, for ARBITRARY snapshot pairs (hypothesis).
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+from etl_mudah_spark.operators.cdc import apply_diff  # noqa: E402
+
+_val = st.one_of(st.none(), st.text(alphabet="abcN", max_size=2))
+_snap = st.dictionaries(st.integers(0, 15), _val, max_size=12)
+
+
+@given(old=_snap, new=_snap)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_apply_diff_reconstructs_new_snapshot(spark, old, new):
+    schema = "k int, attr string"
+    old_df = spark.createDataFrame(list(old.items()) or [(None, None)], schema)
+    new_df = spark.createDataFrame(list(new.items()) or [(None, None)], schema)
+    if not old:
+        old_df = old_df.where(F.lit(False))
+    if not new:
+        new_df = new_df.where(F.lit(False))
+    d = table_diff(old_df, new_df, ["k"], compare_cols=["attr"])
+    rebuilt = {
+        r["k"]: r["attr"] for r in apply_diff(old_df, d, ["k"]).collect()
+    }
+    assert rebuilt == new

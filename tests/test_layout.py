@@ -331,3 +331,21 @@ def test_zorder_key_rejects_strings_and_fits_64_bits(spark):
     # 62 // 7 = 8 bits/column => key < 2^56
     assert mx < 1 << 56
     assert keyed.select("k").distinct().count() > 1
+
+
+def test_manifest_read_time_travel(spark, tmp_path):
+    """manifest_read: live by default, any retained version on demand,
+    loud failure on a pruned one."""
+    import pytest
+
+    from etl_mudah_spark.operators import manifest as mf
+
+    base = str(tmp_path / "tbl")
+    for tag in ("one", "two", "three"):
+        df = spark.createDataFrame([(tag,)], "tag string")
+        mf.manifest_publish(base, lambda d, df=df: df.write.parquet(d), keep=1)
+    assert mf.manifest_versions(base) == [2, 3]
+    assert mf.manifest_read(spark, base).first()["tag"] == "three"
+    assert mf.manifest_read(spark, base, version=2).first()["tag"] == "two"
+    with pytest.raises(ValueError, match="version 1 not on disk"):
+        mf.manifest_read(spark, base, version=1)

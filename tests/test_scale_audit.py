@@ -50,6 +50,8 @@ _BNLJ_ALLOWED = {
     "ann_filtered_topk",  # same 1-row probe_row broadcast
     "ann_filtered_indexed",  # same 1-row probe_row broadcast over the IVF scan
     "ann_pq_filtered_topk",  # same 1-row probe_row broadcast over the PQ scan
+    "ann_ivfpq_topk",  # same 1-row probe_row broadcast (cell rank + residual ADC)
+    "ann_ivfpq_filtered_topk",  # same, over the pruned composite index scan
     "emb_semantic_dedup",  # exact all-pairs TWIN side (verification tier, like emb_cosine_near_dup) + 1-row stats broadcast
     "vocab_cms_topk",  # 1-row corpus-count broadcast for the CMS slack bound
     "customer_balance_deciles",
