@@ -38,10 +38,11 @@ _PRIORITY = [
     # in round 6 (plans/__init__.py r6 comment + VERDICT r6 item 3):
     # (a) the 30 names whose newest driver row is round 4 — after this
     # round no registered query's newest driver row is older than
-    # round 5; (b) the two round-7 additions (exact BPE id sequences +
-    # BPE shard packing); (c) alphabetically-first r5-checked names to
-    # fill to 50. All 131 remain sim-checked at sf0.01 and sf0.1 every
-    # round regardless (scripts/driver_sim.py).
+    # round 5; (b) the round-7 additions (exact BPE id sequences, BPE
+    # shard packing, IVF-PQ ANN, CDC snapshot diff, session-concurrency
+    # interval join); (c) alphabetically-first r5-checked names to fill
+    # to 50. All registered queries remain sim-checked at sf0.01 and
+    # sf0.1 every round regardless (scripts/driver_sim.py).
     # --- (a) r4-checked names (last driver row: round 4) ---
     "ann_bruteforce_topk",
     "doc_chunk_dedup",
@@ -78,6 +79,7 @@ _PRIORITY = [
     "doc_shard_pack_bpe",
     "ann_ivfpq_topk",
     "orders_version_diff",
+    "events_session_concurrency",
     # --- (c) r5-checked fill ---
     "ann_ivf_topk",
     "ann_pq_topk",
@@ -94,7 +96,6 @@ _PRIORITY = [
     "doc_chunks",
     "doc_decontaminate_spans",
     "doc_dup_clusters",
-    "doc_minhash_incremental",
 ]
 
 

@@ -58,7 +58,8 @@ def events_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 # promos), not disguised bucketing. Scale: the interval dim is tiny and
 # broadcast — a map-side nested-loop against ~10 intervals per row, no
 # shuffle of the fact side. (For two LARGE interval sets you'd bin both
-# sides to a grid and equi-join on the bin — out of scope here.)
+# sides to a grid and equi-join on the bin — operators/intervals.py,
+# exercised by events_session_concurrency below.)
 # ---------------------------------------------------------------------------
 _PROMOS = [
     (1, "2024-01-02 00:00:00", "2024-01-05 00:00:00"),
@@ -341,3 +342,94 @@ def orders_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return table_diff(v1, v2, ["o_orderkey"], compare_cols=["o_orderpriority"])
+
+
+# ---------------------------------------------------------------------------
+# Large×large interval self-join: session concurrency. Sessionize every
+# user's events with a 30-minute gap (JVM session_window — batch mode,
+# no state store), then for each session count the OTHER sessions whose
+# [start, end) interval overlaps it. Unlike events_promo_range_join the
+# interval set is NOT broadcastable (it scales with users×time), so the
+# plan uses the binned strategy from operators/intervals.py: replicate
+# each session into the 30-minute grid bins it touches, equi-join on the
+# bin (a plain shuffled hash join — no CartesianProduct, no BNLJ), and
+# emit each pair exactly once from the bin holding the overlap's start.
+# Scale: work is Σ_bins |sessions_b|² — proportional to CONCURRENCY
+# density, never to |sessions|²; a hot bin (flash event) is visible in
+# a per-bin count and cappable like the LSH buckets. The oracle spells
+# the same sessionization with lag + running sum (DuckDB has no
+# session_window) and the overlap join as an inequality join (IEJoin).
+# ---------------------------------------------------------------------------
+@register(
+    "events_session_concurrency",
+    oracle="""
+    WITH marks AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marks
+    ), iv AS (
+      SELECT user_id,
+             CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_sec,
+             MIN(ts) AS s, MAX(ts) + INTERVAL 30 MINUTE AS e,
+             COUNT(*) AS n_events
+      FROM sess GROUP BY user_id, sid
+    ), deg AS (
+      SELECT l.user_id, l.session_start_sec, COUNT(*) AS n_overlap
+      FROM iv l JOIN iv r
+        ON l.s < r.e AND r.s < l.e
+       AND (l.user_id != r.user_id OR l.s != r.s)
+      GROUP BY l.user_id, l.session_start_sec
+    )
+    SELECT iv.user_id, iv.session_start_sec, iv.n_events,
+           COALESCE(deg.n_overlap, 0) AS n_overlap
+    FROM iv LEFT JOIN deg
+      ON iv.user_id = deg.user_id
+     AND iv.session_start_sec = deg.session_start_sec
+    ORDER BY iv.user_id, iv.session_start_sec
+    """,
+    doc=(
+        "Session concurrency: 30-min-gap sessionization, then per-session "
+        "count of overlapping sessions via the binned large×large "
+        "interval self-join."
+    ),
+)
+def events_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ``session_window`` (gap 30 min ⇒ end = last event + 30 min,
+    half-open) + operators/intervals.py interval_overlap_degree on the
+    30-minute bin grid. Sessions of one user never overlap each other
+    (the gap rule closes a session strictly before the next opens), so
+    excluding identical (user_id, start) keys excludes exactly self."""
+    from etl_mudah_spark.operators.intervals import interval_overlap_degree
+
+    ev = load(spark, sf_dir, "events")
+    iv = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start_sec"),
+            F.col("w.start").alias("s"),
+            F.col("w.end").alias("e"),
+            "n_events",
+        )
+    )
+    deg = interval_overlap_degree(
+        iv,
+        bin_seconds=1800,
+        key_cols=["user_id", "session_start_sec"],
+        start="s",
+        end="e",
+    )
+    return (
+        iv.join(deg, ["user_id", "session_start_sec"])
+        .select("user_id", "session_start_sec", "n_events", "n_overlap")
+        .orderBy("user_id", "session_start_sec")
+    )
