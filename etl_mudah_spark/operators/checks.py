@@ -1,0 +1,171 @@
+"""Declarative data-quality constraints, evaluated in one scan.
+
+The Deequ/Great-Expectations capability re-expressed as pure DataFrame
+algebra: a check suite is a list of row-level predicates plus
+key-uniqueness assertions, and the report is one long-form DataFrame
+``(check, column, violations, total_rows, passed)``.
+
+Scale design — the part that matters at 100 TB:
+
+- ALL row-level constraints (not-null, range, set membership, regex,
+  arbitrary Column predicates) fold into a SINGLE global aggregate:
+  one conditional-sum per constraint inside one ``agg()`` — one scan,
+  one map-side-combined reduction, regardless of how many constraints
+  the suite holds. Adding a constraint adds a column to the partial
+  aggregate buffer, not a pass over the data.
+- UNIQUENESS is the one constraint class that genuinely needs a
+  shuffle (violations are a property of key GROUPS, not rows): each
+  uniqueness check costs one groupBy on its key columns, counting
+  rows in groups of size > 1. These run as separate branches unioned
+  into the report; AQE reuses the shared scan where the source is a
+  cached/file relation.
+- The report is constraint-sized (rows = number of checks), never
+  data-sized: safe to ``collect()``, publish, or gate a pipeline on
+  (``fail_on_violations`` raises with the offending checks inline —
+  the circuit-breaker a write pipeline wants BEFORE publishing a bad
+  snapshot via operators/manifest.py).
+
+Reference analog: none — the reference inserts scraped rows into
+Postgres unvalidated (dags/dag.py:243-266); a malformed price or a
+re-scraped duplicate lands silently. This suite is what stands between
+an ingest and a published version.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class RowCheck:
+    """A row-level constraint: ``name`` + a predicate that must hold
+    for every row (NULL predicate results count as violations unless
+    the predicate itself handles NULL — use :func:`not_null` /
+    :func:`in_range` / :func:`in_set` / :func:`matches` for the usual
+    null-tolerant shapes)."""
+
+    name: str
+    column: str
+    predicate: Column
+
+
+@dataclass(frozen=True)
+class UniqueCheck:
+    """Key-uniqueness constraint: no two rows may share ``key_cols``.
+    ``violations`` reports the number of EXCESS rows (group size − 1
+    summed over oversized groups) — 0 iff the key is unique."""
+
+    key_cols: tuple[str, ...]
+    name: str = field(default="")
+
+    def label(self) -> str:
+        return self.name or f"unique({','.join(self.key_cols)})"
+
+
+def not_null(col: str) -> RowCheck:
+    return RowCheck(f"not_null({col})", col, F.col(col).isNotNull())
+
+
+def in_range(col: str, lo, hi) -> RowCheck:
+    """NULL passes (pair with :func:`not_null` to also forbid NULL) —
+    matching SQL CHECK semantics where NULL comparisons don't fail."""
+    c = F.col(col)
+    return RowCheck(
+        f"in_range({col})", col, c.isNull() | ((c >= F.lit(lo)) & (c <= F.lit(hi)))
+    )
+
+
+def in_set(col: str, values: Sequence) -> RowCheck:
+    c = F.col(col)
+    return RowCheck(f"in_set({col})", col, c.isNull() | c.isin(list(values)))
+
+
+def matches(col: str, regex: str) -> RowCheck:
+    c = F.col(col)
+    return RowCheck(f"matches({col})", col, c.isNull() | c.rlike(regex))
+
+
+def check_table(
+    df: DataFrame,
+    row_checks: Sequence[RowCheck] = (),
+    unique_checks: Sequence[UniqueCheck] = (),
+) -> DataFrame:
+    """Evaluate the suite; returns the long-form report sorted by
+    check name: ``(check, column, violations, total_rows, passed)``.
+    One scan for every row check together; one groupBy per uniqueness
+    check. Empty-input tables report 0 violations everywhere."""
+    names = [rc.name for rc in row_checks] + [uc.label() for uc in unique_checks]
+    dupes = {n for n in names if names.count(n) > 1}
+    if dupes:
+        raise ValueError(
+            f"check_table: duplicate check names {sorted(dupes)!r} — "
+            "give RowCheck/UniqueCheck instances distinct names"
+        )
+    aggs = [F.count(F.lit(1)).alias("_total")]
+    for rc in row_checks:
+        aggs.append(
+            F.sum(
+                F.when(F.coalesce(rc.predicate, F.lit(False)), 0).otherwise(1)
+            ).alias(rc.name)
+        )
+    row_report = None
+    if row_checks:
+        one = df.agg(*aggs)
+        per_check = [
+            one.select(
+                F.lit(rc.name).alias("check"),
+                F.lit(rc.column).alias("column"),
+                F.coalesce(F.col(rc.name), F.lit(0)).alias("violations"),
+                F.col("_total").alias("total_rows"),
+            )
+            for rc in row_checks
+        ]
+        row_report = per_check[0]
+        for p in per_check[1:]:
+            row_report = row_report.unionByName(p)
+
+    uniq_reports = []
+    for uc in unique_checks:
+        total = df.agg(F.count(F.lit(1)).alias("_total"))
+        excess = (
+            df.groupBy(*uc.key_cols)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("_n") > 1, F.col("_n") - 1)), F.lit(0)
+                ).alias("violations")
+            )
+        )
+        uniq_reports.append(
+            excess.crossJoin(F.broadcast(total)).select(
+                F.lit(uc.label()).alias("check"),
+                F.lit(",".join(uc.key_cols)).alias("column"),
+                F.col("violations").cast("long").alias("violations"),
+                F.col("_total").alias("total_rows"),
+            )
+        )
+
+    parts = ([row_report] if row_report is not None else []) + uniq_reports
+    if not parts:
+        raise ValueError("check_table: empty check suite")
+    report = parts[0]
+    for p in parts[1:]:
+        report = report.unionByName(p)
+    return report.withColumn("passed", F.col("violations") == 0).orderBy("check")
+
+
+def fail_on_violations(report: DataFrame) -> None:
+    """Pipeline circuit-breaker: collect the (check-sized) report and
+    raise with the failing rows inline. Call between computing an
+    ingest batch and publishing it (operators/manifest.py) — a failed
+    suite must mean the version pointer never flips."""
+    bad = [r for r in report.collect() if not r["passed"]]
+    if bad:
+        lines = "; ".join(
+            f"{r['check']}: {r['violations']}/{r['total_rows']} rows" for r in bad
+        )
+        raise ValueError(f"data-quality violations — {lines}")

@@ -169,6 +169,13 @@ def interval_overlap_degree(
     overlap count each other symmetrically). Returns the input keys +
     ``n_overlap``. Intervals whose degree is 0 are kept (left join
     back), because "nothing concurrent" is an answer."""
+    clash = {start, end} & set(key_cols)
+    if clash:
+        raise ValueError(
+            f"interval_overlap_degree: key_cols and start/end must be "
+            f"distinct columns (clash: {sorted(clash)!r}) — add a "
+            "separate id column (e.g. the start cast to long)"
+        )
     not_self = None
     for k in key_cols:
         neq = F.col(k) != F.col(f"{k}_r")

@@ -80,6 +80,9 @@ _PRIORITY = [
     "ann_ivfpq_topk",
     "orders_version_diff",
     "events_session_concurrency",
+    "orders_priority_agg_ivm",
+    "orders_quality_report",
+    "events_activity_islands",
     # --- (c) r5-checked fill ---
     "ann_ivf_topk",
     "ann_pq_topk",
@@ -93,9 +96,6 @@ _PRIORITY = [
     "customers_without_orders",
     "daily_revenue_moving_avg",
     "disjunctive_join_revenue",
-    "doc_chunks",
-    "doc_decontaminate_spans",
-    "doc_dup_clusters",
 ]
 
 

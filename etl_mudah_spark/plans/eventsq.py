@@ -790,3 +790,59 @@ def events_stream_unconverted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_mudah_spark.streaming.stateful import stream_unconverted_views
 
     return stream_unconverted_views(spark, sf_dir, window_minutes=30)
+
+
+# ---------------------------------------------------------------------------
+# Islands & gaps: per-user runs of CONSECUTIVE active days (the
+# date-arithmetic sibling of gap-based sessionization — sessionize
+# groups by time proximity, islands by calendar adjacency). Classic
+# row_number anchor trick: within a user, day_index − row_number is
+# constant exactly across a consecutive run, so one per-user window +
+# one groupBy produce every (start, end, length) island. Scale: the
+# window partitions by user_id (distributed, one key shuffle over the
+# DISTINCT (user, day) pairs — already aggregate-sized, ≤ users×days),
+# never a global sort. The dense-calendar alternative (generate a
+# spine, anti-join) scans a generated table; this shape touches only
+# observed days.
+# ---------------------------------------------------------------------------
+@register(
+    "events_activity_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    ), anchored AS (
+      SELECT user_id, d,
+             datediff('day', DATE '2024-01-01', CAST(d AS DATE))
+               - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS anchor
+      FROM days
+    )
+    SELECT user_id, MIN(d) AS start_day, MAX(d) AS end_day,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM anchored GROUP BY user_id, anchor
+    ORDER BY user_id, start_day
+    """,
+    doc=(
+        "Islands & gaps: per-user maximal runs of consecutive active "
+        "days via the row_number anchor trick."
+    ),
+)
+def events_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", "ts").alias("d"))
+        .distinct()
+    )
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("d"))
+    anchored = days.withColumn(
+        "anchor", F.datediff(F.col("d"), F.lit("2024-01-01")) - rn
+    )
+    return (
+        anchored.groupBy("user_id", "anchor")
+        .agg(
+            F.min("d").alias("start_day"),
+            F.max("d").alias("end_day"),
+            F.count("*").alias("n_days"),
+        )
+        .select("user_id", "start_day", "end_day", "n_days")
+        .orderBy("user_id", "start_day")
+    )

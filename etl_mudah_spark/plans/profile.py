@@ -265,3 +265,81 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality suite (operators/checks.py): five constraint
+# classes over orders evaluated Deequ-style — every row-level check
+# folds into ONE scan/one aggregate (adding a check adds a partial-agg
+# column, not a pass), uniqueness costs its one unavoidable key
+# shuffle. The report is constraint-sized; at 100 TB it gates a
+# manifest publish (fail_on_violations) without ever collecting data
+# rows. The thresholds are deliberately tight so every class reports a
+# real nonzero violation count — the oracle reproduces each count
+# exactly, so the cross-engine hash pins the evaluation semantics
+# (NULL-tolerant range/set/regex, NULL-hostile not_null, excess-row
+# uniqueness accounting), not just plumbing.
+# ---------------------------------------------------------------------------
+@register(
+    "orders_quality_report",
+    oracle="""
+    WITH base AS (
+      SELECT COUNT(*) AS total,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_nn,
+             CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                            AND (o_totalprice < 1000 OR o_totalprice > 200000)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+             CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                            AND o_orderstatus NOT IN ('O', 'F')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_set,
+             CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                            AND NOT regexp_matches(o_orderpriority, '^[1-3]-')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_re
+      FROM orders
+    ), uniq AS (
+      SELECT CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS v_u
+      FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey) g
+      WHERE n > 1
+    ), rep AS (
+      SELECT 'not_null(o_custkey)' AS "check", 'o_custkey' AS "column",
+             v_nn AS violations, total AS total_rows FROM base
+      UNION ALL
+      SELECT 'in_range(o_totalprice)', 'o_totalprice', v_range, total FROM base
+      UNION ALL
+      SELECT 'in_set(o_orderstatus)', 'o_orderstatus', v_set, total FROM base
+      UNION ALL
+      SELECT 'matches(o_orderpriority)', 'o_orderpriority', v_re, total FROM base
+      UNION ALL
+      SELECT 'unique(o_orderkey)', 'o_orderkey', v_u, total
+      FROM uniq, base
+    )
+    SELECT "check", "column", violations, total_rows,
+           violations = 0 AS passed
+    FROM rep ORDER BY "check"
+    """,
+    doc=(
+        "Data-quality constraint suite over orders: one-scan row checks "
+        "(not-null, range, set, regex) + key-uniqueness, long-form report."
+    ),
+)
+def orders_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_mudah_spark.operators.checks import (
+        UniqueCheck,
+        check_table,
+        in_range,
+        in_set,
+        matches,
+        not_null,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    return check_table(
+        orders,
+        row_checks=[
+            not_null("o_custkey"),
+            in_range("o_totalprice", 1000, 200000),
+            in_set("o_orderstatus", ["O", "F"]),
+            matches("o_orderpriority", "^[1-3]-"),
+        ],
+        unique_checks=[UniqueCheck(("o_orderkey",))],
+    )

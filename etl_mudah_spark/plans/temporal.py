@@ -433,3 +433,87 @@ def events_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "session_start_sec", "n_events", "n_overlap")
         .orderBy("user_id", "session_start_sec")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance: refresh the per-priority orders
+# aggregate by applying the CDC diff — the fact table's NEW snapshot is
+# never aggregated. Spark computes base_agg(v1) + delta(diff); the
+# oracle recomputes from v2 directly. Hash equality across engines IS
+# the IVM correctness statement (incremental == recompute), including
+# the hard case: repriced rows MIGRATE priority groups (debit old
+# group, credit new) while also changing the measure. Scale: the
+# refresh plan is three aggregate-sized shuffles — O(|changes|), not
+# O(|fact|); at 100 TB that is the difference between a per-refresh
+# full-table pass and a few seconds (see operators/ivm.py docstring).
+# ---------------------------------------------------------------------------
+@register(
+    "orders_priority_agg_ivm",
+    oracle="""
+    WITH v2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 89 = 3 THEN '9-REPRICED'
+                    ELSE o_orderpriority END AS o_orderpriority,
+               CASE WHEN o_orderkey % 89 = 3
+                    THEN CAST(o_totalprice AS DECIMAL(18,6)) + 1000
+                    ELSE CAST(o_totalprice AS DECIMAL(18,6)) END AS tp
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT -o_orderkey, '1-URGENT', CAST(o_totalprice AS DECIMAL(18,6))
+        FROM orders WHERE o_orderkey % 101 = 5
+    )
+    SELECT o_orderpriority, COUNT(*) AS cnt,
+           CAST(SUM(tp) AS DOUBLE) AS total_price
+    FROM v2 GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc=(
+        "Incremental view maintenance: per-priority count/sum refreshed "
+        "by applying the CDC diff to the old aggregate (oracle recomputes "
+        "from the new snapshot — incremental == recompute, cross-engine)."
+    ),
+)
+def orders_priority_agg_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/ivm.py: summing_agg(v1) + table_diff(v1, v2) →
+    agg(v2) without aggregating v2. The mutation exercises all three
+    delta shapes: deletes (keys % 97 == 0), group-migrating updates
+    with a measure change (% 89 == 3 → priority '9-REPRICED',
+    price + 1000), and inserts (negative keys). Decimal measures per
+    the functions/core.py exactness policy; final cast to double."""
+    from etl_mudah_spark.operators.cdc import table_diff
+    from etl_mudah_spark.operators.ivm import incremental_agg, summing_agg
+
+    v1 = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast(_DEC).alias("tp"),
+    )
+    key = F.col("o_orderkey")
+    repriced = key % 89 == 3
+    v2 = (
+        v1.where(key % 97 != 0)
+        .withColumn(
+            "o_orderpriority",
+            F.when(repriced, F.lit("9-REPRICED")).otherwise(
+                F.col("o_orderpriority")
+            ),
+        )
+        .withColumn("tp", F.when(repriced, F.col("tp") + 1000).otherwise(F.col("tp")))
+        .unionByName(
+            v1.where(key % 101 == 5).select(
+                (-key).alias("o_orderkey"),
+                F.lit("1-URGENT").alias("o_orderpriority"),
+                "tp",
+            )
+        )
+    )
+    base = summing_agg(v1, ["o_orderpriority"], {"total_dec": "tp"})
+    diff = table_diff(v1, v2, ["o_orderkey"], compare_cols=["o_orderpriority", "tp"])
+    refreshed = incremental_agg(
+        base, diff, ["o_orderpriority"], {"total_dec": "tp"}
+    )
+    return refreshed.select(
+        "o_orderpriority",
+        "cnt",
+        F.col("total_dec").cast("double").alias("total_price"),
+    ).orderBy("o_orderpriority")

@@ -361,3 +361,95 @@ def stream_scd2_ingest(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def stream_ivm_refresh(
+    spark: SparkSession,
+    diff_dir: str,
+    diff_schema_ddl: str,
+    agg_base: str,
+    checkpoint_dir: str,
+    *,
+    group_cols: list[str],
+    sum_cols: dict[str, str],
+    cnt_col: str = "cnt",
+    max_files_per_trigger: int = 1,
+    keep: int = 2,
+) -> None:
+    """Streaming incremental view maintenance: a CDC change feed
+    (JSON-lines ``table_diff``-shaped files landing in ``diff_dir``)
+    keeps a manifest-versioned aggregate current — each micro-batch
+    applies :func:`operators.ivm.incremental_agg` to the live version
+    and publishes the refreshed aggregate as a new immutable version.
+    The fact table is never read; per-refresh cost is O(|batch|) +
+    aggregate size, at any fact scale.
+
+    Exactly-once without idempotent math: delta application is NOT
+    naturally idempotent (re-adding a batch double-counts), so each
+    published version carries the id of the last applied batch in a
+    ``_applied_batch`` sidecar INSIDE the version dir (underscore
+    files are invisible to parquet readers, like ``_SUCCESS``). Data
+    and marker become visible together via the atomic pointer flip —
+    a replayed batch (at-least-once retry, crash between publish and
+    checkpoint commit) sees ``batch_id <= marker`` on the live version
+    and skips. One checkpoint per aggregate lineage is the contract:
+    the marker orders batches WITHIN a checkpoint's id sequence
+    (a fresh checkpoint over already-applied files is skipped, not
+    re-applied). Pinned end-to-end in tests/test_ivm.py.
+
+    Bootstrap: publish the base aggregate (``summing_agg`` of the
+    initial snapshot) to ``agg_base`` before starting — this function
+    raises if no live version exists rather than guessing a zero
+    state.
+    """
+    import os
+
+    from etl_mudah_spark.operators.ivm import incremental_agg
+    from etl_mudah_spark.operators.manifest import (
+        manifest_current,
+        manifest_publish,
+    )
+
+    if manifest_current(agg_base) is None:
+        raise ValueError(
+            f"stream_ivm_refresh: no live aggregate version at {agg_base!r} "
+            "— bootstrap with manifest_publish(summing_agg(snapshot)) first"
+        )
+
+    _MARKER = "_applied_batch"
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        cur = manifest_current(agg_base)
+        marker_path = os.path.join(cur, _MARKER)
+        applied = -1
+        if os.path.exists(marker_path):
+            with open(marker_path) as fh:
+                applied = int(fh.read().strip())
+        if batch_id <= applied or batch.isEmpty():
+            return
+        stored = spark.read.parquet(cur)
+        refreshed = incremental_agg(
+            stored, batch, group_cols, sum_cols, cnt_col
+        )
+
+        def write(d: str) -> None:
+            refreshed.write.parquet(d)
+            with open(os.path.join(d, _MARKER), "w") as fh:
+                fh.write(str(batch_id))
+
+        manifest_publish(agg_base, write, keep=keep)
+
+    stream = (
+        spark.readStream.schema(diff_schema_ddl)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(diff_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

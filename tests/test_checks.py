@@ -1,0 +1,105 @@
+"""Data-quality constraint suite (operators/checks.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_mudah_spark.operators.checks import (
+    RowCheck,
+    UniqueCheck,
+    check_table,
+    fail_on_violations,
+    in_range,
+    in_set,
+    matches,
+    not_null,
+)
+
+
+@pytest.fixture(scope="module")
+def messy(spark):
+    return spark.createDataFrame(
+        [
+            (1, "ok@x.com", 10.0, "A"),
+            (2, None, -5.0, "A"),        # null email, negative price
+            (2, "dup@x.com", 20.0, "B"),  # duplicate id
+            (3, "bad-email", 30.0, "Z"),  # bad regex, bad status
+            (4, "four@x.com", None, "B"),  # null price passes in_range
+        ],
+        "id int, email string, price double, status string",
+    )
+
+
+def _report(df):
+    return {
+        r["check"]: (r["violations"], r["passed"]) for r in df.collect()
+    }
+
+
+def test_row_and_unique_checks(messy):
+    rep = check_table(
+        messy,
+        row_checks=[
+            not_null("email"),
+            in_range("price", 0, 100),
+            in_set("status", ["A", "B"]),
+            matches("email", r"^[^@]+@[^@]+$"),
+        ],
+        unique_checks=[UniqueCheck(("id",))],
+    )
+    got = _report(rep)
+    assert got["not_null(email)"] == (1, False)
+    assert got["in_range(price)"] == (1, False)  # NULL price passes
+    assert got["in_set(status)"] == (1, False)
+    assert got["matches(email)"] == (1, False)  # NULL email passes regex
+    assert got["unique(id)"] == (1, False)  # one excess row for id=2
+    assert all(r["total_rows"] == 5 for r in rep.collect())
+
+
+def test_custom_predicate_and_null_predicate_counts_as_violation(spark):
+    df = spark.createDataFrame(
+        [(1, 2), (3, None), (5, 1)], "a int, b int"
+    )
+    rep = check_table(
+        df, row_checks=[RowCheck("a_lt_b", "a", F.col("a") < F.col("b"))]
+    )
+    # 3 < NULL evaluates NULL -> violation; 5 < 1 false -> violation
+    assert _report(rep)["a_lt_b"] == (2, False)
+
+
+def test_single_scan_for_all_row_checks(messy):
+    rep = check_table(
+        messy,
+        row_checks=[not_null("email"), in_range("price", 0, 100), in_set("status", ["A", "B"])],
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    # one aggregate over the source: the scan appears once, not per check
+    assert plan.count("LocalTableScan") <= 1
+
+
+def test_passing_suite_and_circuit_breaker(spark):
+    clean = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    rep = check_table(
+        clean,
+        row_checks=[not_null("s")],
+        unique_checks=[UniqueCheck(("id",))],
+    )
+    assert all(r["passed"] for r in rep.collect())
+    fail_on_violations(rep)  # no raise
+
+    dirty = clean.unionByName(
+        spark.createDataFrame([(1, None)], "id int, s string")
+    )
+    bad = check_table(dirty, row_checks=[not_null("s")], unique_checks=[UniqueCheck(("id",))])
+    with pytest.raises(ValueError, match="not_null\\(s\\): 1/3"):
+        fail_on_violations(bad)
+
+
+def test_empty_table_reports_zero_violations(spark):
+    empty = spark.createDataFrame([], "id int, s string")
+    rep = check_table(
+        empty, row_checks=[not_null("s")], unique_checks=[UniqueCheck(("id",))]
+    )
+    got = _report(rep)
+    assert got == {"not_null(s)": (0, True), "unique(id)": (0, True)}

@@ -71,6 +71,7 @@ _BNLJ_ALLOWED = {
     "emb_cosine_near_dup",
     "doc_dedup_keep_best",
     "parts_pareto_80",
+    "orders_quality_report",  # 1-row excess-count × 1-row total broadcast crossJoin
 }
 
 # Windows that legitimately run over ONE partition: their input is
