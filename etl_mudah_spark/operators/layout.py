@@ -313,3 +313,56 @@ def recover_compaction(path: str) -> bool:
         shutil.rmtree(staging, ignore_errors=True)
         shutil.rmtree(retired, ignore_errors=True)
     return healed
+
+
+def count_data_files(path: str) -> int:
+    """Visible data files under ``path`` (manifest-aware: counts the
+    LIVE version when the directory is manifest-published), the metric
+    :func:`compact_maintain` acts on."""
+    import os
+
+    from etl_mudah_spark.operators.manifest import manifest_resolve
+
+    data_path = manifest_resolve(path)
+    return sum(
+        1
+        for _, _, fs in os.walk(data_path)
+        for f in fs
+        if not f.startswith(("_", "."))
+    )
+
+
+def compact_maintain(
+    spark: SparkSession,
+    path: str,
+    max_small_files: int = 64,
+    target_file_bytes: int = 256 * 1024 * 1024,
+    sort_within_by: Sequence[str] | None = None,
+    zorder_by: Sequence[str] | None = None,
+    swap: str = "manifest",
+) -> int | None:
+    """Measure-then-act compaction policy (the layout twin of
+    ``similarity.ivf_maintain``): count the table's data files and
+    rewrite ONLY when the count exceeds ``max_small_files``; a healthy
+    table is a no-op costing one directory listing — no Spark job, no
+    read amplification. Returns the new file count after a rewrite,
+    ``None`` when nothing ran.
+
+    This is the piece a streaming ingest loop schedules after every
+    N batches: the merge/append writers create files at trigger
+    cadence, and WHETHER that has become a problem is a property of
+    the file count, not of time. Default ``swap="manifest"`` because a
+    maintenance loop must not require reader quiescing (the rename
+    strategy's documented caveat).
+    """
+    n = count_data_files(path)
+    if n <= max_small_files:
+        return None
+    return compact_files(
+        spark,
+        path,
+        target_file_bytes=target_file_bytes,
+        sort_within_by=sort_within_by,
+        zorder_by=zorder_by,
+        swap=swap,
+    )

@@ -83,6 +83,9 @@ _PRIORITY = [
     "orders_priority_agg_ivm",
     "orders_quality_report",
     "events_activity_islands",
+    "forecast_revenue_change",
+    "promotable_widget_suppliers",
+    "events_hourly_interpolated",
     # --- (c) r5-checked fill ---
     "ann_ivf_topk",
     "ann_pq_topk",
@@ -91,9 +94,6 @@ _PRIORITY = [
     "brand_type_supplier_counts",
     "cheapest_supplier_per_part",
     "customer_balance_deciles",
-    "customers_churned",
-    "customers_retained",
-    "customers_without_orders",
     "daily_revenue_moving_avg",
     "disjunctive_join_revenue",
 ]

@@ -846,3 +846,117 @@ def events_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "start_day", "end_day", "n_days")
         .orderBy("user_id", "start_day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Resample + linear interpolation: the dense-spine series with MISSING
+# hours filled by interpolating between the nearest observed
+# neighbors (ffill/bfill at the edges) — what a forecasting input or
+# monitoring chart needs when zeros would be a lie (no purchases
+# observed ≠ purchases were zero… for a sampled feed). Mechanics:
+# carry (last observed value, its hour) forward and (first observed
+# value, its hour) backward with IGNORE-NULLS windows, then the
+# two-point line formula. Scale: like daily_revenue_moving_avg the
+# ordered window runs over the POST-AGGREGATION series — O(calendar
+# hours) rows regardless of event volume — so the single-partition
+# window is deliberate (audited exemption); the fact scan aggregates
+# before anything global. Both engines mirror the arithmetic
+# expression exactly (decimal-exact hourly sums, double-only at the
+# interpolation step).
+# ---------------------------------------------------------------------------
+@register(
+    "events_hourly_interpolated",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ), spine AS (
+        SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+        FROM bounds
+    ), agg AS (
+        SELECT date_trunc('hour', ts) AS hour_start,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), j AS (
+        SELECT s.hour_start,
+               CAST(floor(epoch(s.hour_start)) AS BIGINT) AS h, a.v
+        FROM spine s LEFT JOIN agg a USING (hour_start)
+    ), wnd AS (
+        SELECT hour_start, h, v,
+               last_value(v IGNORE NULLS) OVER wp AS prev_v,
+               last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                   OVER wp AS prev_h,
+               first_value(v IGNORE NULLS) OVER wf AS next_v,
+               first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                   OVER wf AS next_h
+        FROM j
+        WINDOW wp AS (ORDER BY hour_start
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (ORDER BY hour_start
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT hour_start,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                     THEN prev_v + (next_v - prev_v)
+                          * ((h - prev_h) / CAST(next_h - prev_h AS DOUBLE))
+                WHEN prev_v IS NOT NULL THEN prev_v
+                ELSE next_v END AS value_interp,
+           v IS NULL AS interpolated
+    FROM wnd ORDER BY hour_start
+    """,
+    doc=(
+        "Hourly purchase-value series, gaps filled by linear "
+        "interpolation between nearest observed hours (ffill/bfill edges)."
+    ),
+)
+def events_hourly_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour_start"
+        )
+    )
+    agg = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_start"))
+        .agg(dsum("value").alias("v"))
+    )
+    j = spine.join(agg, "hour_start", "left").select(
+        "hour_start", F.col("hour_start").cast("long").alias("h"), "v"
+    )
+    v = F.col("v")
+    marked_h = F.when(v.isNotNull(), F.col("h"))
+    wp = W.orderBy("hour_start").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wf = W.orderBy("hour_start").rowsBetween(W.currentRow, W.unboundedFollowing)
+    wnd = j.select(
+        "hour_start",
+        "h",
+        "v",
+        F.last(v, ignorenulls=True).over(wp).alias("prev_v"),
+        F.last(marked_h, ignorenulls=True).over(wp).alias("prev_h"),
+        F.first(v, ignorenulls=True).over(wf).alias("next_v"),
+        F.first(marked_h, ignorenulls=True).over(wf).alias("next_h"),
+    )
+    prev_v, next_v = F.col("prev_v"), F.col("next_v")
+    ratio = (F.col("h") - F.col("prev_h")) / (
+        F.col("next_h") - F.col("prev_h")
+    ).cast("double")
+    interp = (
+        F.when(v.isNotNull(), v)
+        .when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            prev_v + (next_v - prev_v) * ratio,
+        )
+        .when(prev_v.isNotNull(), prev_v)
+        .otherwise(next_v)
+    )
+    return wnd.select(
+        "hour_start",
+        interp.alias("value_interp"),
+        v.isNull().alias("interpolated"),
+    ).orderBy("hour_start")

@@ -1086,3 +1086,103 @@ def part_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6: forecasting revenue change — the pure-scan aggregate. The
+# whole query is a filter stack + one global sum: zero shuffles beyond
+# the single-row partial-agg exchange, every predicate pushed to the
+# parquet scan (range on l_shipdate, BETWEEN on l_discount, < on
+# l_quantity), and the arithmetic stays inside whole-stage codegen. At
+# 100 TB this is THE query whose cost is purely scan bandwidth — the
+# benchmark's floor-measurement twin (pinned plan shape alongside
+# pricing_summary in tests/test_plans.py scan assertions).
+# ---------------------------------------------------------------------------
+@register(
+    "forecast_revenue_change",
+    oracle=f"""
+    SELECT {oracle_dsum('l_extendedprice * l_discount')} AS revenue_delta,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6: revenue delta from discount elimination (pure scan agg).",
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.02, 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue_delta"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 shape: promotable suppliers — nested semi-join with a
+# correlated aggregate threshold. The testdata has no partsupp table,
+# so availqty is adapted out: a supplier qualifies when some 'widget'
+# part it shipped in 1996 moved more than QTY_BOUND units (the
+# group-HAVING replaces the availqty comparison; the join TOPOLOGY —
+# filtered part list → lineitem agg per (supp, part) → threshold →
+# DISTINCT semi-join up to supplier — is Q20's). Scale: part filter
+# broadcasts, the (supp, part) agg is the only fact shuffle, the final
+# semi-join is dim-sized. Adaptation per SURVEY.md §6 testdata notes.
+# ---------------------------------------------------------------------------
+_Q20_QTY_BOUND = 40
+
+
+@register(
+    "promotable_widget_suppliers",
+    oracle=f"""
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_name LIKE '%widget'
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l.l_suppkey, l.l_partkey
+      HAVING SUM(l_quantity) > {_Q20_QTY_BOUND}
+    )
+    ORDER BY s.s_name
+    """,
+    doc=(
+        "TPC-H Q20 shape: suppliers that moved > bound units of a "
+        "widget part in 1996 (correlated-agg threshold + semi-join)."
+    ),
+)
+def promotable_widget_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").where(F.col("p_name").like("%widget"))
+    supp = load(spark, sf_dir, "supplier")
+    movers = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > _Q20_QTY_BOUND)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(movers, supp.s_suppkey == movers.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )

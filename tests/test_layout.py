@@ -349,3 +349,32 @@ def test_manifest_read_time_travel(spark, tmp_path):
     assert mf.manifest_read(spark, base, version=2).first()["tag"] == "two"
     with pytest.raises(ValueError, match="version 1 not on disk"):
         mf.manifest_read(spark, base, version=1)
+
+
+def test_compact_maintain_acts_only_past_the_bound(spark, tmp_path):
+    """Healthy table -> no-op (None, files untouched); fragmented
+    table -> exactly one compaction bringing the count under the
+    bound; idempotent afterwards."""
+    from etl_mudah_spark.operators.layout import (
+        compact_maintain,
+        count_data_files,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(0, 10_000).selectExpr("id", "id % 7 AS k")
+    df.repartition(40).write.parquet(path)
+    assert count_data_files(path) == 40
+
+    # healthy under a generous bound: no rewrite
+    assert compact_maintain(spark, path, max_small_files=64) is None
+    assert count_data_files(path) == 40
+
+    # fragmented past the bound: one rewrite, then stable
+    got = compact_maintain(spark, path, max_small_files=8)
+    assert got is not None and got <= 8
+    assert count_data_files(path) == got
+    assert compact_maintain(spark, path, max_small_files=8) is None
+    # data intact through the manifest swap
+    from etl_mudah_spark.operators.manifest import manifest_resolve
+
+    assert spark.read.parquet(manifest_resolve(path)).count() == 10_000

@@ -88,6 +88,7 @@ _BNLJ_ALLOWED = {
 # SinglePartition appears, so the detector rightly stays quiet.)
 _GLOBAL_WINDOW_ALLOWED = {
     "customer_balance_deciles",
+    "events_hourly_interpolated",  # IGNORE-NULLS carry windows over the O(calendar hours) post-aggregation spine, like daily_revenue_moving_avg
     "parts_pareto_80",
     "doc_global_shuffle",
     "daily_revenue_moving_avg",
