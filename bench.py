@@ -575,6 +575,7 @@ LINE_KEYS = (
     "spark_vs_duckdb",
     "streaming_rows_per_sec",
     "streaming_rows_per_sec_saturated",
+    "surfaces_skipped",
     "detail",
 )
 MAX_LINE_BYTES = 4096
@@ -794,6 +795,25 @@ def main() -> None:
 
     if os.environ.get("SPARK_GRAFT_BENCH_STREAMING", "1") != "0":
         result.update(bench_streaming(spark, sf_dir))
+
+    # Smoke configs skip surfaces via env; record WHICH, so a partial
+    # run that overwrites BENCH_DETAIL.json can't masquerade as the
+    # full record (a round-7 near-miss: a quick re-run clobbered the
+    # full-run detail file silently).
+    skipped = [
+        name
+        for name, cond in (
+            (f"scale_x{scale_factor or 10}", scale_factor <= 1),
+            (f"scale_x{x2 or 100}", x2 <= 1),
+            (
+                "streaming",
+                os.environ.get("SPARK_GRAFT_BENCH_STREAMING", "1") == "0",
+            ),
+        )
+        if cond
+    ]
+    if skipped:
+        result["surfaces_skipped"] = skipped
 
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
     result["detail"] = detail_path.name

@@ -102,6 +102,17 @@ def test_detail_keeps_everything():
     assert detail["io"] and detail["duckdb"] and detail["queries_sf_x100"]
 
 
+def test_skipped_surfaces_flagged_on_line():
+    """A smoke config (scale/streaming surfaces skipped via env) must
+    say so ON the line AND in the detail file, so a partial run that
+    overwrites BENCH_DETAIL.json is recognizable as partial."""
+    partial = _full_result()
+    partial["surfaces_skipped"] = ["scale_x10", "scale_x100", "streaming"]
+    line, detail = bench.split_result(partial)
+    assert line["surfaces_skipped"] == ["scale_x10", "scale_x100", "streaming"]
+    assert detail["surfaces_skipped"] == line["surfaces_skipped"]
+
+
 def test_bulky_keys_never_on_line():
     line, _ = bench.split_result(_full_result())
     for k in ("io", "io_multifile", "io_sf_x10", "duckdb", "duckdb_sf_x10",
