@@ -169,3 +169,38 @@ def fail_on_violations(report: DataFrame) -> None:
             f"{r['check']}: {r['violations']}/{r['total_rows']} rows" for r in bad
         )
         raise ValueError(f"data-quality violations — {lines}")
+
+
+def tag_violations(
+    df: DataFrame, row_checks: Sequence[RowCheck], col: str = "violated"
+) -> DataFrame:
+    """Per-ROW constraint evaluation: append an array column listing
+    the names of every violated row check (empty array = clean row).
+    Pure Column algebra — the tags cost one projection inside the same
+    scan, no shuffle, no second pass; the complement of
+    :func:`check_table`'s constraint-sized report when you need to know
+    WHICH rows failed, not just how many."""
+    tags = F.array(
+        *[
+            F.when(~F.coalesce(rc.predicate, F.lit(False)), F.lit(rc.name))
+            for rc in row_checks
+        ]
+    )
+    return df.withColumn(col, F.filter(tags, lambda x: x.isNotNull()))
+
+
+def split_quarantine(
+    df: DataFrame, row_checks: Sequence[RowCheck], col: str = "violated"
+) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter split: ``(clean, rejects)`` where rejects carry the
+    ``violated`` tag array. The ingest-pipeline shape: merge ``clean``
+    into the target, append ``rejects`` to a quarantine table for
+    triage, and the bad rows never block the stream NOR silently land
+    in the published table (the middle ground between check_table's
+    all-or-nothing circuit breaker and no validation at all). Both
+    sides derive from one tagged plan; with the source cached or
+    file-backed the scan is shared."""
+    tagged = tag_violations(df, row_checks, col)
+    clean = tagged.where(F.size(F.col(col)) == 0).drop(col)
+    rejects = tagged.where(F.size(F.col(col)) > 0)
+    return clean, rejects

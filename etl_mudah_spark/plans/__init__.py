@@ -86,12 +86,12 @@ _PRIORITY = [
     "forecast_revenue_change",
     "promotable_widget_suppliers",
     "events_hourly_interpolated",
+    "orders_reject_profile",
     # --- (c) r5-checked fill ---
     "ann_ivf_topk",
     "ann_pq_topk",
     "ann_srp_topk",
     "brand_quartiles",
-    "brand_type_supplier_counts",
     "cheapest_supplier_per_part",
     "customer_balance_deciles",
     "daily_revenue_moving_avg",

@@ -343,3 +343,63 @@ def orders_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         unique_checks=[UniqueCheck(("o_orderkey",))],
     )
+
+
+# ---------------------------------------------------------------------------
+# Dead-letter profile: quarantined rows grouped by WHICH constraint
+# combination they violated — the triage view over a reject table
+# (operators/checks.py split_quarantine). The tag array is pure
+# Column algebra inside the scan (no shuffle until the profile
+# groupBy), and the oracle rebuilds the same ordered tag list with a
+# list_filter lambda — cross-engine hash equality pins the per-row
+# evaluation semantics AND the array ordering contract (declaration
+# order, nulls filtered, never sorted).
+# ---------------------------------------------------------------------------
+@register(
+    "orders_reject_profile",
+    oracle="""
+    SELECT profile, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM (
+      SELECT array_to_string(list_filter([
+        CASE WHEN NOT (o_totalprice IS NULL
+                       OR (o_totalprice >= 1000 AND o_totalprice <= 200000))
+             THEN 'in_range(o_totalprice)' END,
+        CASE WHEN NOT (o_orderstatus IS NULL OR o_orderstatus IN ('O', 'F'))
+             THEN 'in_set(o_orderstatus)' END,
+        CASE WHEN NOT (o_orderpriority IS NULL
+                       OR regexp_matches(o_orderpriority, '^[1-3]-'))
+             THEN 'matches(o_orderpriority)' END
+      ], x -> x IS NOT NULL), ',') AS profile
+      FROM orders
+    ) WHERE profile <> ''
+    GROUP BY profile ORDER BY profile
+    """,
+    doc=(
+        "Quarantine triage: reject rows grouped by the violated-"
+        "constraint combination (dead-letter split profile)."
+    ),
+)
+def orders_reject_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_mudah_spark.operators.checks import (
+        in_range,
+        in_set,
+        matches,
+        split_quarantine,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    _, rejects = split_quarantine(
+        orders,
+        [
+            in_range("o_totalprice", 1000, 200000),
+            in_set("o_orderstatus", ["O", "F"]),
+            matches("o_orderpriority", "^[1-3]-"),
+        ],
+    )
+    return (
+        rejects.groupBy(
+            F.concat_ws(",", F.col("violated")).alias("profile")
+        )
+        .agg(F.count("*").alias("n_rows"))
+        .orderBy("profile")
+    )

@@ -103,3 +103,27 @@ def test_empty_table_reports_zero_violations(spark):
     )
     got = _report(rep)
     assert got == {"not_null(s)": (0, True), "unique(id)": (0, True)}
+
+
+def test_tag_violations_and_quarantine_split(messy):
+    from etl_mudah_spark.operators.checks import split_quarantine
+
+    checks = [
+        not_null("email"),
+        in_range("price", 0, 100),
+        in_set("status", ["A", "B"]),
+    ]
+    clean, rejects = split_quarantine(messy, checks)
+    # clean: id 1, the dup id-2 row (duplication is a KEY property, not
+    # a row check), and id 4 (null price passes in_range)
+    assert clean.count() == 3
+    got = {
+        (r["id"], r["email"]): sorted(r["violated"])
+        for r in rejects.collect()
+    }
+    assert got[(2, None)] == ["in_range(price)", "not_null(email)"]
+    assert got[(3, "bad-email")] == ["in_set(status)"]
+    assert "violated" not in clean.columns
+    # tagging is a projection, not a join/shuffle
+    plan = rejects._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
