@@ -300,3 +300,82 @@ def cluster_doc_ids(
         F.first("n_docs").alias("n_docs"),
         F.array_sort(F.collect_list("node")).alias("doc_ids"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src: str = "a",
+    dst: str = "b",
+) -> DataFrame:
+    """PageRank by fixed-iteration power method over an (``src``,
+    ``dst``) directed edge list — the link-analysis sibling of
+    :func:`connected_components` (importance, not membership).
+    Returns ``(node, rank)``; ranks over all nodes sum to 1.
+
+    Semantics (the standard formulation): every node starts at 1/n;
+    each round a node keeps ``(1-d)/n`` plus ``d`` times the rank mass
+    its in-neighbors push (their rank / out-degree). Dangling nodes
+    (no out-edges) redistribute their mass uniformly — without that
+    term rank leaks and the vector no longer sums to 1 (asserted
+    property-based in tests/test_graph.py).
+
+    Scale shape, per round: one join of the rank vector against the
+    edge list on ``src`` (shuffle on the join key), one groupBy on
+    ``dst`` with map-side partial sums, one 1-row dangling-mass
+    aggregate broadcast into the update expression. Out-degrees are
+    computed ONCE and reused. ``localCheckpoint`` truncates the
+    iterative lineage exactly as connected_components does; a fixed
+    iteration count (vs an epsilon fixpoint) keeps every round's plan
+    identical and needs no extra convergence job — 10-20 rounds is
+    the standard production budget at damping 0.85.
+
+    Reference analog: none — beyond-reference graph analytics over the
+    dup-pair / interaction graphs this repo's dedup family emits.
+    """
+    if not 0 < damping < 1:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_deg = e.groupBy("_src").agg(F.count("*").alias("_deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iterations):
+        with_deg = ranks.join(
+            out_deg, ranks.node == out_deg._src, "left"
+        ).select("node", "rank", "_deg")
+        # mass from dangling nodes (no out-edges) spreads uniformly
+        dangling = (
+            with_deg.where(F.col("_deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+            .first()["_dm"]
+        )
+        pushed = (
+            with_deg.where(F.col("_deg").isNotNull())
+            .join(e, F.col("node") == F.col("_src"))
+            .groupBy(F.col("_dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("_deg")).alias("_in"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        prev = ranks
+        ranks = (
+            nodes.join(pushed, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        prev.unpersist()
+    return ranks

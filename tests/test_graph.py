@@ -131,3 +131,45 @@ def test_star_singletons_and_random_graph(spark):
 def test_bad_algorithm_rejected(spark):
     with pytest.raises(ValueError, match="algorithm"):
         connected_components(_edges(spark, [(1, 2)]), algorithm="pregel")
+
+
+# ---------------------------------------------------------------------------
+# PageRank (operators/graph.py:pagerank)
+# ---------------------------------------------------------------------------
+def _numpy_pagerank(edges, n, iterations=10, d=0.85):
+    ranks = {i: 1.0 / n for i in range(n)}
+    out = {}
+    for a, _ in edges:
+        out[a] = out.get(a, 0) + 1
+    for _ in range(iterations):
+        dangling = sum(r for i, r in ranks.items() if i not in out)
+        base = (1.0 - d) / n + d * dangling / n
+        nxt = {i: base for i in range(n)}
+        for a, b in edges:
+            nxt[b] += d * ranks[a] / out[a]
+        ranks = nxt
+    return ranks
+
+
+def test_pagerank_matches_reference_power_iteration(spark):
+    from etl_mudah_spark.operators.graph import pagerank
+
+    # 5 nodes: a hub (0) cited by everyone, a dangling node (4)
+    edges = [(1, 0), (2, 0), (3, 0), (0, 1), (1, 2), (2, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=10).collect()}
+    want = _numpy_pagerank(edges, 5, iterations=10)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # dangling mass conserved
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    from etl_mudah_spark.operators.graph import pagerank
+
+    cyc = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], "a long, b long"
+    )
+    got = [r["rank"] for r in pagerank(cyc, iterations=5).collect()]
+    assert all(abs(r - 1 / 6) < 1e-12 for r in got)
