@@ -39,16 +39,41 @@ def stream_ingest_listings(
     partition_col: str | None = None,
     batch_ts=None,
     max_files_per_trigger: int = 1,
+    row_checks=None,
+    quarantine_path: str | None = None,
 ) -> None:
     """Run the drop-zone → merged-table pipeline to completion
     (Trigger.AvailableNow semantics via processAllAvailable).
 
     ``drop_dir`` holds JSON-lines files of raw API listings (the
     ``data[]`` elements: ``{"id": ..., "attributes": {...}}``).
+
+    With ``row_checks`` (operators/checks.py RowCheck list) +
+    ``quarantine_path``, each micro-batch passes the dead-letter gate
+    BEFORE the merge: clean rows merge into the table, violating rows
+    (with their ``violated`` tag array) append to the quarantine
+    parquet for triage — bad input neither blocks the stream nor
+    reaches the published table. The quarantine log is at-least-once
+    (a batch replayed across a crash re-appends its rejects); triage
+    reads dedupe with operators/dedup.py exact_dedup on
+    (listing_id, violated) — the merge path itself stays exactly-once
+    by key as before.
     """
+    if (row_checks is None) != (quarantine_path is None):
+        raise ValueError(
+            "row_checks and quarantine_path must be passed together"
+        )
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         flat = flatten_listings(batch)
+        if row_checks is not None:
+            from etl_mudah_spark.operators.checks import split_quarantine
+
+            flat, rejects = split_quarantine(flat, row_checks)
+            if not rejects.isEmpty():
+                rejects.withColumn(
+                    "violated", F.concat_ws(",", F.col("violated"))
+                ).write.mode("append").parquet(quarantine_path)
         if not flat.isEmpty():
             # Per-batch stamp derived from the batch's own data (max
             # listing_date), not a single stream-start timestamp: each

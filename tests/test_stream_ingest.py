@@ -395,3 +395,48 @@ def test_stream_scd2_manifest_swap(spark, tmp_path):
     cur2 = mf.manifest_resolve(hist_p)
     assert cur2 != cur
     assert sorted(map(tuple, spark.read.parquet(cur2).collect())) == hist_rows
+
+
+def test_stream_ingest_with_quarantine_gate(spark, tmp_path):
+    """The streaming dead-letter gate: violating listings land in the
+    quarantine parquet with their tags, clean rows merge as usual, and
+    nothing bad reaches the table."""
+    from etl_mudah_spark.operators.checks import in_range, not_null
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    now = time.time()
+    good = [_listing(1, 50000.0, "2024-01-01 10:00:00"),
+            _listing(2, 60000.0, "2024-01-01 11:00:00")]
+    bad_price = _listing(3, -1.0, "2024-01-01 12:00:00")      # negative
+    bad_null = _listing(4, 70000.0, "2024-01-01 12:30:00")
+    bad_null["attributes"]["region_name"] = None              # null region
+    _write_drop_file(str(drop), "b1.json", good + [bad_price, bad_null], now)
+
+    table = str(tmp_path / "table")
+    qpath = str(tmp_path / "quarantine")
+    checks = [not_null("location"), in_range("price", 0, 10_000_000)]
+    stream_ingest_listings(
+        spark, str(drop), table, str(tmp_path / "ckpt"),
+        row_checks=checks, quarantine_path=qpath,
+    )
+    assert sorted(
+        r["listing_id"] for r in spark.read.parquet(table).collect()
+    ) == [1, 2]
+    quarantined = {
+        r["listing_id"]: r["violated"]
+        for r in spark.read.parquet(qpath).collect()
+    }
+    assert quarantined == {
+        3: "in_range(price)",
+        4: "not_null(location)",
+    }
+
+    # gate misconfiguration fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="together"):
+        stream_ingest_listings(
+            spark, str(drop), table, str(tmp_path / "ckpt2"),
+            row_checks=checks,
+        )
