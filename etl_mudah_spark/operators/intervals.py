@@ -63,6 +63,14 @@ def interval_join_binned(
     Timestamp or numeric interval columns both work (timestamps bin on
     epoch seconds; the exact predicate compares the original values).
 
+    Contract: intervals must satisfy ``start <= end`` (half-open, so
+    ``start == end`` is empty and matches nothing). An INVERTED
+    interval would satisfy the standard overlap predicate spuriously
+    (``[5,3)`` vs ``[0,10)``: 5<10 ∧ 0<3) — rather than silently
+    dropping or silently matching such data errors, both sides are
+    filtered with an explicit ``start <= end`` guard; count the
+    complement upstream if inverted rows need surfacing.
+
     ``max_bin_size`` is the hot-bin guardrail (the analogue of the
     LSH bucket cap in operators/similarity.py and FUZZY_MAX_BLOCK):
     default ``None`` = exact. Per-bin pair work is |L_b|·|R_b|, so one
@@ -75,6 +83,8 @@ def interval_join_binned(
     trade, never duplicates — the exactly-once rule is row-local) and
     is measurable up front via :func:`interval_bin_stats`.
     """
+    left = left.where(F.col(l_start) <= F.col(l_end))
+    right = right.where(F.col(r_start) <= F.col(r_end))
     lb = left.withColumn("_bin", F.explode(_bins(F.col(l_start), F.col(l_end), bin_seconds)))
     r_renamed = right.select([F.col(c).alias(f"{c}_r") for c in right.columns])
     rb = r_renamed.withColumn(
@@ -86,7 +96,11 @@ def interval_join_binned(
         rb = _cap_bins(rb, r_renamed.columns, max_bin_size)
     ls, le = F.col(l_start), F.col(l_end)
     rs, re_ = F.col(f"{r_start}_r"), F.col(f"{r_end}_r")
-    overlap = (ls < re_) & (rs < le)
+    # max(start) < min(end), NOT the conjunctive (ls<re ∧ rs<le) form:
+    # the two only agree for non-empty intervals — a zero-length
+    # [x, x) passes the conjunctive test against any interval
+    # containing x, but is empty and must match nothing
+    overlap = F.greatest(ls, rs) < F.least(le, re_)
     # exactly-once emission: only the bin holding the overlap start
     first_bin = F.floor(
         F.greatest(ls, rs).cast("double").cast("long") / bin_seconds

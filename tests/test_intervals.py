@@ -148,3 +148,17 @@ def test_hot_bin_cap_bounds_pairs_and_stats_report(spark):
     top = stats.first()
     assert top["n_left"] == 60 and top["pair_work"] == 3600 and top["capped"]
     assert stats.where("capped").count() == 1
+
+
+def test_inverted_intervals_are_guarded_out(spark):
+    """Contract: start <= end. An inverted interval satisfies the raw
+    overlap predicate spuriously; the guard filters it instead."""
+    left = [(1, 5.0, 3.0)]   # inverted (empty set, data error)
+    right = [(2, 0.0, 10.0)]
+    got = interval_join_binned(_mk(spark, left), _mk(spark, right), bin_seconds=4)
+    assert got.count() == 0
+    # zero-length [x, x) is empty and matches nothing either
+    got2 = interval_join_binned(
+        _mk(spark, [(1, 5.0, 5.0)]), _mk(spark, right), bin_seconds=4
+    )
+    assert got2.count() == 0
