@@ -8,20 +8,18 @@ Importing this package registers every declared query into
 # queries per round, so window membership is controlled EXPLICITLY via
 # ``_PRIORITY`` below rather than by import-order side effects.
 #
-# Rotation history: r5 recorded the 12 invariant-shape conversions, the
-# 3 semantic changes, and 34 of the oldest r2/r3 rows (all flipped
-# hash-green — CORRECTNESS_r05 50/50). The round-6 window below
-# completes the rotation: after it runs, every registered query has at
-# least one driver-produced hash row, with none older than round 4
-# except names whose strongest coverage is tests/test_oracle.py (run
-# green every round). All 129 are additionally sim-checked at sf0.01
-# AND sf0.1 every round regardless (scripts/driver_sim.py,
-# SPARK_GRAFT_SF_DIR_CORRECT; round-6 runs: 129/129 HASH-OK at both).
-#
-# Round-7 window should rotate to the then-oldest rows: the ~28
-# r4-checked names not in this window (doc_ngram_jaccard, emb_norm_stats,
-# events_* family, doc_clean_pipeline, …), then the oldest r5 names,
-# plus any queries added in round 7.
+# Rotation history: r5 flipped the 12 invariant-shape conversions + 34
+# oldest r2/r3 rows (CORRECTNESS_r05 50/50); r6 completed the rotation
+# (50/50) so every then-registered query had a driver row. The round-7
+# window below continues it: the 30 names whose newest row is r4, the
+# 11 round-7 additions, and r5-checked fills. Round-8 should rotate to
+# the then-oldest r5 rows (the (c) fills swapped out this round —
+# customers_churned/retained/without_orders, brand_type_supplier_counts,
+# doc_chunks, doc_decontaminate_spans, doc_dup_clusters,
+# doc_minhash_incremental — plus the remaining r5 names) and any
+# round-8 additions. All registered queries are additionally
+# sim-checked at sf0.01 AND sf0.1 every round regardless
+# (scripts/driver_sim.py; round-7 runs: 142/142 HASH-OK at both).
 from etl_mudah_spark.plans import registry  # noqa: F401
 from etl_mudah_spark.plans import parity  # noqa: F401
 from etl_mudah_spark.plans import datapipe  # noqa: F401
