@@ -296,3 +296,48 @@ def test_bpe_token_stats_is_map_only_arrow(spark):
     assert "Exchange" not in plan, plan
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_q6_is_a_pure_pushed_down_scan(spark):
+    """forecast_revenue_change (TPC-H Q6): every predicate reaches the
+    parquet scan, the only exchange is the 1-row final aggregate, and
+    the scan reads just the four referenced columns."""
+    plan = _plan(spark, "forecast_revenue_change", execute=True)
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    scan = plan[plan.index("ReadSchema"):][:400]
+    assert "l_extendedprice" in scan and "l_orderkey" not in scan
+    # the only exchange is the 1-row final-aggregate gather (the AQE
+    # plan text repeats sections, so assert by KIND, not by count)
+    assert "Exchange SinglePartition" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_q20_broadcasts_the_filtered_part_dim(spark):
+    """promotable_widget_suppliers: the widget part list broadcasts
+    (the lineitem side must never build a broadcast), and the
+    threshold semi-join up to supplier is a LeftSemi."""
+    plan = _plan(spark, "promotable_widget_suppliers")
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivm_refresh_shuffles_only_aggregate_sized_data(spark):
+    """orders_priority_agg_ivm: the diff join carries key+hash+images,
+    and every aggregation shows map-side partials (no raw-fact global
+    shuffle beyond the diff's own full-outer join)."""
+    plan = _plan(spark, "orders_priority_agg_ivm")
+    assert "FullOuter" in plan  # the CDC diff join
+    assert plan.count("HashAggregate") >= 4  # partial+final per agg level
+    assert "CartesianProduct" not in plan
+
+
+def test_session_concurrency_joins_on_the_bin_grid(spark):
+    """events_session_concurrency: the interval self-join must be an
+    equi-join on the bin column (hashpartitioning on _bin), with the
+    JVM session_window doing the sessionization."""
+    plan = _plan(spark, "events_session_concurrency")
+    assert "session_window" in plan
+    assert "_bin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
