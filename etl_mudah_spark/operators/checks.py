@@ -204,3 +204,58 @@ def split_quarantine(
     clean = tagged.where(F.size(F.col(col)) == 0).drop(col)
     rejects = tagged.where(F.size(F.col(col)) > 0)
     return clean, rejects
+
+
+def fk_violations(
+    child: DataFrame,
+    child_cols: Sequence[str],
+    parent: DataFrame,
+    parent_cols: Sequence[str],
+) -> DataFrame:
+    """Referential-integrity violations: child rows whose (non-null)
+    foreign key has no match in the parent — one left_anti join on the
+    key, the minimum possible work for FK validation (NULL FKs are
+    excluded, matching SQL FK semantics where NULL references are
+    legal; add :func:`not_null` checks to forbid them). At 100 TB the
+    anti join broadcasts when the parent is a dim; co-locate via
+    shared bucketing (operators/layout.py) when both sides are facts.
+    """
+    ck, pk = list(child_cols), list(parent_cols)
+    if len(ck) != len(pk):
+        raise ValueError("child_cols and parent_cols must align")
+    non_null = None
+    for c in ck:
+        cond = F.col(c).isNotNull()
+        non_null = cond if non_null is None else (non_null & cond)
+    cond = [child[c].eqNullSafe(parent[p]) for c, p in zip(ck, pk)]
+    on = cond[0]
+    for extra in cond[1:]:
+        on = on & extra
+    return child.where(non_null).join(
+        parent.select(*pk), on, "left_anti"
+    )
+
+
+def fk_check_report(
+    child: DataFrame,
+    child_cols: Sequence[str],
+    parent: DataFrame,
+    parent_cols: Sequence[str],
+    name: str | None = None,
+) -> DataFrame:
+    """The :func:`check_table`-shaped one-row report for an FK
+    constraint: ``(check, column, violations, total_rows, passed)`` —
+    unionByName-compatible with a row/uniqueness report so one suite
+    covers intra-table and cross-table integrity."""
+    label = name or f"fk({','.join(child_cols)})"
+    total = child.agg(F.count(F.lit(1)).alias("_total"))
+    bad = fk_violations(child, child_cols, parent, parent_cols).agg(
+        F.count(F.lit(1)).alias("violations")
+    )
+    return bad.crossJoin(F.broadcast(total)).select(
+        F.lit(label).alias("check"),
+        F.lit(",".join(child_cols)).alias("column"),
+        F.col("violations").cast("long").alias("violations"),
+        F.col("_total").alias("total_rows"),
+        (F.col("violations") == 0).alias("passed"),
+    )

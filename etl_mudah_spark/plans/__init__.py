@@ -85,12 +85,12 @@ _PRIORITY = [
     "promotable_widget_suppliers",
     "events_hourly_interpolated",
     "orders_reject_profile",
+    "orders_customer_fk_audit",
     # --- (c) r5-checked fill ---
     "ann_ivf_topk",
     "ann_pq_topk",
     "ann_srp_topk",
     "brand_quartiles",
-    "cheapest_supplier_per_part",
     "customer_balance_deciles",
     "daily_revenue_moving_avg",
     "disjunctive_join_revenue",

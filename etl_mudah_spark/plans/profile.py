@@ -403,3 +403,53 @@ def orders_reject_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_rows"))
         .orderBy("profile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-table referential integrity: the third constraint class next
+# to row checks and uniqueness — FK validation as ONE left_anti join
+# (operators/checks.py fk_violations; parent broadcasts when it's a
+# dim, shared bucketing co-locates fact-fact). The child is
+# deterministically corrupted in-plan (every 211th custkey negated) so
+# the report carries a REAL nonzero count both engines must reproduce;
+# NULL FKs are legal per SQL semantics and the oracle mirrors that.
+# ---------------------------------------------------------------------------
+@register(
+    "orders_customer_fk_audit",
+    oracle="""
+    WITH child AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 211 = 0 THEN -o_custkey
+                  ELSE o_custkey END AS o_custkey
+      FROM orders
+    )
+    SELECT 'fk(o_custkey)' AS "check", 'o_custkey' AS "column",
+           CAST((SELECT COUNT(*) FROM child c
+                 WHERE c.o_custkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM customer p
+                                   WHERE p.c_custkey = c.o_custkey))
+                AS BIGINT) AS violations,
+           CAST(COUNT(*) AS BIGINT) AS total_rows,
+           (SELECT COUNT(*) FROM child c
+            WHERE c.o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer p
+                              WHERE p.c_custkey = c.o_custkey)) = 0 AS passed
+    FROM child
+    """,
+    doc=(
+        "Referential-integrity audit: orders→customer FK violations "
+        "(left_anti join report) on a deterministically corrupted child."
+    ),
+)
+def orders_customer_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_mudah_spark.operators.checks import fk_check_report
+
+    orders = load(spark, sf_dir, "orders")
+    child = orders.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 211 == 0, -F.col("o_custkey")
+        ).otherwise(F.col("o_custkey")).alias("o_custkey"),
+    )
+    customer = load(spark, sf_dir, "customer")
+    return fk_check_report(child, ["o_custkey"], customer, ["c_custkey"])

@@ -127,3 +127,27 @@ def test_tag_violations_and_quarantine_split(messy):
     # tagging is a projection, not a join/shuffle
     plan = rejects._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_fk_violations_and_report(spark):
+    from etl_mudah_spark.operators.checks import (
+        check_table,
+        fk_check_report,
+        fk_violations,
+    )
+
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    child = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 9), (13, None), (14, 9)],
+        "id int, fk int",
+    )
+    bad = fk_violations(child, ["fk"], parent, ["pk"])
+    assert sorted(r["id"] for r in bad.collect()) == [12, 14]  # NULL fk legal
+    rep = fk_check_report(child, ["fk"], parent, ["pk"])
+    row = rep.first()
+    assert (row["check"], row["violations"], row["total_rows"], row["passed"]) == (
+        "fk(fk)", 2, 5, False
+    )
+    # composes with the row/uniqueness report into one suite
+    combined = check_table(child, row_checks=[not_null("fk")]).unionByName(rep)
+    assert combined.count() == 2

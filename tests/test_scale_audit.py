@@ -72,6 +72,7 @@ _BNLJ_ALLOWED = {
     "doc_dedup_keep_best",
     "parts_pareto_80",
     "orders_quality_report",  # 1-row excess-count × 1-row total broadcast crossJoin
+    "orders_customer_fk_audit",  # same 1-row violations × 1-row total crossJoin
 }
 
 # Windows that legitimately run over ONE partition: their input is
