@@ -19,7 +19,8 @@ Importing this package registers every declared query into
 # doc_minhash_incremental — plus the remaining r5 names) and any
 # round-8 additions. All registered queries are additionally
 # sim-checked at sf0.01 AND sf0.1 every round regardless
-# (scripts/driver_sim.py; round-7 runs: 142/142 HASH-OK at both).
+# (scripts/driver_sim.py; round-7 final: 144 registered, 144 with
+# oracles — zero rows-only — HASH-OK at sf0.01 and sf0.1).
 from etl_mudah_spark.plans import registry  # noqa: F401
 from etl_mudah_spark.plans import parity  # noqa: F401
 from etl_mudah_spark.plans import datapipe  # noqa: F401
