@@ -4,7 +4,6 @@ the batch reader — the Structured-Streaming expression of the
 reference's scheduled re-scrape (dags/dag.py:284-342)."""
 
 import json
-import os
 
 import pytest
 
