@@ -160,8 +160,12 @@ def bpe_token_counts(
 # the </w> marker and each fused symbol take ids above SPECIAL_BASE in
 # rank order. Deterministic, merge-table-derived, and trivially
 # reproducible in SQL (codepoint + a rank-indexed lookup) — the
-# property the exact-sequence oracle rides on.
-SPECIAL_BASE = 1_000_000
+# property the exact-sequence oracle rides on. 0x110000 is the first
+# integer past the Unicode range (max codepoint U+10FFFF), so special
+# ids can never collide with a single-character id — ADVICE r7: the
+# old base 1_000_000 sat BELOW planes 15-16 (private use), making
+# encode output ambiguous for such text.
+SPECIAL_BASE = 0x110000
 
 
 def bpe_vocab(merges: list[tuple[str, str]]) -> dict[str, int]:

@@ -361,6 +361,88 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filtered_jaccard(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT Jaccard-similar pairs via prefix filtering (SSJoin/PPJoin,
+    Chaudhuri et al. ICDE'06 / Xiao et al. WWW'08) — the lossless
+    alternative to :func:`ngram_jaccard_pairs`'s inverted-index join.
+
+    Each doc's distinct shingles are ordered by ascending global
+    document frequency (ties by shingle string — one consistent TOTAL
+    order); a pair with Jaccard ≥ t must share ≥ ceil(t·|x|) shingles
+    with either side, so if the first ``|x| − ceil(t·|x|) + 1``
+    shingles (the prefix) of BOTH docs are disjoint the pair cannot
+    qualify. Candidates therefore come from joining PREFIXES only —
+    and prefixes are by construction the RAREST shingles, so the
+    quadratic-in-df index blowup that forces ``max_shingle_df``
+    lossy capping in the plain inverted index never materializes:
+    boilerplate shingles (the df-heavy tail) sort to the END of every
+    doc and never enter the candidate join. No false negatives, no
+    recall knob.
+
+    Verification fetches the candidate docs' full shingle sets
+    (sorted arrays, one shuffle on the id) and computes the exact
+    intersection per pair — O(|A|+|B|) per candidate, doc-bounded.
+
+    Plan shape at 100 TB: shingle explode → df counts (one shuffle on
+    shingle) → per-doc prefix window (one shuffle on id) → prefix
+    self-join (shuffle on shingle, rare keys only) → set fetch + merge
+    (shuffle on id). Every exchange is keyed; nothing is all-pairs.
+    """
+    shingled = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    dfreq = shingled.groupBy("sh").agg(F.count("*").alias("_df"))
+    win = W.partitionBy(id_col).orderBy(F.asc("_df"), F.asc("sh"))
+    prefix = (
+        shingled.join(dfreq, "sh")
+        .join(sizes, id_col)
+        .withColumn("_rn", F.row_number().over(win))
+        .where(
+            F.col("_rn")
+            <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        )
+        .select(id_col, "sh")
+    )
+    a = prefix.alias("a").hint("shuffle_hash")
+    b = prefix.alias("b").hint("shuffle_hash")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sets = shingled.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("sh")).alias("_shs")
+    )
+    sa = sets.select(F.col(id_col).alias("doc_a"), F.col("_shs").alias("_sha"))
+    sb = sets.select(F.col(id_col).alias("doc_b"), F.col("_shs").alias("_shb"))
+    common = F.size(F.array_intersect("_sha", "_shb"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            common / (F.size("_sha") + F.size("_shb") - common),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     id_col: str = "doc_id",

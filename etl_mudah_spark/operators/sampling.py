@@ -57,6 +57,54 @@ def keymod_sample(
     return df.where(keymod_flag(key_col, weight, buckets))
 
 
+# One multiplicative-congruential step (glibc rand constants). Chosen
+# over engine hashes (xxhash64, murmur) because the SAME bigint
+# arithmetic is evaluable verbatim by any ANSI-SQL oracle — the
+# portability requirement of the hash-compare correctness gate. Keys
+# up to ~8.3e9 stay below bigint overflow at the multiply.
+LCG_A = 1_103_515_245
+LCG_C = 12_345
+LCG_M = 2_147_483_648
+
+
+def lcg_uniform(key: Column) -> Column:
+    """Deterministic pseudo-uniform in (0, 1) from a non-negative
+    integer key: ``((key·A + C) mod M + 1) / (M + 1)``. Never exactly
+    0 or 1, so ``ln(u)`` is finite — the property
+    :func:`weighted_sample_topn` needs."""
+    mixed = F.pmod(key.cast("bigint") * LCG_A + LCG_C, F.lit(LCG_M))
+    return (mixed + 1) / F.lit(float(LCG_M + 1))
+
+
+def weighted_sample_topn(
+    df: DataFrame,
+    key_col: str,
+    weight: Column,
+    n: int,
+    key_out: str = "sample_key",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, derandomized:
+    Efraimidis–Spirakis A-ES (IPL 2006) with the uniform draw replaced
+    by :func:`lcg_uniform` of the row key. Each row scores
+    ``ln(u) / w`` and the top ``n`` scores win — inclusion probability
+    proportional to weight, exactly reproducible across runs and
+    engines, and stable for old rows when the corpus grows (same
+    no-RNG discipline as :func:`keymod_sample`, which cannot express
+    per-row CONTINUOUS weights; this can).
+
+    Plan shape: map-only scoring + TakeOrdered — no global sort, no
+    shuffle; at 100 TB each partition ships only its local top-``n``
+    to the driver-side merge, the same physics as any top-k.
+    ``weight`` must be strictly positive (caller-guarded).
+    """
+    score = F.log(lcg_uniform(F.col(key_col))) / weight
+    return (
+        df.withColumn(key_out, score)
+        .orderBy(F.desc(key_out), F.asc(key_col))
+        .limit(n)
+    )
+
+
 def bucketed_global_rank(
     df: DataFrame,
     bucket: Column,

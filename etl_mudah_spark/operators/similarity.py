@@ -670,13 +670,18 @@ def cosine_near_duplicates(
       sampled down to ~max_bucket_size members BEFORE the self-join
       (the same explicit-exclusion discipline as the fuzzy-join
       FUZZY_MAX_BLOCK and the shingle df cap), bounding per-bucket pair
-      work at ~cap²/2. Sampling keys on xxhash64(id) only, so a row
-      keeps or loses ALL its tables together and hot-cluster pairs stay
-      discoverable among the kept members. The map-side first-collision
-      dedup assumes every earlier-table collision actually joined, which
-      sampling breaks — the capped path dedups candidates with a
-      ``dropDuplicates`` shuffle instead, acceptable BECAUSE the cap has
-      just bounded the candidate volume. Recall within a hot bucket
+      work at ~cap²/2. Sampling is PER (table, bucket): the keymod is
+      ``xxhash64(id) % ceil(size/cap)``, so the modulus varies with each
+      oversized bucket's population and a row may survive in one of its
+      tables while being dropped in another (keying on the id rather
+      than (id, table) merely keeps the kept set consistent among
+      buckets that happen to share a modulus). Per-bucket moduli are
+      deliberate: each oversized bucket retains ~cap members instead of
+      being thinned by the globally-worst bucket's ratio. The map-side
+      first-collision dedup assumes every earlier-table collision
+      actually joined, which sampling breaks — the capped path dedups
+      candidates with a ``dropDuplicates`` shuffle instead, acceptable
+      BECAUSE the cap has just bounded the candidate volume. Recall within a hot bucket
       degrades to ~(cap/size)² of its pairs — the explicit, reported
       (:func:`srp_bucket_profile`) price of bounded work; pairs in
       healthy buckets are unaffected.
@@ -1420,9 +1425,9 @@ def ivf_maintain(
     ``n_cells`` defaults to the current centroid count — maintenance
     preserves the index's resolution unless told otherwise.
     """
-    import os
     import shutil
 
+    recovered = _recover_rebuild(spark, index_path)
     stats = (
         spark.read.parquet(index_path)
         .groupBy("cell")
@@ -1438,6 +1443,7 @@ def ivf_maintain(
     cur_cells = spark.read.parquet(f"{index_path}/_centroids").count()
     report = {
         "rebuilt": False,
+        "recovered": recovered,
         "imbalance_ratio": round(ratio, 3),
         "n_cells": n_cells or cur_cells,
         "n_vectors": int(stats["total"]),
@@ -1459,6 +1465,53 @@ def ivf_maintain(
     _publish_rebuild(spark, index_path, staging, retired)
     report["rebuilt"] = True
     return report
+
+
+def _recover_rebuild(
+    spark: SparkSession,
+    index_path: str,
+    required_subdirs: tuple[str, ...] = ("_centroids",),
+) -> str | None:
+    """Heal an interrupted :func:`_publish_rebuild` (ADVICE r7): a
+    crash between the two renames leaves the index ONLY under
+    ``._rebuilding`` / ``._preindex``, and the next maintain/query call
+    would fail on a missing path. Same discipline as
+    ``operators/layout.py recover_compaction``: promote the staged
+    rebuild if it is complete (root ``_SUCCESS`` plus every required
+    sidecar dir's ``_SUCCESS`` — data is written before sidecars, so a
+    partial build cannot pass), else restore the retired index; with a
+    live index, leftovers are just cleaned. Returns the action taken
+    (``"promoted_rebuilding"`` / ``"restored_preindex"``) or None.
+    Runs at the top of :func:`ivf_maintain` / :func:`ivfpq_maintain`,
+    so the periodic maintenance call is also the repair hook."""
+    import os
+    import shutil
+
+    staging = index_path.rstrip("/") + "._rebuilding"
+    retired = index_path.rstrip("/") + "._preindex"
+    if os.path.isdir(index_path):
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(retired, ignore_errors=True)
+        return None
+
+    def complete(path: str) -> bool:
+        marks = [os.path.join(path, "_SUCCESS")] + [
+            os.path.join(path, d, "_SUCCESS") for d in required_subdirs
+        ]
+        return all(os.path.exists(m) for m in marks)
+
+    if os.path.isdir(staging) and complete(staging):
+        os.rename(staging, index_path)
+        shutil.rmtree(retired, ignore_errors=True)
+        spark.catalog.refreshByPath(index_path)
+        spark.catalog.refreshByPath(staging)
+        return "promoted_rebuilding"
+    if os.path.isdir(retired):
+        shutil.rmtree(staging, ignore_errors=True)
+        os.rename(retired, index_path)
+        spark.catalog.refreshByPath(index_path)
+        return "restored_preindex"
+    return None
 
 
 def _publish_rebuild(
@@ -1515,6 +1568,16 @@ def _centroids_to_expr(centroids: list[list[float]]) -> Column:
 def _normalized(vec_col: str) -> Column:
     v = as_double(F.col(vec_col))
     return F.transform(v, lambda x: x / F.greatest(l2_norm(v), F.lit(1e-12)))
+
+
+def _probe_normalized() -> Column:
+    """The probe_row ``_pv`` column L2-normalized — the space IVF-PQ
+    coarse centroids are fit in. Used wherever cells are ranked for a
+    probe, matching `_ivfpq_adc_shortlist_df`'s ``pvn``."""
+    return F.transform(
+        F.col("_pv"),
+        lambda x: x / F.greatest(l2_norm(F.col("_pv")), F.lit(1e-12)),
+    )
 
 
 def ivfpq_build_index(
@@ -1759,8 +1822,16 @@ def ivfpq_query_index_df(
         [(r["cell"], [float(x) for x in r["centroid"]]) for r in cents_rows],
         "cell int, centroid array<double>",
     )
+    # Rank cells against the NORMALIZED probe (ADVICE r7): the coarse
+    # centroids were fit on L2-normalized vectors and the ADC stage
+    # normalizes the probe, so an un-normalized probe here could pick
+    # different n_probe cells than the space the index lives in —
+    # silently degrading recall in a way the exact re-rank cannot
+    # repair (it only sees the probed cells' shortlist).
     d2 = F.aggregate(
-        F.zip_with(F.col("centroid"), F.col("_pv"), lambda a, b: (a - b) * (a - b)),
+        F.zip_with(
+            F.col("centroid"), _probe_normalized(), lambda a, b: (a - b) * (a - b)
+        ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -1843,8 +1914,12 @@ def ivfpq_topk_df(
     cdf = spark.createDataFrame(
         [(i, c) for i, c in enumerate(cents)], "pcell int, centroid array<double>"
     )
+    # normalized-probe cell ranking — same ADVICE r7 fix as
+    # ivfpq_query_index_df (centroids live in the normalized space)
     d2 = F.aggregate(
-        F.zip_with(F.col("centroid"), F.col("_pv"), lambda a, b: (a - b) * (a - b)),
+        F.zip_with(
+            F.col("centroid"), _probe_normalized(), lambda a, b: (a - b) * (a - b)
+        ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -1892,6 +1967,9 @@ def ivfpq_maintain(
     """
     import shutil
 
+    recovered = _recover_rebuild(
+        spark, index_path, required_subdirs=("_centroids", "_codebooks")
+    )
     stats = (
         spark.read.parquet(index_path)
         .groupBy("cell")
@@ -1909,6 +1987,7 @@ def ivfpq_maintain(
     m, k, _sub = books.shape
     report = {
         "rebuilt": False,
+        "recovered": recovered,
         "imbalance_ratio": round(ratio, 3),
         "n_cells": n_cells or cur_cells,
         "n_vectors": int(stats["total"]),

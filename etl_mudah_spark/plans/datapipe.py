@@ -311,6 +311,96 @@ def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_prefix_jaccard",
+    oracle=rf"""
+    WITH words AS (
+        SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+    ), shingles AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+        FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+        WHERE len(w) >= 3
+    ), counts AS (
+        SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        FROM shingles a
+        JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           common * 1.0 / (na.n + nb.n - common) AS jaccard
+    FROM inter
+    JOIN counts na ON na.doc_id = doc_a
+    JOIN counts nb ON nb.doc_id = doc_b
+    WHERE common * 1.0 / (na.n + nb.n - common) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+    doc=(
+        "EXACT 3-gram Jaccard pairs (threshold 0.5) via prefix "
+        "filtering — the oracle is the UNCAPPED all-shared-shingle "
+        "join, so a single lost or phantom pair hash-mismatches."
+    ),
+)
+def doc_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered set-similarity self-join
+    (operators/dedup.py prefix_filtered_jaccard): candidates come only
+    from each doc's rarest ``n − ceil(t·n) + 1`` shingles under one
+    global (df, shingle) order — lossless for Jaccard ≥ t, so unlike
+    doc_ngram_jaccard's df-capped index the result is EXACT and the
+    oracle is the uncapped join. The scale path when recall must be 1:
+    boilerplate (high-df) shingles never enter the candidate join by
+    construction rather than by a lossy cap."""
+    return dd.prefix_filtered_jaccard(
+        load(spark, sf_dir, "documents"), shingle_n=3, threshold=0.5
+    ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "doc_weighted_sample",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source, n_chars,
+               ln(((doc_id * {smp.LCG_A} + {smp.LCG_C}) % {smp.LCG_M} + 1)
+                  / {float(smp.LCG_M + 1)!r}) / n_chars AS sample_key
+        FROM documents
+    ), top AS (
+        SELECT * FROM scored ORDER BY sample_key DESC, doc_id LIMIT 50
+    )
+    SELECT doc_id, source, n_chars, ROUND(sample_key * 1e6, 4) AS key_ppm
+    FROM top ORDER BY doc_id
+    """,
+    doc=(
+        "Derandomized Efraimidis–Spirakis weighted sampling (weight = "
+        "n_chars, LCG uniform): exact 50-doc sample, reproducible in "
+        "plain SQL arithmetic."
+    ),
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """50 documents sampled WITHOUT replacement with inclusion
+    probability ∝ length (operators/sampling.py weighted_sample_topn —
+    A-ES order sampling with the uniform draw derandomized through an
+    LCG of doc_id, so the oracle reproduces the draw in plain bigint
+    arithmetic). The length-biased acquisition sample every
+    training-data pipeline wants for eyeballing long-document quality.
+    Map-only scoring + TakeOrdered; ``key_ppm`` (score × 1e6, 4 dp)
+    rides along so the hash also pins the scores, not just membership.
+    """
+    docs = load(spark, sf_dir, "documents")
+    top = smp.weighted_sample_topn(
+        docs.select("doc_id", "source", "n_chars"),
+        key_col="doc_id",
+        weight=F.col("n_chars"),
+        n=50,
+    )
+    return top.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(F.col("sample_key") * 1e6, 4).alias("key_ppm"),
+    ).orderBy("doc_id")
+
+
+@register(
     "doc_minhash_near_dup",
     oracle=f"""
     WITH {_jaccard_pairs_ctes(0.2)}

@@ -114,13 +114,23 @@ def jdbc_write(
     )
 
 
-def _execute(spark: SparkSession, url: str, sql: str) -> None:
+def _execute(
+    spark: SparkSession,
+    url: str,
+    sql: str,
+    properties: Mapping[str, str] | None = None,
+) -> None:
     """Run one server-side statement over a driver JDBC connection
     (py4j → java.sql.DriverManager). Used ONLY for DDL/MERGE control
     statements — never for data movement, which stays on the batched
-    executor path."""
+    executor path. ``properties`` (user/password/driver options — the
+    same mapping jdbc_write honors) is forwarded so the control
+    connection authenticates exactly like the staging write did."""
     jvm = spark._sc._jvm
-    conn = jvm.java.sql.DriverManager.getConnection(url)
+    props = jvm.java.util.Properties()
+    for k, v in (properties or {}).items():
+        props.setProperty(str(k), str(v))
+    conn = jvm.java.sql.DriverManager.getConnection(url, props)
     try:
         stmt = conn.createStatement()
         try:
@@ -170,5 +180,5 @@ def jdbc_upsert(
         + (f"WHEN MATCHED THEN UPDATE SET {set_clause} " if non_keys else "")
         + f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
     )
-    _execute(spark, url, merge)
-    _execute(spark, url, f"DROP TABLE {stage}")
+    _execute(spark, url, merge, properties=properties)
+    _execute(spark, url, f"DROP TABLE {stage}", properties=properties)

@@ -119,3 +119,11 @@ def test_bpe_encode_exact_sequence_on_fixture():
     assert ids("scan") == [B + 13]              # scan</w>, rank 12
     assert ids("data") == [ord("d"), ord("a"), B + 2, B]  # d a ta </w>
     assert ids("zz") == [ord("z"), ord("z"), B]  # pure fallback
+    # ADVICE r7: the id spaces must be disjoint for EVERY codepoint —
+    # planes 15-16 (incl. private use) sit above the old 1_000_000
+    # base. With SPECIAL_BASE = 0x110000, a plane-16 char keeps its
+    # codepoint id and cannot alias </w> or any merged symbol.
+    assert B > 0x10FFFF
+    hi = "\U0010fffd"
+    assert ids(hi) == [0x10FFFD, B]
+    assert 0x10FFFD not in set(vocab.values())

@@ -84,3 +84,38 @@ def test_jdbc_upsert_merges_and_inserts(spark, url):
         spark, url, "LISTINGS", partition_column="id", num_partitions=2
     )
     assert again.count() == 4
+
+
+def test_jdbc_upsert_honors_connection_properties(spark, url):
+    """ADVICE r7: the MERGE/DROP control connection must forward the
+    ``properties`` mapping, not just the staging write. Discriminating
+    setup: Derby's ``user`` connection attribute selects the default
+    schema, so the staging table lands in schema ALT — a control
+    connection that drops the properties connects as APP and cannot
+    resolve ALT's tables, so the merge fails. With forwarding, the
+    whole upsert resolves in one schema."""
+    props = {"user": "ALT"}
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)],
+        "id bigint, tag string, price double",
+    )
+    jdbc_write(base, url, "LISTINGS", properties=props)
+    batch = spark.createDataFrame(
+        [(2, "b2", 25.0), (3, "c", 30.0)],
+        "id bigint, tag string, price double",
+    )
+    jdbc_upsert(
+        spark, batch, url, "LISTINGS", key_cols=["id"], properties=props
+    )
+    got = {
+        r["id"]: (r["tag"], r["price"])
+        for r in jdbc_read_partitioned(
+            spark,
+            url,
+            "LISTINGS",
+            partition_column="id",
+            num_partitions=2,
+            properties=props,
+        ).collect()
+    }
+    assert got == {1: ("a", 10.0), 2: ("b2", 25.0), 3: ("c", 30.0)}

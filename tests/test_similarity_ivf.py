@@ -207,3 +207,48 @@ def test_ivf_maintain_rebuilds_exactly_once_on_drift(spark, tmp_path):
     assert r2["rebuilt"] is False
     assert not os.path.exists(index + "._rebuilding")
     assert not os.path.exists(index + "._preindex")
+
+
+def test_ivf_maintain_recovers_interrupted_publish(spark, tmp_path):
+    """ADVICE r7: a crash between _publish_rebuild's two renames
+    leaves the index only under ._preindex (+ a complete ._rebuilding)
+    — the next maintain call must heal the path instead of failing on
+    a missing parquet dir. Three windows: (a) mid-swap with a complete
+    staging -> promote it; (b) mid-swap with an INCOMPLETE staging ->
+    restore the retired copy; (c) live index with stale leftovers ->
+    clean them, no-op otherwise."""
+    import os
+    import shutil
+
+    from etl_mudah_spark.operators.similarity import ivf_maintain
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    index = str(tmp_path / "ivf_r")
+    ivf_build_index(emb, index, n_cells=8)
+    n = emb.count()
+
+    # (a) complete staged rebuild, index renamed away mid-swap
+    shutil.copytree(index, index + "._rebuilding")
+    os.rename(index, index + "._preindex")
+    r = ivf_maintain(spark, index, max_imbalance=50.0)
+    assert r["recovered"] == "promoted_rebuilding"
+    assert spark.read.parquet(index).count() == n
+    assert not os.path.exists(index + "._rebuilding")
+    assert not os.path.exists(index + "._preindex")
+
+    # (b) incomplete staging (no root _SUCCESS): fall back to retired
+    shutil.copytree(index, index + "._rebuilding")
+    os.remove(index + "._rebuilding/_SUCCESS")
+    os.rename(index, index + "._preindex")
+    r = ivf_maintain(spark, index, max_imbalance=50.0)
+    assert r["recovered"] == "restored_preindex"
+    assert spark.read.parquet(index).count() == n
+    assert not os.path.exists(index + "._rebuilding")
+    assert not os.path.exists(index + "._preindex")
+
+    # (c) live index + leftovers from a crash after publish
+    os.makedirs(index + "._preindex")
+    r = ivf_maintain(spark, index, max_imbalance=50.0)
+    assert r["recovered"] is None and r["rebuilt"] is False
+    assert not os.path.exists(index + "._preindex")
+    assert spark.read.parquet(index).count() == n

@@ -194,3 +194,44 @@ def test_ivfpq_maintain_rebuilds_exactly_once_on_drift(spark, emb, tmp_path):
     assert r2["imbalance_ratio"] <= r1["imbalance_ratio"]
     assert not os.path.exists(path + "._rebuilding")
     assert not os.path.exists(path + "._preindex")
+
+
+def test_ivfpq_cell_ranking_scale_invariant(spark, emb, index):
+    """ADVICE r7: coarse cells are ranked for the probe in the SAME
+    normalized space the centroids were fit in, so scaling the probe
+    vector (cosine-irrelevant) must not change which cells are probed
+    or the final top-k."""
+    probe = sim.probe_row(emb)
+    big = probe.select(F.transform("_pv", lambda x: x * 50.0).alias("_pv"))
+    base = sim.ivfpq_query_index_df(
+        spark, emb, index, probe, k=10, n_probe=2, shortlist=100
+    )
+    scaled = sim.ivfpq_query_index_df(
+        spark, emb, index, big, k=10, n_probe=2, shortlist=100
+    )
+    assert [tuple(r) for r in base.collect()] == [
+        tuple(r) for r in scaled.collect()
+    ]
+
+
+def test_ivfpq_maintain_recovers_interrupted_publish(spark, emb, tmp_path):
+    # composite-layout twin of the ivf_maintain recovery pin: the
+    # _codebooks sidecar participates in the completeness check
+    import shutil
+
+    path = str(tmp_path / "index")
+    sim.ivfpq_build_index(emb, path, n_cells=8, m=8, k=16, sample_mod=1)
+    n = emb.count()
+    shutil.copytree(path, path + "._rebuilding")
+    os.rename(path, path + "._preindex")
+    r = sim.ivfpq_maintain(spark, path, emb, max_imbalance=50.0, sample_mod=1)
+    assert r["recovered"] == "promoted_rebuilding"
+    assert spark.read.parquet(path).count() == n
+    # incomplete sidecar: missing _codebooks/_SUCCESS fails the
+    # completeness check and the retired index is restored
+    shutil.copytree(path, path + "._rebuilding")
+    os.remove(path + "._rebuilding/_codebooks/_SUCCESS")
+    os.rename(path, path + "._preindex")
+    r = sim.ivfpq_maintain(spark, path, emb, max_imbalance=50.0, sample_mod=1)
+    assert r["recovered"] == "restored_preindex"
+    assert spark.read.parquet(path).count() == n
