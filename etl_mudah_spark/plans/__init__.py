@@ -10,17 +10,16 @@ Importing this package registers every declared query into
 #
 # Rotation history: r5 flipped the 12 invariant-shape conversions + 34
 # oldest r2/r3 rows (CORRECTNESS_r05 50/50); r6 completed the rotation
-# (50/50) so every then-registered query had a driver row. The round-7
-# window below continues it: the 30 names whose newest row is r4, the
-# 11 round-7 additions, and r5-checked fills. Round-8 should rotate to
-# the then-oldest r5 rows (the (c) fills swapped out this round —
-# customers_churned/retained/without_orders, brand_type_supplier_counts,
-# doc_chunks, doc_decontaminate_spans, doc_dup_clusters,
-# doc_minhash_incremental — plus the remaining r5 names) and any
-# round-8 additions. All registered queries are additionally
+# (50/50); r7 covered the 30 r4-checked names + the 11 r7 additions +
+# r5 fills (CORRECTNESS_r07 50/50). The round-8 window below finishes
+# the cycle: the 43 names whose newest driver row is r4/r5 plus the 7
+# round-8 additions — after this round every registered query's newest
+# driver row is r6+. Round-9 should rotate to the then-oldest r6 rows
+# (alphabetically-first of the 50 CORRECTNESS_r06 names) plus any
+# round-9 additions. All registered queries are additionally
 # sim-checked at sf0.01 AND sf0.1 every round regardless
-# (scripts/driver_sim.py; round-7 final: 144 registered, 144 with
-# oracles — zero rows-only — HASH-OK at sf0.01 and sf0.1).
+# (scripts/driver_sim.py; round-8 final: 151 registered, 151 with
+# oracles — zero rows-only).
 from etl_mudah_spark.plans import registry  # noqa: F401
 from etl_mudah_spark.plans import parity  # noqa: F401
 from etl_mudah_spark.plans import datapipe  # noqa: F401
@@ -33,68 +32,67 @@ from etl_mudah_spark.plans import temporal  # noqa: F401
 from etl_mudah_spark.plans import mlq  # noqa: F401
 
 _PRIORITY = [
-    # Round-7 window (exactly 50 names), executing the rotation planned
-    # in round 6 (plans/__init__.py r6 comment + VERDICT r6 item 3):
-    # (a) the 30 names whose newest driver row is round 4 — after this
-    # round no registered query's newest driver row is older than
-    # round 5; (b) the round-7 additions (exact BPE id sequences, BPE
-    # shard packing, IVF-PQ ANN, CDC snapshot diff, session-concurrency
-    # interval join); (c) alphabetically-first r5-checked names to fill
-    # to 50. All registered queries remain sim-checked at sf0.01 and
-    # sf0.1 every round regardless (scripts/driver_sim.py).
-    # --- (a) r4-checked names (last driver row: round 4) ---
-    "ann_bruteforce_topk",
-    "doc_chunk_dedup",
-    "doc_clean_pipeline",
-    "doc_decontaminate",
-    "doc_domain_mix",
-    "doc_exact_dedup",
-    "doc_fingerprint",
-    "doc_global_shuffle",
-    "doc_ngram_jaccard",
-    "doc_pii_scrub",
-    "doc_repetition_scores",
-    "doc_shard_pack",
-    "doc_train_split",
-    "emb_cosine_near_dup",
-    "emb_label_centroids",
-    "emb_norm_stats",
-    "events_anomaly",
-    "events_attribution",
-    "events_funnel",
-    "events_hourly",
-    "events_hourly_dense",
-    "events_json_stats",
-    "events_retention",
-    "events_sessionize",
-    "events_stream_dedup",
-    "events_stream_hourly",
-    "events_stream_sessions",
-    "orders_per_customer_dist",
-    "parts_pareto_80",
-    "waiting_sole_late_supplier",
-    # --- (b) new in round 7 ---
-    "doc_bpe_encode",
-    "doc_shard_pack_bpe",
-    "ann_ivfpq_topk",
-    "orders_version_diff",
-    "events_session_concurrency",
-    "orders_priority_agg_ivm",
-    "orders_quality_report",
-    "events_activity_islands",
-    "forecast_revenue_change",
-    "promotable_widget_suppliers",
-    "events_hourly_interpolated",
-    "orders_reject_profile",
-    "orders_customer_fk_audit",
-    # --- (c) r5-checked fill ---
-    "ann_ivf_topk",
-    "ann_pq_topk",
-    "ann_srp_topk",
-    "brand_quartiles",
-    "customer_balance_deciles",
-    "daily_revenue_moving_avg",
-    "disjunctive_join_revenue",
+    # Round-8 window (exactly 50 names), executing the rotation
+    # planned in the r7 comment above: (a) the 43 names whose newest
+    # driver row is round 5 or older -- after this round no
+    # registered query's newest driver row is older than round 6;
+    # (b) the 7 round-8 additions (prefix-filtered exact Jaccard,
+    # weighted sampling, bigram PMI, basket lift, daily EWMA, key-skew
+    # report, erasure-cascade audit). All registered queries remain
+    # sim-checked at sf0.01 and sf0.1 every round regardless
+    # (scripts/driver_sim.py).
+    # --- (a) names whose newest driver row is r4/r5 ---
+    "brand_type_supplier_counts",
+    "cheapest_supplier_per_part",
+    "customers_churned",
+    "customers_retained",
+    "customers_without_orders",
+    "doc_chunks",
+    "doc_decontaminate_spans",
+    "doc_dup_clusters",
+    "doc_minhash_incremental",
+    "doc_minhash_near_dup",
+    "doc_quality_model",
+    "doc_simhash_near_dup",
+    "emb_cosine_near_dup_lsh",
+    "events_asof_last_view",
+    "events_promo_range_join",
+    "events_stream_attribution",
+    "events_user_hll",
+    "events_value_quantiles",
+    "idle_rich_customers_by_nation",
+    "late_shipment_priority",
+    "lineitem_profile",
+    "lineitem_unpivot_metrics",
+    "nation_acctbal_concentration",
+    "nation_customer_stats",
+    "nation_market_share",
+    "orders_cube_status_priority",
+    "orders_pivot_status",
+    "part_name_fuzzy_pairs",
+    "price_bins",
+    "price_kde",
+    "price_model_r2",
+    "promo_revenue_by_month",
+    "qty_price_corr",
+    "rollup_region_nation",
+    "running_customer_revenue",
+    "salted_event_totals",
+    "share_above_avg",
+    "small_qty_part_revenue",
+    "state_market_stats",
+    "term_idf_top20",
+    "top_supplier_by_revenue",
+    "vocab_cms_topk",
+    "vocab_topk",
+    # --- (b) new in round 8 ---
+    "doc_prefix_jaccard",
+    "doc_weighted_sample",
+    "doc_bigram_pmi",
+    "part_basket_lift",
+    "events_daily_ewma",
+    "events_key_skew",
+    "customer_erasure_audit",
 ]
 
 

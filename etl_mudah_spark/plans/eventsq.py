@@ -960,3 +960,73 @@ def events_hourly_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
         interp.alias("value_interp"),
         v.isNull().alias("interpolated"),
     ).orderBy("hour_start")
+
+
+@register(
+    "events_key_skew",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
+    ), stats AS (
+        SELECT COUNT(*) AS n_keys,
+               CAST(SUM(c) AS BIGINT) AS total,
+               CAST(MAX(c) AS BIGINT) AS max_cnt
+        FROM counts
+    ), hot AS (
+        SELECT MIN(user_id) AS hot_key
+        FROM counts, stats WHERE c = max_cnt
+    )
+    SELECT n_keys, total, max_cnt, hot_key,
+           ROUND(total * 1.0 / n_keys, 4) AS avg_cnt,
+           ROUND(max_cnt * 1.0 * n_keys / total, 4) AS skew_ratio,
+           ROUND(100.0 * max_cnt / total, 4) AS top_share_pct
+    FROM stats, hot
+    """,
+    doc=(
+        "Partition-key skew report for events.user_id: key count, "
+        "hottest key, max/mean ratio, hottest key's share."
+    ),
+)
+def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The diagnostic that decides WHEN the salted path
+    (operators/skew.py, salted_event_totals) is worth its second
+    shuffle: one row of key-distribution facts for the natural shuffle
+    key. ``skew_ratio`` (hottest key's count over the mean) is the
+    same statistic ivf_maintain thresholds on for rebuilds — past ~4
+    the straggler task dominates stage wall-clock and salting/AQE skew
+    handling pays for itself.
+
+    Plan shape: one map-side-combined count shuffle on the key; the
+    three scalar stats fold from the (key-cardinality-sized) count
+    table; the hottest-key lookup re-filters that same table against
+    the 1-row broadcast stats (deterministic min-key tie-break) — no
+    driver collect, no second scan of the raw table.
+    """
+    counts = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("c"))
+    )
+    stats = counts.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("c").alias("total"),
+        F.max("c").alias("max_cnt"),
+    )
+    hot = (
+        counts.crossJoin(F.broadcast(stats.select("max_cnt")))
+        .where(F.col("c") == F.col("max_cnt"))
+        .agg(F.min("user_id").alias("hot_key"))
+    )
+    return stats.crossJoin(F.broadcast(hot)).select(
+        "n_keys",
+        "total",
+        "max_cnt",
+        "hot_key",
+        F.round(F.col("total") * 1.0 / F.col("n_keys"), 4).alias("avg_cnt"),
+        F.round(F.col("max_cnt") * 1.0 * F.col("n_keys") / F.col("total"), 4).alias(
+            "skew_ratio"
+        ),
+        F.round(100.0 * F.col("max_cnt") / F.col("total"), 4).alias(
+            "top_share_pct"
+        ),
+    )

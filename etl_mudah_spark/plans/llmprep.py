@@ -1089,3 +1089,113 @@ def doc_shard_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "shard_id")
     )
+
+
+@register(
+    "doc_bigram_pmi",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(list_transform({_WORDS_SQL}, x -> lower(x)),
+                           x -> x <> '') AS ws
+        FROM documents
+    ), uni AS (
+        SELECT unnest(ws) AS t FROM w
+    ), cu AS (
+        SELECT t, COUNT(*) AS c FROM uni GROUP BY t
+    ), bg AS (
+        SELECT ws[i] AS a, ws[i+1] AS b
+        FROM w, UNNEST(range(1, len(ws))) AS r(i)
+        WHERE len(ws) >= 2
+    ), cb AS (
+        SELECT a, b, COUNT(*) AS pair_count FROM bg GROUP BY a, b
+    ), tot AS (
+        SELECT (SELECT COUNT(*) FROM uni) AS u,
+               (SELECT COUNT(*) FROM bg) AS bt
+    )
+    SELECT a, b, pair_count,
+           ROUND(ln(pair_count * 1.0 * u * u / (bt * ca.c * cbb.c)), 6)
+               AS pmi
+    FROM cb, tot
+    JOIN cu ca ON ca.t = a
+    JOIN cu cbb ON cbb.t = b
+    WHERE pair_count >= 5
+    ORDER BY pmi DESC, a, b
+    LIMIT 20
+    """,
+    doc=(
+        "Top-20 bigram collocations by pointwise mutual information "
+        "(lowercased whitespace tokens, min pair count 5)."
+    ),
+)
+def doc_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: PMI = ln(p(ab) / (p(a)·p(b))) with p(ab)
+    over adjacent-pair occurrences and p(·) over unigram occurrences —
+    the standard corpus-linguistics ranking of phrases that co-occur
+    far above chance (multi-word entities, templated boilerplate), a
+    routine pre-tokenizer diagnostic for training corpora.
+
+    Plan shape: ONE scan feeds both the unigram explode and the
+    positional-pair explode (adjacent pairs via an index transform
+    over the split array, bound once per row — the word_ngrams
+    evaluation discipline); each side is a map-side-combined count
+    shuffle keyed by word/pair; the two grand totals fold in as a
+    1-row broadcast crossJoin, and the per-word counts join back onto
+    the (vocabulary-sized, corpus-independent) pair-count table keyed
+    by word. Nothing driver-side, nothing quadratic; min-count 5
+    prunes the hapax tail before the joins. Ranking orders by the
+    ROUNDED pmi (6 dp) so the limit cut is stable across engines'
+    last-ulp log differences.
+    """
+    docs = load(spark, sf_dir, "documents")
+    wl = F.filter(
+        F.transform(tx.words("text"), lambda x: F.lower(x)),
+        lambda x: x != F.lit(""),
+    )
+
+    def pairs(wb):
+        idx = F.sequence(F.lit(1), F.size(wb) - 1)
+        return F.when(
+            F.size(wb) >= 2,
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(wb, i).alias("a"),
+                    F.element_at(wb, i + 1).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+
+    base = docs.select(
+        wl.alias("ws"),
+        F.element_at(F.transform(F.array(wl), pairs), 1).alias("bgs"),
+    )
+    uni = base.select(F.explode("ws").alias("t"))
+    cu = uni.groupBy("t").agg(F.count("*").alias("c"))
+    bg = base.select(F.explode("bgs").alias("p")).select("p.a", "p.b")
+    cb = (
+        bg.groupBy("a", "b")
+        .agg(F.count("*").alias("pair_count"))
+        .where(F.col("pair_count") >= 5)
+    )
+    tot = uni.agg(F.count("*").alias("u")).crossJoin(
+        bg.agg(F.count("*").alias("bt"))
+    )
+    pmi = F.round(
+        F.log(
+            F.col("pair_count")
+            * 1.0
+            * F.col("u")
+            * F.col("u")
+            / (F.col("bt") * F.col("ca_c") * F.col("cb_c"))
+        ),
+        6,
+    )
+    return (
+        cb.crossJoin(F.broadcast(tot))
+        .join(cu.select(F.col("t").alias("a"), F.col("c").alias("ca_c")), "a")
+        .join(cu.select(F.col("t").alias("b"), F.col("c").alias("cb_c")), "b")
+        .select("a", "b", "pair_count", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "a", "b")
+        .limit(20)
+    )

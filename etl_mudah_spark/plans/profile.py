@@ -453,3 +453,84 @@ def orders_customer_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     customer = load(spark, sf_dir, "customer")
     return fk_check_report(child, ["o_custkey"], customer, ["c_custkey"])
+
+
+@register(
+    "customer_erasure_audit",
+    oracle="""
+    WITH erased AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+    ), eo AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM erased)
+    )
+    SELECT 'customer' AS table_name,
+           (SELECT COUNT(*) FROM erased) AS n_purged,
+           (SELECT COUNT(*) FROM customer)
+               - (SELECT COUNT(*) FROM erased) AS n_retained
+    UNION ALL
+    SELECT 'orders',
+           (SELECT COUNT(*) FROM eo),
+           (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM eo)
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM eo)),
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM eo))
+    ORDER BY table_name
+    """,
+    doc=(
+        "Right-to-erasure cascade audit: per-table purge/retain "
+        "counts for a deterministic customer cohort, FK-transitively "
+        "through orders into lineitem."
+    ),
+)
+def customer_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GDPR/CCPA deletion dry-run every governed warehouse needs:
+    given an erasure cohort (here the deterministic c_custkey % 97
+    cohort standing in for a request list), report exactly how many
+    rows each table would purge and retain, following the FK chain
+    customer → orders → lineitem. The companion to
+    orders_customer_fk_audit: that one proves referential integrity,
+    this one sizes a cascade before anyone runs it.
+
+    Plan shape at 100 TB: the cohort filter is map-only on customer;
+    orders tags membership with ONE semi-join shuffle on custkey and
+    feeds a conditional aggregate (purge and retain counted in the
+    same pass — no second scan, no NOT-IN anti join: the erased-side
+    count and its complement come from one boolean); lineitem does the
+    same keyed by orderkey against the (erasure-proportional) purged
+    order keys. Three tables, three keyed exchanges, zero driver-side
+    state; output is 3 rows.
+    """
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    erased = cust.where(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    c_row = cust.agg(
+        F.lit("customer").alias("table_name"),
+        F.sum((F.col("c_custkey") % 97 == 0).cast("bigint")).alias("n_purged"),
+        F.sum((F.col("c_custkey") % 97 != 0).cast("bigint")).alias("n_retained"),
+    )
+    o_tag = orders.join(
+        erased.withColumnRenamed("c_custkey", "o_custkey").withColumn(
+            "_erase", F.lit(True)
+        ),
+        "o_custkey",
+        "left",
+    )
+    o_row = o_tag.agg(
+        F.lit("orders").alias("table_name"),
+        F.sum(F.col("_erase").isNotNull().cast("bigint")).alias("n_purged"),
+        F.sum(F.col("_erase").isNull().cast("bigint")).alias("n_retained"),
+    )
+    eo = o_tag.where(F.col("_erase")).select(
+        F.col("o_orderkey").alias("l_orderkey"), F.lit(True).alias("_erase")
+    )
+    l_row = li.join(eo, "l_orderkey", "left").agg(
+        F.lit("lineitem").alias("table_name"),
+        F.sum(F.col("_erase").isNotNull().cast("bigint")).alias("n_purged"),
+        F.sum(F.col("_erase").isNull().cast("bigint")).alias("n_retained"),
+    )
+    return c_row.unionByName(o_row).unionByName(l_row).orderBy("table_name")

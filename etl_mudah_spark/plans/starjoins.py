@@ -1186,3 +1186,97 @@ def promotable_widget_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
+
+
+@register(
+    "part_basket_lift",
+    oracle="""
+    WITH ob AS (
+        SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ), n AS (
+        SELECT COUNT(DISTINCT okey) AS n_orders FROM ob
+    ), cb AS (
+        SELECT brand, COUNT(*) AS c FROM ob GROUP BY brand
+    ), pairs AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS support
+        FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+        GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, support,
+           ROUND(support * 1.0 * n_orders / (ca.c * cbb.c), 6) AS lift
+    FROM pairs, n
+    JOIN cb ca ON ca.brand = brand_a
+    JOIN cb cbb ON cbb.brand = brand_b
+    WHERE support * 1.0 / n_orders >= 0.0005
+    ORDER BY lift DESC, brand_a, brand_b
+    LIMIT 20
+    """,
+    doc=(
+        "Market-basket association over co-ordered part brands: "
+        "support + lift, top-20 pairs by lift (min relative support "
+        "0.05%)."
+    ),
+)
+def part_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand co-occurrence mining (the retail 'bought together'
+    query): per-order distinct brand sets, pair support via a
+    self-join on the order key, lift = P(a,b) / (P(a)·P(b)) over order
+    probabilities. Minimum support is RELATIVE (0.05% of orders) so
+    the same query is meaningful at every sf.
+
+    Scale shape: the lineitem⨝part brand lookup shuffles on partkey
+    once, then every stage is keyed — distinct on (order, brand) and
+    the pair self-join both shuffle on the order key (per-order basket
+    size is bounded — TPC-H ≤ 7 items — so the within-key pair blowup
+    is a constant factor, the property that makes order-keyed basket
+    joins safe at any corpus size, unlike user- or session-keyed
+    ones); brand marginals are a dimension-bounded table that
+    broadcasts onto the pair counts; the order total is a 1-row
+    broadcast. Ranking orders by ROUNDED lift (6 dp) so the limit cut
+    is stable across engines.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n = ob.agg(F.countDistinct("okey").alias("n_orders"))
+    cb = ob.groupBy("brand").agg(F.count("*").alias("c"))
+    a, b = ob.alias("a"), ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+        )
+        .agg(F.count("*").alias("support"))
+    )
+    lift = F.round(
+        F.col("support") * 1.0 * F.col("n_orders") / (F.col("ca_c") * F.col("cb_c")),
+        6,
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n))
+        .where(F.col("support") * 1.0 / F.col("n_orders") >= 0.0005)
+        .join(
+            F.broadcast(
+                cb.select(F.col("brand").alias("brand_a"), F.col("c").alias("ca_c"))
+            ),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(
+                cb.select(F.col("brand").alias("brand_b"), F.col("c").alias("cb_c"))
+            ),
+            "brand_b",
+        )
+        .select("brand_a", "brand_b", "support", lift.alias("lift"))
+        .orderBy(F.desc("lift"), "brand_a", "brand_b")
+        .limit(20)
+    )

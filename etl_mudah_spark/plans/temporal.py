@@ -517,3 +517,79 @@ def orders_priority_agg_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         F.col("total_dec").cast("double").alias("total_price"),
     ).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing of the daily event series. The recursive definition
+# s_t = α·x_t + (1−α)·s_{t−1} is a sequential scan — the wrong shape
+# for a distributed engine — so we use the 30-term truncated closed
+# form: s_t ≈ Σ_{j=0..29} α(1−α)^j · x_{t−j} (the tail beyond 30 days
+# weighs (1−α)^30 ≈ 2e−5 — below the 4-dp output rounding). Weights
+# are computed ONCE in Python and embedded as identical double
+# literals in BOTH the Spark plan and the oracle SQL, so engine libm
+# pow() differences can't leak into the comparison.
+# ---------------------------------------------------------------------------
+EWMA_ALPHA = 0.3
+EWMA_SPAN = 30
+_EWMA_W = [EWMA_ALPHA * (1 - EWMA_ALPHA) ** j for j in range(EWMA_SPAN)]
+_EWMA_W_SQL = ", ".join(
+    f"({j}, CAST({x!r} AS DOUBLE))" for j, x in enumerate(_EWMA_W)
+)
+_EWMA_W_ARR = "array(" + ", ".join(f"{x!r}D" for x in _EWMA_W) + ")"
+
+
+@register(
+    "events_daily_ewma",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS d, COUNT(*) AS n_events
+        FROM events GROUP BY 1
+    ), wt(j, w) AS (VALUES {_EWMA_W_SQL}),
+    contrib AS (
+        SELECT daily.d + to_days(j) AS d, n_events * w AS x
+        FROM daily, wt
+    ), sm AS (
+        SELECT d, SUM(x) AS s FROM contrib GROUP BY d
+    )
+    SELECT daily.d, daily.n_events, ROUND(sm.s, 4) AS ewma30
+    FROM daily JOIN sm USING (d)
+    ORDER BY d
+    """,
+    doc=(
+        "30-term truncated EWMA (alpha 0.3) of the daily event count "
+        "series, shared-literal weights on both sides."
+    ),
+)
+def events_daily_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted daily event volume — the trend line a
+    monitoring pipeline overlays on raw counts. Distribution strategy:
+    instead of a sequential recurrence or a per-row 30-day lookback
+    join, each observed day SCATTERS its 30 weighted future
+    contributions (explode of a 30-element literal zip — map-side,
+    30× a daily-aggregate-sized relation, i.e. tiny) and a groupBy on
+    the target day gathers them — one keyed shuffle, no window over an
+    unpartitioned series, no range join. Days missing from the series
+    contribute nothing (gap days are skipped, not zero-filled), and
+    only observed days are emitted — both sides implement the same
+    convention by construction.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    warr = F.expr(_EWMA_W_ARR)
+    contrib = daily.select(
+        F.explode(F.sequence(F.lit(0), F.lit(EWMA_SPAN - 1))).alias("j"),
+        "d",
+        "n_events",
+    ).select(
+        F.expr("timestampadd(DAY, j, d)").alias("d"),
+        (F.col("n_events") * F.element_at(warr, F.col("j") + 1)).alias("x"),
+    )
+    sm = contrib.groupBy("d").agg(F.sum("x").alias("s"))
+    return (
+        daily.join(sm, "d")
+        .select("d", "n_events", F.round("s", 4).alias("ewma30"))
+        .orderBy("d")
+    )

@@ -227,3 +227,53 @@ def test_repeated_spans_degenerate_inputs(spark):
         "doc_id bigint, text string",
     )
     assert repeated_ngram_spans(short, n=13).count() == 0
+
+
+def test_prefix_filtered_jaccard_matches_exact(spark):
+    """Lossless prefix filter: every pair the uncapped inverted-index
+    join finds at t, the prefix-filtered join finds too — identical
+    (doc_a, doc_b, jaccard) sets, on the tiny corpus AND on a
+    boilerplate-heavy one where every doc shares a hot template
+    sentence (the case the prefix is designed to never index)."""
+    from etl_mudah_spark.operators.dedup import prefix_filtered_jaccard
+
+    for threshold in (0.3, 0.5, 0.8):
+        docs = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+        exact = {
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+            for r in ngram_jaccard_pairs(docs, threshold=threshold).collect()
+        }
+        got = {
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+            for r in prefix_filtered_jaccard(docs, threshold=threshold).collect()
+        }
+        assert got == exact, threshold
+
+    boiler = "this listing was posted by an authorized dealer call now "
+    rows = [
+        (i, boiler + f"unique tail {i} with different content token{i} x{i}")
+        for i in range(20)
+    ] + [(100, boiler + "unique tail 3 with different content token3 x3")]
+    bdocs = spark.createDataFrame(rows, ["doc_id", "text"])
+    from etl_mudah_spark.operators.dedup import prefix_filtered_jaccard
+
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(bdocs, threshold=0.9).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in prefix_filtered_jaccard(bdocs, threshold=0.9).collect()
+    }
+    assert got == exact == {(3, 100)}
+
+
+def test_prefix_filtered_jaccard_short_docs(spark):
+    # docs under shingle_n words have empty shingle sets: no pairs,
+    # no crash (the n_sh >= 1 population is what the window sees)
+    from etl_mudah_spark.operators.dedup import prefix_filtered_jaccard
+
+    docs = spark.createDataFrame(
+        [(0, "one two"), (1, "one two"), (2, "")], ["doc_id", "text"]
+    )
+    assert prefix_filtered_jaccard(docs, threshold=0.5).count() == 0

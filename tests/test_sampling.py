@@ -162,3 +162,47 @@ def test_token_budget_mix_degenerate_inputs(spark):
     zero = spark.createDataFrame([(1, "a", 0)], schema)
     out = token_budget_mix(zero, "doc_id", "source", "n_tok", F.lit(10)).collect()
     assert len(out) == 1 and out[0]["_kept"] is True
+
+
+def test_weighted_sample_topn_matches_python_oracle(spark):
+    """A-ES with the LCG derandomization is exactly reproducible in
+    plain Python: same keys, same top-n, same order."""
+    import math
+
+    from etl_mudah_spark.operators.sampling import (
+        LCG_A,
+        LCG_C,
+        LCG_M,
+        weighted_sample_topn,
+    )
+
+    rows = [(i, float(1 + (i * 7) % 50)) for i in range(200)]
+    df = spark.createDataFrame(rows, "k bigint, w double")
+
+    def key(i, w):
+        u = ((i * LCG_A + LCG_C) % LCG_M + 1) / (LCG_M + 1)
+        return math.log(u) / w
+
+    expected = sorted(rows, key=lambda r: (-key(*r), r[0]))[:25]
+    got = weighted_sample_topn(df, "k", F.col("w"), 25).collect()
+    assert [(r["k"], r["w"]) for r in got] == expected
+    # reproducible: a second run returns the identical sample
+    again = weighted_sample_topn(df, "k", F.col("w"), 25).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in got]
+
+
+def test_weighted_sample_topn_weight_monotonicity(spark):
+    """Inclusion tracks weight: a row with overwhelming weight is
+    always sampled; with uniform weights the sample is the plain
+    LCG-order top-n (weight cancels)."""
+    from etl_mudah_spark.operators.sampling import weighted_sample_topn
+
+    rows = [(i, 1.0 if i != 42 else 1e9) for i in range(100)]
+    df = spark.createDataFrame(rows, "k bigint, w double")
+    got = {r["k"] for r in weighted_sample_topn(df, "k", F.col("w"), 10).collect()}
+    assert 42 in got
+
+    uni = spark.createDataFrame([(i, 3.0) for i in range(100)], "k bigint, w double")
+    a = [r["k"] for r in weighted_sample_topn(uni, "k", F.lit(3.0), 10).collect()]
+    b = [r["k"] for r in weighted_sample_topn(uni, "k", F.lit(7.0), 10).collect()]
+    assert a == b  # constant weights cancel out of the ranking

@@ -73,6 +73,9 @@ _BNLJ_ALLOWED = {
     "parts_pareto_80",
     "orders_quality_report",  # 1-row excess-count × 1-row total broadcast crossJoin
     "orders_customer_fk_audit",  # same 1-row violations × 1-row total crossJoin
+    "doc_bigram_pmi",  # 1-row (U, B) grand-total broadcast onto the pair counts
+    "part_basket_lift",  # 1-row order-total broadcast onto the pair counts
+    "events_key_skew",  # 1-row stats × 1-row hottest-key broadcast crossJoins
 }
 
 # Windows that legitimately run over ONE partition: their input is
