@@ -398,19 +398,26 @@ def prefix_filtered_jaccard(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
     )
-    sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    dfreq = shingled.groupBy("sh").agg(F.count("*").alias("_df"))
-    win = W.partitionBy(id_col).orderBy(F.asc("_df"), F.asc("sh"))
-    prefix = (
-        shingled.join(dfreq, "sh")
-        .join(sizes, id_col)
-        .withColumn("_rn", F.row_number().over(win))
-        .where(
-            F.col("_rn")
-            <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    # df and per-doc size as WINDOW counts, not groupBy+join chains:
+    # the shingle-partitioned count and the doc-partitioned
+    # (count, row_number) pair each ride one exchange, and the doc
+    # exchange is the SAME one the set-collection aggregate below
+    # reuses — three shuffles total where the join formulation paid
+    # five.
+    ranked = (
+        shingled.withColumn("_df", F.count("*").over(W.partitionBy("sh")))
+        .withColumn("_n_sh", F.count("*").over(W.partitionBy(id_col)))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy(id_col).orderBy(F.asc("_df"), F.asc("sh"))
+            ),
         )
-        .select(id_col, "sh")
     )
+    prefix = ranked.where(
+        F.col("_rn")
+        <= F.col("_n_sh") - F.ceil(F.lit(threshold) * F.col("_n_sh")) + 1
+    ).select(id_col, "sh")
     a = prefix.alias("a").hint("shuffle_hash")
     b = prefix.alias("b").hint("shuffle_hash")
     cand = (
@@ -425,7 +432,7 @@ def prefix_filtered_jaccard(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sets = shingled.groupBy(id_col).agg(
+    sets = ranked.groupBy(id_col).agg(
         F.sort_array(F.collect_set("sh")).alias("_shs")
     )
     sa = sets.select(F.col(id_col).alias("doc_a"), F.col("_shs").alias("_sha"))
