@@ -26,6 +26,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed_table(
@@ -80,6 +81,88 @@ def write_partitioned_table(
 
 def drop_table(spark: SparkSession, name: str) -> None:
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    sort_col: str,
+    n_files: int = 16,
+    zone_cols: Sequence[str] | None = None,
+) -> None:
+    """Write ``df`` range-clustered on ``sort_col`` into ``n_files``
+    files and persist a :func:`build_zone_map` sidecar. Range
+    clustering (repartitionByRange + sortWithinPartitions) gives each
+    file a narrow, nearly-disjoint [min, max] envelope on the sort
+    column — the property that makes the zone map selective."""
+    (
+        df.repartitionByRange(n_files, sort_col)
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    build_zone_map(df.sparkSession, path, list(zone_cols or [sort_col]))
+
+
+def build_zone_map(spark: SparkSession, path: str, cols: Sequence[str]) -> None:
+    """Persist per-FILE min/max zone maps for ``cols`` under
+    ``{path}/_zonemap`` (underscore dir: invisible to table scans,
+    same convention as the IVF ``_centroids`` sidecar).
+
+    Why this exists when parquet already has footer min/max: footer
+    stats skip ROW GROUPS inside a task, but Spark still lists,
+    plans, and SCHEDULES a task for every file — at 100 TB with
+    millions of files the scheduling and footer-read overhead is the
+    bottleneck the predicate never touches. A zone map is the
+    manifest-level answer (what Delta/Iceberg file stats do):
+    :func:`zone_pruned_read` consults this (file-count-sized) table
+    and hands Spark ONLY the overlapping files, so planning cost
+    scales with the matching fraction, not the table. One scan to
+    build (groupBy on ``_metadata.file_path``, map-side partials);
+    rebuild after appends/compaction — or extend incrementally, since
+    per-file rows are immutable once written.
+    """
+    df = spark.read.parquet(path)
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    zm = df.groupBy(
+        F.col("_metadata.file_path").alias("file")
+    ).agg(*aggs)
+    zm.coalesce(1).write.mode("overwrite").parquet(f"{path}/_zonemap")
+
+
+def zone_pruned_read(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo,
+    hi,
+) -> DataFrame:
+    """Read only the files whose ``[min_col, max_col]`` envelope
+    overlaps ``[lo, hi]``, then apply the exact predicate — identical
+    result to ``spark.read.parquet(path).where(col between lo and
+    hi)``, but non-overlapping files are never listed into the query
+    plan at all (driver-side file pruning, see :func:`build_zone_map`).
+
+    The zone-map consult is a bounded driver read (one row per file).
+    NULL envelopes (all-NULL file for ``col``) cannot overlap and are
+    pruned; rows with NULL ``col`` are excluded by the predicate
+    anyway, so pruning them is semantics-preserving.
+    """
+    zm = spark.read.parquet(f"{path}/_zonemap")
+    files = [
+        r["file"]
+        for r in zm.where(
+            (F.col(f"max_{col}") >= F.lit(lo)) & (F.col(f"min_{col}") <= F.lit(hi))
+        ).collect()
+    ]
+    pred = F.col(col).between(F.lit(lo), F.lit(hi))
+    if not files:
+        full = spark.read.parquet(path)
+        return full.where(F.lit(False) & pred)
+    return spark.read.parquet(*files).where(pred)
 
 
 def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 10):

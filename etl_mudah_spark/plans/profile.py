@@ -21,7 +21,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_mudah_spark.functions.core import oracle_dsum
+from etl_mudah_spark.functions.core import dsum, oracle_dsum
 from etl_mudah_spark.plans.registry import register
 from etl_mudah_spark.tables import load
 
@@ -534,3 +534,64 @@ def customer_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("_erase").isNull().cast("bigint")).alias("n_retained"),
     )
     return c_row.unionByName(o_row).unionByName(l_row).orderBy("table_name")
+
+
+@register(
+    "lineitem_zone_pruned_revenue",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS cnt,
+           {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1994-01-01' AND TIMESTAMP '1994-03-31'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc=(
+        "Quarterly revenue by return flag over a zone-map-pruned scan "
+        "(range-clustered files, driver-side file skipping) — result "
+        "identical to the plain filtered scan the oracle runs."
+    ),
+)
+def lineitem_zone_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data skipping above the file format (operators/layout.py
+    write_range_clustered / build_zone_map / zone_pruned_read): stage
+    lineitem range-clustered on l_shipdate, then answer a
+    one-quarter revenue query reading ONLY the files whose zone-map
+    envelope overlaps the quarter. Parquet footer min/max skips row
+    groups but still schedules a task per file; the zone map prunes
+    the FILE LIST on the driver — the Delta/Iceberg manifest-stats
+    pattern, which is what keeps planning cost proportional to the
+    matching fraction at 100 TB (tests/test_layout.py pins that the
+    pruned plan reads a strict subset of files and returns the exact
+    filtered result; here the oracle pins exactness against the
+    unstaged table).
+
+    The stage write is the one-off layout build (like the ANN index
+    queries' scratch builds); production would stage once and serve
+    many range queries off the sidecar.
+    """
+    import tempfile
+
+    li = load(spark, sf_dir, "lineitem")
+    scratch = tempfile.mkdtemp(prefix="zonemap_") + "/lineitem"
+    from etl_mudah_spark.operators import layout as ly
+
+    ly.write_range_clustered(li, scratch, "l_shipdate", n_files=16)
+    pruned = ly.zone_pruned_read(
+        spark,
+        scratch,
+        "l_shipdate",
+        F.lit("1994-01-01").cast("timestamp"),
+        F.lit("1994-03-31").cast("timestamp"),
+    )
+    return (
+        pruned.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("cnt"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -378,3 +378,50 @@ def test_compact_maintain_acts_only_past_the_bound(spark, tmp_path):
     from etl_mudah_spark.operators.manifest import manifest_resolve
 
     assert spark.read.parquet(manifest_resolve(path)).count() == 10_000
+
+
+def test_zone_map_prunes_files_and_preserves_results(spark, tmp_path):
+    """zone_pruned_read must (a) consult only the sidecar to pick
+    files — a narrow range opens a strict subset; (b) return exactly
+    the plain filtered scan's rows; (c) yield an empty (but
+    well-schema'd) frame when no envelope overlaps; (d) prune
+    all-NULL files without dropping any qualifying row."""
+    from etl_mudah_spark.operators.layout import (
+        build_zone_map,
+        write_range_clustered,
+        zone_pruned_read,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 10_000).select(
+        F.col("id"), (F.col("id") % 97).alias("v")
+    )
+    write_range_clustered(df, path, "id", n_files=8)
+    zm = spark.read.parquet(f"{path}/_zonemap")
+    assert zm.count() == 8
+    assert set(zm.columns) == {"file", "min_id", "max_id"}
+
+    pruned = zone_pruned_read(spark, path, "id", 2_000, 2_999)
+    # strict subset of files in the pruned scan (range clustering
+    # puts ~1250 ids per file, so 1000 ids touch at most 2 of 8)
+    files_read = {r[0] for r in pruned.select("_metadata.file_path").collect()}
+    assert 1 <= len(files_read) <= 2
+    expect = df.where(F.col("id").between(2_000, 2_999))
+    assert pruned.count() == 1_000
+    assert (
+        pruned.agg(F.sum("v")).first()[0] == expect.agg(F.sum("v")).first()[0]
+    )
+
+    # (c) disjoint range: no files selected, schema intact, zero rows
+    empty = zone_pruned_read(spark, path, "id", 50_000, 60_000)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"id", "v"}
+
+    # (d) a file whose envelope is all-NULL is pruned, not fatal
+    nulls = spark.createDataFrame(
+        [(None, 1)], "id bigint, v bigint"
+    )
+    nulls.write.mode("append").parquet(path)
+    build_zone_map(spark, path, ["id"])
+    again = zone_pruned_read(spark, path, "id", 2_000, 2_999)
+    assert again.count() == 1_000
