@@ -402,3 +402,83 @@ def test_bpe_counts_bracketed_and_deterministic(spark, docs, n_merges):
            for r in bpe.bpe_token_counts(df, full).collect()}
     for i, t in enumerate(docs):
         assert sat[i] == len(t.split())
+
+
+# ---------------------------------------------------------------------------
+# prefix_filtered_jaccard == Python brute-force Jaccard
+# ---------------------------------------------------------------------------
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("red blue fast slow car bike sale new old".split()),
+            min_size=3,
+            max_size=12,
+        ).map(" ".join),
+        min_size=2,
+        max_size=12,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.8]),
+)
+@settings(**_SETTINGS)
+def test_prefix_jaccard_matches_bruteforce(spark, docs, threshold):
+    """The prefix filter is LOSSLESS: over random small-vocab corpora
+    (high shingle collision rates — the adversarial case for candidate
+    pruning) the pair set equals an independent Python brute force."""
+    from etl_mudah_spark.operators.dedup import prefix_filtered_jaccard
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id bigint, text string")
+
+    def shingles(text):
+        w = text.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    sets = {i: shingles(t) for i, t in enumerate(docs)}
+    expect = set()
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                inter = len(sets[a] & sets[b])
+                j = inter / (len(sets[a]) + len(sets[b]) - inter)
+                if j >= threshold:
+                    expect.add((a, b))
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in prefix_filtered_jaccard(df, threshold=threshold).collect()
+    }
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample_topn == Python A-ES oracle
+# ---------------------------------------------------------------------------
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 10_000), st.floats(0.5, 1000.0, allow_nan=False)
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    n=st.integers(1, 10),
+)
+@settings(**_SETTINGS)
+def test_weighted_sample_matches_python_oracle(spark, rows, n):
+    import math
+
+    from etl_mudah_spark.operators.sampling import (
+        LCG_A,
+        LCG_C,
+        LCG_M,
+        weighted_sample_topn,
+    )
+
+    df = spark.createDataFrame(rows, "k bigint, w double")
+
+    def key(i, w):
+        u = ((i * LCG_A + LCG_C) % LCG_M + 1) / (LCG_M + 1)
+        return math.log(u) / w
+
+    expect = [k for k, w in sorted(rows, key=lambda r: (-key(*r), r[0]))[:n]]
+    got = [r["k"] for r in weighted_sample_topn(df, "k", F.col("w"), n).collect()]
+    assert got == expect
