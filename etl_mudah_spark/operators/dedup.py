@@ -414,9 +414,18 @@ def prefix_filtered_jaccard(
             ),
         )
     )
+    # ceil(t*n) must be the EXACT mathematical ceiling: double rounding
+    # can land t*n a hair ABOVE an integer (0.28*25 = 7.000000000000001),
+    # and ceil'ing that overshoots by 1, shortening the prefix below the
+    # lossless bound — a silent false negative. Subtracting an epsilon
+    # far larger than one ulp but far smaller than 1/n can only pull a
+    # within-epsilon-of-integer product DOWN, i.e. lengthen the prefix:
+    # extra candidates, never lost ones.
     prefix = ranked.where(
         F.col("_rn")
-        <= F.col("_n_sh") - F.ceil(F.lit(threshold) * F.col("_n_sh")) + 1
+        <= F.col("_n_sh")
+        - F.ceil(F.lit(threshold) * F.col("_n_sh") - F.lit(1e-9))
+        + 1
     ).select(id_col, "sh")
     a = prefix.alias("a").hint("shuffle_hash")
     b = prefix.alias("b").hint("shuffle_hash")

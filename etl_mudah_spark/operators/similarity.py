@@ -1153,10 +1153,7 @@ def _pq_adc_shortlist_df(
     query itself. An optional metadata predicate applies BELOW the
     scoring (pre-filter, pushable into the index scan)."""
     m, _kk, sub = codebooks.shape
-    pvn = F.transform(
-        F.col("_pv"),
-        lambda x: x / F.greatest(l2_norm(F.col("_pv")), F.lit(1e-12)),
-    )
+    pvn = _probe_normalized()
     score = None
     for i in range(m):
         # ONE parsed SQL expression per subspace instead of m·k·sub
@@ -1571,9 +1568,14 @@ def _normalized(vec_col: str) -> Column:
 
 
 def _probe_normalized() -> Column:
-    """The probe_row ``_pv`` column L2-normalized — the space IVF-PQ
-    coarse centroids are fit in. Used wherever cells are ranked for a
-    probe, matching `_ivfpq_adc_shortlist_df`'s ``pvn``."""
+    """The probe_row ``_pv`` column L2-normalized — the space PQ/IVF-PQ
+    centroids are fit in. The ONE definition of probe normalization:
+    cell ranking (ivfpq_query/topk) and ADC scoring (both shortlist
+    helpers) all call this, so the epsilon/norm expression can never
+    diverge between the two stages again (the r7 ADVICE bug class).
+    ``_pv`` is already array<double> by construction (every probe
+    selection goes through ``as_double``), hence no cast here —
+    :func:`_normalized` is the general-column variant that casts."""
     return F.transform(
         F.col("_pv"),
         lambda x: x / F.greatest(l2_norm(F.col("_pv")), F.lit(1e-12)),
@@ -1750,10 +1752,7 @@ def _ivfpq_adc_shortlist_df(
     codegen, no Python, no driver job; an optional metadata predicate
     applies BELOW the scoring (pre-filter in the compressed scan)."""
     m, _kk, sub = books.shape
-    pvn = F.transform(
-        F.col("_pv"),
-        lambda x: x / F.greatest(l2_norm(F.col("_pv")), F.lit(1e-12)),
-    )
+    pvn = _probe_normalized()
     if where is not None:
         encoded = encoded.where(where)
     chosen_cent = F.element_at(_centroids_to_expr(centroids), F.col("cell") + 1)

@@ -1114,7 +1114,7 @@ def doc_shard_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
                (SELECT COUNT(*) FROM bg) AS bt
     )
     SELECT a, b, pair_count,
-           ROUND(ln(pair_count * 1.0 * u * u / (bt * ca.c * cbb.c)), 6)
+           ROUND(ln(pair_count * 1.0 * u / bt * u / ca.c / cbb.c), 6)
                AS pmi
     FROM cb, tot
     JOIN cu ca ON ca.t = a
@@ -1181,13 +1181,21 @@ def doc_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = uni.agg(F.count("*").alias("u")).crossJoin(
         bg.agg(F.count("*").alias("bt"))
     )
+    # Denominator stays in DOUBLE via sequential division: the naive
+    # bt*ca_c*cb_c bigint product overflows int64 once the corpus has
+    # ~1e12 tokens (bt ~ 1e12, frequent-word counts ~ 1e10 => ~1e32),
+    # wrapping negative under non-ANSI semantics and silently corrupting
+    # every PMI. The oracle SQL uses the identical operand order so the
+    # IEEE results match bit-for-bit.
     pmi = F.round(
         F.log(
             F.col("pair_count")
             * 1.0
             * F.col("u")
+            / F.col("bt")
             * F.col("u")
-            / (F.col("bt") * F.col("ca_c") * F.col("cb_c"))
+            / F.col("ca_c")
+            / F.col("cb_c")
         ),
         6,
     )

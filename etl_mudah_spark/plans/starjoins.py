@@ -1204,7 +1204,7 @@ def promotable_widget_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     )
     SELECT brand_a, brand_b, support,
-           ROUND(support * 1.0 * n_orders / (ca.c * cbb.c), 6) AS lift
+           ROUND(support * 1.0 * n_orders / ca.c / cbb.c, 6) AS lift
     FROM pairs, n
     JOIN cb ca ON ca.brand = brand_a
     JOIN cb cbb ON cbb.brand = brand_b
@@ -1257,8 +1257,13 @@ def part_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("support"))
     )
+    # Sequential double division: ca_c*cb_c as a bigint product overflows
+    # int64 in the 100 TB regime (25 brands => each marginal ~ n_orders,
+    # ~1.5e11 each at sf1e5, product ~ 2e22 > 2^63), flipping every lift
+    # sign under non-ANSI semantics. Operand order matches the oracle SQL
+    # exactly so the rounded doubles still hash-match.
     lift = F.round(
-        F.col("support") * 1.0 * F.col("n_orders") / (F.col("ca_c") * F.col("cb_c")),
+        F.col("support") * 1.0 * F.col("n_orders") / F.col("ca_c") / F.col("cb_c"),
         6,
     )
     return (

@@ -268,6 +268,30 @@ def test_prefix_filtered_jaccard_matches_exact(spark):
     assert got == exact == {(3, 100)}
 
 
+def test_prefix_filtered_jaccard_integer_boundary(spark):
+    # Float ceiling regression: 0.28 * 25 = 7.000000000000001 in double,
+    # so a naive ceil(t*n) gives 8 and shortens doc A's prefix to 18 —
+    # but a pair at Jaccard EXACTLY 0.28 (|A|=25, |B|=7, overlap 7) has
+    # all its shared shingles at df-rank 19..25 of A (shared df=2 sorts
+    # after unique df=1), so the candidate join silently never emits it.
+    # The epsilon-guarded ceiling keeps the prefix at the lossless 19.
+    from etl_mudah_spark.operators.dedup import prefix_filtered_jaccard
+
+    shared = [f"shared{i}" for i in range(7)]
+    unique = [f"unique{i}" for i in range(18)]
+    docs = spark.createDataFrame(
+        [(0, " ".join(unique + shared)), (1, " ".join(shared))],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in prefix_filtered_jaccard(
+            docs, shingle_n=1, threshold=0.28
+        ).collect()
+    }
+    assert got == {(0, 1)}
+
+
 def test_prefix_filtered_jaccard_short_docs(spark):
     # docs under shingle_n words have empty shingle sets: no pairs,
     # no crash (the n_sh >= 1 population is what the window sees)
