@@ -1,0 +1,174 @@
+"""Mergeable distinct-count sketch (HyperLogLog) in pure Column algebra.
+
+``COUNT(DISTINCT k)`` is the most shuffle-hostile aggregate there is:
+every distinct key must physically reach one reducer, so at 100 TB a
+per-group distinct over a high-cardinality key ships the whole key
+column through the exchange. The HLL sketch replaces that with FIXED
+``2^p`` integers of state per group — partial sketches built map-side,
+merged by a plain ``max`` per register — at the cost of a documented
+~``1.04/sqrt(2^p)`` relative error.
+
+The whole sketch is deliberately expressible in both engines so the
+DuckDB oracle reproduces it BIT-FOR-BIT:
+
+- the value hash is a 31-bit xorshift-multiply avalanche (see
+  ``hll_hash``): plain ``>>``/``xor``/``*``/``%`` bigint arithmetic
+  whose products stay below ``2^58`` — no int64 overflow in Spark
+  (which would wrap silently under non-ANSI semantics) and no
+  OutOfRange error in DuckDB. No engine-specific hash function
+  (xxhash64 has no DuckDB twin).
+- the register value rho (leading-zero rank of the ``31-p``-bit
+  suffix) is computed EXACTLY from the binary-string length:
+  ``width - length(bin(w)) + 1`` — both engines have ``bin``; no
+  float ``log2`` with its boundary ulp risk.
+- every harmonic-sum term is ``2^-rho`` — an exact power of two, and
+  a sum of at most ``2^p`` powers of two ``>= 2^-(width+1)`` fits the
+  53-bit double mantissa with room to spare, so the sum is EXACT and
+  therefore independent of aggregation order. The one estimator
+  division at the end is a single deterministic IEEE op. No
+  linear-counting small-range correction (it would need ``ln``, whose
+  last-ulp behavior is libm-specific); the raw estimator's low-range
+  bias is documented instead and visible in the registered query's
+  side-by-side exact column.
+
+Plan shape at 100 TB: one shuffle on (group, bucket) with map-side
+``max`` partials — state per group is 2^p registers regardless of key
+cardinality — then one tiny shuffle on group over <= 2^p rows/group.
+Contrast ``exact``: one shuffle of EVERY distinct (group, key) pair.
+
+Registers are a first-class DataFrame (``hll_registers``), so sketches
+persist, ship, and merge across days/sources (``hll_merge_registers``:
+union + max — associative, commutative, idempotent) before a final
+``hll_estimate_from_registers`` — the same incremental-index discipline
+as the MinHash and SRP band tables (operators/dedup.py, similarity.py).
+
+Reference analog: none (the reference's pandas ``nunique`` is exact and
+single-node); this is SURVEY.md §7.4 scale engineering.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 31-bit xorshift-multiply finalizer (degski/splitmix32 family):
+# x ^= x>>16; x = (x * A) mod 2^31 — twice — then a final x ^= x>>16.
+# An LCG does NOT work here: HLL reads the hash's LEADING zeros, and an
+# LCG's high bits of sequential keys are arithmetic progressions, which
+# skews max-rho registers by 30-70% (measured before this mixer landed).
+# The xorshift-multiply avalanche fixes that while staying exact in
+# both engines: x < 2^31 and A < 2^27 keep every product below 2^58 —
+# no int64 wrap in Spark, no OutOfRange in DuckDB — and the mod-2^31
+# wrap IS the low-bits truncation the finalizer wants.
+HLL_M = 1 << 31
+HLL_MULT = 0x45D9F3B  # 73_244_475
+_DEFAULT_P = 8
+
+
+def _alpha(m: int) -> float:
+    """HLL bias-correction constant (Flajolet et al. 2007)."""
+    return {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+
+
+def hll_hash(key: Column) -> Column:
+    """Avalanching 31-bit mix of an integer key -> [0, 2^31).
+
+    Exactly reproducible in DuckDB SQL:
+    ``x = key % 2147483648; x = (xor(x>>16, x) * 73244475) % 2147483648``
+    (twice), then ``xor(x>>16, x)``.
+    """
+    x = F.pmod(key.cast("bigint"), F.lit(HLL_M))
+    for _ in range(2):
+        x = F.pmod(
+            F.shiftright(x, 16).bitwiseXOR(x) * HLL_MULT, F.lit(HLL_M)
+        )
+    return F.shiftright(x, 16).bitwiseXOR(x)
+
+
+def _rho(w: Column, width: int) -> Column:
+    """1-based leading-zero rank of ``w`` within ``width`` bits, exact:
+    msb position is the length of the binary string (no float log2)."""
+    return F.when(w == 0, F.lit(width + 1)).otherwise(
+        F.lit(width) - F.length(F.bin(w)) + 1
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    p: int = _DEFAULT_P,
+) -> DataFrame:
+    """The sketch STATE: max rho per (group, bucket) — at most ``2^p``
+    rows per group whatever the key cardinality. Map-side partial
+    ``max`` makes the one shuffle carry only combined registers.
+
+    Columns: group_cols..., bucket int, rho int.
+    """
+    m = 1 << p
+    width = 31 - p
+    h = hll_hash(F.col(value_col))
+    gb = [F.col(c) for c in group_cols]
+    return (
+        df.select(*gb, h.alias("_h"))
+        .select(
+            *gb,
+            F.pmod(F.col("_h"), F.lit(m)).cast("int").alias("bucket"),
+            F.expr(f"_h DIV {m}").alias("_w"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max(_rho(F.col("_w"), width)).cast("int").alias("rho"))
+    )
+
+
+def hll_merge_registers(a: DataFrame, b: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """Merge two sketches: union + max per register. Associative,
+    commutative, idempotent — merging a sketch with itself, or
+    re-merging yesterday's persisted registers with today's batch,
+    gives exactly the sketch of the union (pinned in tests)."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate_from_registers(
+    registers: DataFrame,
+    group_cols: Sequence[str],
+    p: int = _DEFAULT_P,
+    out_col: str = "hll_distinct",
+) -> DataFrame:
+    """Raw HLL estimate per group from a register table.
+
+    ``alpha * m^2 / (sum_present(2^-rho) + (m - buckets_hit))`` —
+    absent buckets contribute ``2^-0 = 1`` each. Every term is a power
+    of two, so the sum is exact and aggregation-order-independent; the
+    final division is one deterministic IEEE op, rounded to 4dp.
+    """
+    m = 1 << p
+    return registers.groupBy(*group_cols).agg(
+        F.round(
+            F.lit(_alpha(m) * m * m)
+            / (
+                F.sum(F.pow(F.lit(2.0), -F.col("rho")))
+                + (F.lit(m) - F.count("*"))
+            ),
+            4,
+        ).alias(out_col),
+        F.count("*").cast("int").alias("buckets_hit"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    p: int = _DEFAULT_P,
+) -> DataFrame:
+    """One-shot sketch distinct per group: registers -> estimate."""
+    return hll_estimate_from_registers(
+        hll_registers(df, group_cols, value_col, p), group_cols, p
+    )

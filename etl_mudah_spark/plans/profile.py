@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_mudah_spark.functions.core import dsum, oracle_dsum
+from etl_mudah_spark.operators import sketch as sk
 from etl_mudah_spark.plans.registry import register
 from etl_mudah_spark.tables import load
 
@@ -594,4 +595,85 @@ def lineitem_zone_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable distinct sketch: HLL distinct customers per order priority,
+# side-by-side with the exact count so the documented ~1.04/sqrt(256)
+# = 6.5% error envelope is VISIBLE in the result. The sketch shuffles
+# at most 256 registers per group (map-side max partials) where exact
+# COUNT(DISTINCT) ships every distinct (group, custkey) pair — the
+# 100 TB contrast this query exists to demonstrate. The whole sketch
+# (xorshift-multiply hash, bin()-length rho, power-of-two harmonic sum) is
+# reproduced verbatim by the DuckDB oracle — see operators/sketch.py
+# for why every step is exact cross-engine.
+# ---------------------------------------------------------------------------
+@register(
+    "orders_hll_distinct",
+    oracle=f"""
+    WITH x0 AS (
+        SELECT o_orderpriority AS pri,
+               o_custkey % {sk.HLL_M} AS x
+        FROM orders
+    ), m1 AS (
+        SELECT pri, (xor(x >> 16, x) * {sk.HLL_MULT}) % {sk.HLL_M} AS x
+        FROM x0
+    ), m2 AS (
+        SELECT pri, (xor(x >> 16, x) * {sk.HLL_MULT}) % {sk.HLL_M} AS x
+        FROM m1
+    ), h AS (
+        SELECT pri, xor(x >> 16, x) AS hv FROM m2
+    ), reg AS (
+        SELECT pri, hv % 256 AS bucket,
+               MAX(CASE WHEN hv // 256 = 0 THEN 24
+                        ELSE 23 - length(bin(hv // 256)) + 1 END) AS rho
+        FROM h GROUP BY pri, bucket
+    ), est AS (
+        SELECT pri,
+               ROUND({sk._alpha(256) * 65536!r}
+                     / (SUM(2.0 ^ (-rho)) + (256 - COUNT(*))), 4)
+                   AS hll_distinct,
+               CAST(COUNT(*) AS INT) AS buckets_hit
+        FROM reg GROUP BY pri
+    ), ex AS (
+        SELECT o_orderpriority AS pri,
+               COUNT(DISTINCT o_custkey) AS exact_distinct
+        FROM orders GROUP BY pri
+    )
+    SELECT est.pri AS o_orderpriority, hll_distinct, buckets_hit,
+           exact_distinct,
+           ROUND(ABS(hll_distinct - exact_distinct) / exact_distinct, 4)
+               AS rel_err
+    FROM est JOIN ex ON est.pri = ex.pri
+    ORDER BY o_orderpriority
+    """,
+    doc=(
+        "HyperLogLog distinct o_custkey per priority (256 registers, "
+        "pure Column algebra, oracle reproduces the sketch exactly) "
+        "vs the exact distinct, with relative error."
+    ),
+)
+def orders_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_mudah_spark.operators.sketch import hll_distinct
+
+    o = load(spark, sf_dir, "orders").select("o_orderpriority", "o_custkey")
+    est = hll_distinct(o, ["o_orderpriority"], "o_custkey")
+    exact = o.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "hll_distinct",
+            "buckets_hit",
+            "exact_distinct",
+            F.round(
+                F.abs(F.col("hll_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                4,
+            ).alias("rel_err"),
+        )
+        .orderBy("o_orderpriority")
     )

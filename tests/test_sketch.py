@@ -1,0 +1,75 @@
+"""HLL sketch: accuracy envelope, determinism, and the merge laws
+(associative/commutative/idempotent union-max) that make the register
+table a shippable, incrementally-maintainable artifact."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_mudah_spark.operators.sketch import (
+    hll_distinct,
+    hll_estimate_from_registers,
+    hll_merge_registers,
+    hll_registers,
+)
+
+
+def _ids(spark, lo, hi, group="g"):
+    return spark.range(lo, hi).select(
+        F.lit(group).alias("grp"), F.col("id").alias("k")
+    )
+
+
+def test_hll_accuracy_within_envelope(spark):
+    # m=256 -> sigma ~ 1.04/16 = 6.5%; assert a loose bound at a few
+    # cardinalities ABOVE the 5/2*m = 640 linear-counting range (below
+    # it the raw estimator is biased high by design — the operator
+    # documents that it omits the ln-based correction because ln is
+    # libm-specific and would break cross-engine oracle parity).
+    for n in (1_000, 5_000, 20_000):
+        df = _ids(spark, 0, n)
+        [row] = hll_distinct(df, ["grp"], "k").collect()
+        assert abs(row["hll_distinct"] - n) / n < 0.25, (n, row)
+
+
+def test_hll_deterministic_and_repartition_invariant(spark):
+    df = _ids(spark, 0, 5_000)
+    a = hll_distinct(df, ["grp"], "k").collect()
+    b = hll_distinct(df.repartition(17), ["grp"], "k").collect()
+    # power-of-two harmonic terms => the sum is exact, so ANY
+    # partitioning/aggregation order gives the identical double
+    assert a == b
+
+
+def test_hll_merge_equals_union_sketch_exactly(spark):
+    a, b = _ids(spark, 0, 3_000), _ids(spark, 2_000, 6_000)  # overlap
+    merged = hll_merge_registers(
+        hll_registers(a, ["grp"], "k"),
+        hll_registers(b, ["grp"], "k"),
+        ["grp"],
+    )
+    direct = hll_registers(a.unionByName(b), ["grp"], "k")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    # and therefore identical estimates
+    em = hll_estimate_from_registers(merged, ["grp"]).collect()
+    ed = hll_estimate_from_registers(direct, ["grp"]).collect()
+    assert em == ed
+
+
+def test_hll_merge_idempotent(spark):
+    reg = hll_registers(_ids(spark, 0, 1_000), ["grp"], "k")
+    again = hll_merge_registers(reg, reg, ["grp"])
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, reg.collect())
+    )
+
+
+def test_hll_register_state_is_bounded(spark):
+    # whatever the cardinality, <= 256 registers per group
+    df = _ids(spark, 0, 50_000, "a").unionByName(_ids(spark, 0, 123, "b"))
+    reg = hll_registers(df, ["grp"], "k")
+    sizes = {r["grp"]: r["n"] for r in
+             reg.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert sizes["a"] <= 256 and sizes["b"] <= 256
