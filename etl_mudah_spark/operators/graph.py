@@ -308,6 +308,8 @@ def pagerank(
     damping: float = 0.85,
     src: str = "a",
     dst: str = "b",
+    total_mass: float = 1.0,
+    exact_contrib_decimal: str | None = None,
 ) -> DataFrame:
     """PageRank by fixed-iteration power method over an (``src``,
     ``dst``) directed edge list — the link-analysis sibling of
@@ -333,10 +335,32 @@ def pagerank(
 
     Reference analog: none — beyond-reference graph analytics over the
     dup-pair / interaction graphs this repo's dedup family emits.
+
+    Determinism knobs (defaults leave the classic behavior untouched):
+    ``total_mass`` scales the whole vector (ranks sum to it instead of
+    1) — PageRank is linear, so this is exact re-scaling, used to lift
+    ranks into a magnitude where a coarse decimal cast keeps ~9
+    significant digits. ``exact_contrib_decimal`` (e.g.
+    ``"decimal(18,6)"``) makes the per-round contribution sum an EXACT
+    decimal aggregate: the result no longer depends on partitioning or
+    aggregation order, so two runs — or two ENGINES — agree double for
+    double (that is what lets supplier_customer_pagerank be
+    oracle-hash-checked; plain double sums reassociate). The coarse
+    scale must be paired with a large ``total_mass``; at the default
+    mass of 1.0 a (18,6) cast would truncate rank/degree to 6 decimals.
     """
     if not 0 < damping < 1:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
-    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    # The edge list is consumed 2-3x PER ROUND (degree join, push join,
+    # dangling scan). Without truncation an upstream plan — say the
+    # distinct over a fact-table join that built the graph — re-executes
+    # every time: measured 132s -> 12s at sf0.1 for the
+    # customer-supplier graph from checkpointing e and out_deg once.
+    # State is bounded by the edge list itself, the same budget every
+    # distributed PageRank keeps resident.
+    e = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst")
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("_src").alias("node"))
         .union(e.select(F.col("_dst").alias("node")))
@@ -346,8 +370,18 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    out_deg = e.groupBy("_src").agg(F.count("*").alias("_deg"))
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    out_deg = (
+        e.groupBy("_src")
+        .agg(F.count("*").alias("_deg"))
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.withColumn("rank", F.lit(total_mass / n))
+    contrib = F.col("rank") / F.col("_deg")
+    push_sum = (
+        F.sum(contrib.cast(exact_contrib_decimal)).cast("double")
+        if exact_contrib_decimal
+        else F.sum(contrib)
+    )
     for _ in range(iterations):
         with_deg = ranks.join(
             out_deg, ranks.node == out_deg._src, "left"
@@ -362,9 +396,9 @@ def pagerank(
             with_deg.where(F.col("_deg").isNotNull())
             .join(e, F.col("node") == F.col("_src"))
             .groupBy(F.col("_dst").alias("node"))
-            .agg(F.sum(F.col("rank") / F.col("_deg")).alias("_in"))
+            .agg(push_sum.alias("_in"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
+        base = (1.0 - damping) * total_mass / n + damping * dangling / n
         prev = ranks
         ranks = (
             nodes.join(pushed, "node", "left")

@@ -245,6 +245,51 @@ def stratified_topn(
     )
 
 
+def stratified_topn_salted(
+    df: DataFrame,
+    strata_col: str,
+    n: int,
+    order_col: str,
+    tiebreak_col: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-safe :func:`stratified_topn`: exactly the first ``n`` rows
+    per stratum in (``order_col``, ``tiebreak_col``) order, with no
+    stratum ever confined to one task.
+
+    Two phases, both exact: phase 1 ranks within (stratum, salt) —
+    a hot stratum's rows spread over ``n_salts`` reducers, each
+    keeping its local first ``n`` — then phase 2 ranks the at most
+    ``n_salts·n`` survivors per stratum. The first ``n`` of a stratum
+    are each first-``n`` within their salt bucket, so the composition
+    loses nothing (pinned equal to the one-phase window in tests).
+    The salt derives from ``tiebreak_col``, not ``rand()``, so task
+    retries are exactly-once-safe; ``tiebreak_col`` must be unique per
+    row for the order to be total (same contract as every
+    deterministic-sampling operator here).
+
+    Use with ``order_col = lcg_uniform(key)`` for a uniform
+    k-per-stratum sample; with a quality score for per-stratum
+    curation. One extra (cheap, ≤ n_salts·n rows/stratum) exchange
+    buys the hot-stratum ceiling: phase-1 partitions are
+    ``|stratum|/n_salts`` instead of ``|stratum|``.
+    """
+    w1 = Window.partitionBy(strata_col, "_salt").orderBy(
+        order_col, tiebreak_col
+    )
+    w2 = Window.partitionBy(strata_col).orderBy(order_col, tiebreak_col)
+    from etl_mudah_spark.operators.skew import salt_col
+
+    return (
+        df.withColumn("_salt", salt_col(tiebreak_col, n_salts))
+        .withColumn("_rn1", F.row_number().over(w1))
+        .where(F.col("_rn1") <= n)
+        .withColumn("_rn", F.row_number().over(w2))
+        .where(F.col("_rn") <= n)
+        .drop("_salt", "_rn1", "_rn")
+    )
+
+
 def token_budget_mix(
     df: DataFrame,
     key_col: str,

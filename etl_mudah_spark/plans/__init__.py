@@ -16,11 +16,13 @@ Importing this package registers every declared query into
 # round-8 additions — after this round every registered query's newest
 # driver row is r6+. Round-9 should rotate to the then-oldest r6 rows
 # (alphabetically-first of the 50 CORRECTNESS_r06 names) plus any
-# round-9 additions AND lineitem_zone_pruned_revenue plus
-# orders_hll_distinct (both registered after this round's window was
-# frozen at 50). All registered queries are additionally sim-checked
-# at sf0.01 AND sf0.1 every round regardless (scripts/driver_sim.py;
-# round-8 final: 153 registered, 153 with oracles — zero rows-only).
+# round-9 additions AND the four queries registered after this
+# round's window was frozen at 50: lineitem_zone_pruned_revenue,
+# orders_hll_distinct, doc_stratified_sample,
+# supplier_customer_pagerank. All registered queries are additionally
+# sim-checked at sf0.01 AND sf0.1 every round regardless
+# (scripts/driver_sim.py; round-8 final: 155 registered, 155 with
+# oracles — zero rows-only).
 from etl_mudah_spark.plans import registry  # noqa: F401
 from etl_mudah_spark.plans import parity  # noqa: F401
 from etl_mudah_spark.plans import datapipe  # noqa: F401

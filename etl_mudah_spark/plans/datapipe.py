@@ -401,6 +401,56 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_stratified_sample",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang, doc_id, n_chars,
+               ((doc_id * {smp.LCG_A} + {smp.LCG_C}) % {smp.LCG_M} + 1)
+                   / {float(smp.LCG_M + 1)!r} AS u
+        FROM documents
+    ), ranked AS (
+        SELECT lang, doc_id, n_chars, u,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY u, doc_id)
+                   AS rn
+        FROM scored
+    )
+    SELECT lang, doc_id, n_chars, ROUND(u * 1e6, 4) AS u_ppm
+    FROM ranked WHERE rn <= 5
+    ORDER BY lang, doc_id
+    """,
+    doc=(
+        "Uniform 5-per-language stratified sample via the skew-safe "
+        "two-phase salted rank; LCG keys make the draw reproducible "
+        "in plain SQL (the oracle is the one-phase window)."
+    ),
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 5 uniformly-drawn docs per language — the
+    eval-set/eyeball-set primitive ("k examples per stratum") done
+    with the same no-RNG discipline as every sampling operator here
+    (LCG of doc_id = the draw), through
+    operators/sampling.py:stratified_topn_salted: rows rank within
+    (lang, salt) first, so a 100 TB mono-language corpus spreads over
+    n_salts reducers instead of pinning one task — the composition is
+    exact (pinned against the one-phase window in tests), which is why
+    the oracle can be the plain ROW_NUMBER form. ``u_ppm`` rides along
+    so the hash pins the draw itself, not just membership."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    scored = docs.withColumn("_u", smp.lcg_uniform(F.col("doc_id")))
+    samp = smp.stratified_topn_salted(
+        scored, "lang", 5, order_col="_u", tiebreak_col="doc_id"
+    )
+    return samp.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.round(F.col("_u") * 1e6, 4).alias("u_ppm"),
+    ).orderBy("lang", "doc_id")
+
+
+@register(
     "doc_minhash_near_dup",
     oracle=f"""
     WITH {_jaccard_pairs_ctes(0.2)}

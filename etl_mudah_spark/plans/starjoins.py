@@ -1285,3 +1285,124 @@ def part_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "brand_a", "brand_b")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative-algorithm class: PageRank over the customer<->supplier
+# trading graph, driven to oracle-hash parity. The operator's
+# exact_contrib_decimal mode makes every per-round sum an EXACT
+# decimal aggregate (order-independent), and total_mass=1e9 lifts
+# ranks into a magnitude where the (18,6) cast keeps ~9 significant
+# digits — so THREE unrolled power-method rounds land on identical
+# doubles in Spark and DuckDB. The graph is symmetric by construction
+# (both edge directions), so the dangling-mass term is exactly 0 and
+# the oracle can omit it. 3 rounds is the oracle-tractable setting;
+# production uses the same operator at 10-20 rounds.
+# ---------------------------------------------------------------------------
+@register(
+    "supplier_customer_pagerank",
+    oracle="""
+    WITH pair AS MATERIALIZED (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), e AS MATERIALIZED (
+        SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pair
+        UNION ALL
+        SELECT s * 2 + 1, c * 2 FROM pair
+    ), nn AS MATERIALIZED (
+        SELECT COUNT(DISTINCT src) AS n FROM e
+    ), deg AS MATERIALIZED (
+        SELECT src, COUNT(*) AS d FROM e GROUP BY src
+    ), r0 AS (
+        SELECT deg.src AS node, 1000000000.0 / nn.n AS r
+        FROM deg CROSS JOIN nn
+    ), r1 AS MATERIALIZED (
+        SELECT e.dst AS node,
+               (1.0 - 0.85) * 1000000000.0 / nn.n
+               + 0.85 * CAST(SUM(CAST(p.r / deg.d AS DECIMAL(18,6)))
+                             AS DOUBLE) AS r
+        FROM e
+        JOIN r0 p ON p.node = e.src
+        JOIN deg ON deg.src = e.src
+        CROSS JOIN nn
+        GROUP BY e.dst, nn.n
+    ), r2 AS MATERIALIZED (
+        SELECT e.dst AS node,
+               (1.0 - 0.85) * 1000000000.0 / nn.n
+               + 0.85 * CAST(SUM(CAST(p.r / deg.d AS DECIMAL(18,6)))
+                             AS DOUBLE) AS r
+        FROM e
+        JOIN r1 p ON p.node = e.src
+        JOIN deg ON deg.src = e.src
+        CROSS JOIN nn
+        GROUP BY e.dst, nn.n
+    ), r3 AS MATERIALIZED (
+        SELECT e.dst AS node,
+               (1.0 - 0.85) * 1000000000.0 / nn.n
+               + 0.85 * CAST(SUM(CAST(p.r / deg.d AS DECIMAL(18,6)))
+                             AS DOUBLE) AS r
+        FROM e
+        JOIN r2 p ON p.node = e.src
+        JOIN deg ON deg.src = e.src
+        CROSS JOIN nn
+        GROUP BY e.dst, nn.n
+    )
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+               AS node_type,
+           node // 2 AS entity_key,
+           ROUND(r, 4) AS pagerank_scaled
+    FROM r3
+    ORDER BY ROUND(r, 4) DESC, node
+    LIMIT 25
+    """,
+    doc=(
+        "3-round PageRank over the symmetric customer-supplier trade "
+        "graph (exact decimal contribution sums, mass scaled 1e9); "
+        "top-25 nodes — the oracle unrolls the power method in SQL."
+    ),
+)
+def supplier_customer_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (operators/graph.py) over the bipartite
+    customer<->supplier graph induced by line items: who are the most
+    central trading entities. Per round: one shuffle join of the rank
+    vector against the edge list and one map-side-partial aggregate on
+    the destination — the standard distributed power-method shape, with
+    localCheckpoint truncating the iterative lineage. Exact decimal
+    contribution sums make the result independent of partitioning and
+    engine (see the operator's determinism notes)."""
+    from etl_mudah_spark.operators import graph as gr
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pair = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_suppkey") * 2 + 1).alias("snode"),
+        )
+        .distinct()
+    )
+    edges = pair.select(
+        F.col("cnode").alias("a"), F.col("snode").alias("b")
+    ).unionByName(
+        pair.select(F.col("snode").alias("a"), F.col("cnode").alias("b"))
+    )
+    ranks = gr.pagerank(
+        edges,
+        iterations=3,
+        total_mass=1e9,
+        exact_contrib_decimal="decimal(18,6)",
+    )
+    return (
+        ranks.select(
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            F.expr("node DIV 2").alias("entity_key"),
+            F.round("rank", 4).alias("pagerank_scaled"),
+            "node",
+        )
+        .orderBy(F.desc("pagerank_scaled"), "node")
+        .limit(25)
+        .drop("node")
+    )

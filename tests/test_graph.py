@@ -173,3 +173,19 @@ def test_pagerank_uniform_on_cycle(spark):
     )
     got = [r["rank"] for r in pagerank(cyc, iterations=5).collect()]
     assert all(abs(r - 1 / 6) < 1e-12 for r in got)
+
+
+def test_pagerank_exact_mode_partition_invariant(spark):
+    """exact_contrib_decimal + scaled mass: identical doubles whatever
+    the partitioning, and within rounding noise of the plain mode."""
+    from etl_mudah_spark.operators.graph import pagerank
+
+    edges = [(i, (i * 3) % 40) for i in range(40)] + [(i, 0) for i in range(40)]
+    df = spark.createDataFrame(edges, "a bigint, b bigint")
+    kw = dict(iterations=4, total_mass=1e9, exact_contrib_decimal="decimal(18,6)")
+    one = {r["node"]: r["rank"] for r in pagerank(df, **kw).collect()}
+    two = {r["node"]: r["rank"] for r in pagerank(df.repartition(13), **kw).collect()}
+    assert one == two
+    plain = {r["node"]: r["rank"] for r in pagerank(df, iterations=4).collect()}
+    for k, v in one.items():
+        assert abs(v / 1e9 - plain[k]) < 1e-6

@@ -206,3 +206,33 @@ def test_weighted_sample_topn_weight_monotonicity(spark):
     a = [r["k"] for r in weighted_sample_topn(uni, "k", F.lit(3.0), 10).collect()]
     b = [r["k"] for r in weighted_sample_topn(uni, "k", F.lit(7.0), 10).collect()]
     assert a == b  # constant weights cancel out of the ranking
+
+
+def test_stratified_topn_salted_equals_one_phase(spark):
+    """The two-phase salted rank composes losslessly: on a skewed
+    frame (one hot stratum with 5k rows, several tiny ones) it returns
+    EXACTLY the one-phase window's rows, for several n and salt
+    counts."""
+    from etl_mudah_spark.operators.sampling import (
+        lcg_uniform,
+        stratified_topn,
+        stratified_topn_salted,
+    )
+
+    rows = [(i, "hot") for i in range(5000)] + [
+        (10_000 + i, f"s{i % 7}") for i in range(70)
+    ]
+    df = (
+        spark.createDataFrame(rows, "k bigint, grp string")
+        .withColumn("u", lcg_uniform(F.col("k")))
+    )
+    for n in (1, 5, 40):
+        for n_salts in (2, 16):
+            two = stratified_topn_salted(
+                df, "grp", n, order_col="u", tiebreak_col="k",
+                n_salts=n_salts,
+            )
+            one = stratified_topn(df, "grp", n, "u")
+            assert sorted(map(tuple, two.collect())) == sorted(
+                map(tuple, one.collect())
+            ), (n, n_salts)
