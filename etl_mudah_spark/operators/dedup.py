@@ -361,6 +361,93 @@ def ngram_jaccard_pairs(
     )
 
 
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    term_n: int = 2,
+    threshold: float = 0.5,
+    min_df: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact TF-IDF cosine-similar document pairs via a term inverted
+    index — the weighted-lexical sibling of :func:`ngram_jaccard_pairs`
+    (Jaccard treats every shared shingle equally; TF-IDF cosine weights
+    shared terms by rarity × multiplicity, the CCNet/MassiveText-style
+    lexical near-dup signal).
+
+    Returns ``(doc_a, doc_b, cosine)`` with cosine ≥ ``threshold`` and
+    ``doc_a < doc_b``. Terms are lowercased word ``term_n``-grams WITH
+    multiplicity (tf); idf = ln(N / df); the vector space is the
+    ``min_df``/``max_df``-pruned vocabulary (df-1 terms can never pair
+    through the index, so ``min_df=2`` prunes the posting tail for
+    free without changing any pair's cosine — both the weight AND the
+    norm see the same pruned space, keeping cosine a true cosine).
+
+    Determinism across engines: idf and the per-term weights are plain
+    double arithmetic (bit-identical given identical inputs), and both
+    the per-doc squared-norm sum and the per-pair dot product use the
+    dsum discipline — each addend cast to DECIMAL(28,8) before SUM —
+    so no float sum ever depends on association order.
+
+    Scale shape: tf is one shuffle on (doc, term) with map-side
+    partials; df + idf reduce the |vocab|-row frame; the pair join is
+    the inverted-index self-join (identical posting plans on both
+    sides share one exchange via shuffle_hash, as in
+    :func:`ngram_jaccard_pairs`), which is O(Σ df(term)²) — at 100 TB
+    set ``max_df`` (drops boilerplate terms from the SPACE — weights
+    and norms together, unlike the Jaccard index-only cap, so the
+    result stays an exact cosine in the reduced space) or mine
+    candidates with the MinHash/SRP families and use this as the
+    scorer on candidate pairs.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.explode(word_ngrams(F.col(text_col), term_n)).alias("term"),
+    ).select(id_col, F.lower("term").alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    kept = dfreq.where(F.col("df") >= min_df)
+    if max_df is not None:
+        kept = kept.where(F.col("df") <= max_df)
+    n_docs = df.agg(F.count("*").cast("double").alias("n_docs"))
+    idf = kept.join(F.broadcast(n_docs)).select(
+        "term", F.log(F.col("n_docs") / F.col("df")).alias("idf")
+    )
+    wgt = tf.join(idf, "term").select(
+        id_col, "term", (F.col("tf") * F.col("idf")).alias("wv")
+    )
+    dsum = lambda c: F.sum(c.cast("decimal(28,8)")).cast("double")  # noqa: E731
+    norms = wgt.groupBy(id_col).agg(
+        F.sqrt(dsum(F.col("wv") * F.col("wv"))).alias("nr")
+    )
+    a = wgt.alias("a").hint("shuffle_hash")
+    b = wgt.alias("b").hint("shuffle_hash")
+    dot = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(dsum(F.col("a.wv") * F.col("b.wv")).alias("_dot"))
+    )
+    na = norms.select(F.col(id_col).alias("doc_a"), F.col("nr").alias("_na"))
+    nb = norms.select(F.col(id_col).alias("doc_b"), F.col("nr").alias("_nb"))
+    return (
+        dot.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("cosine", F.col("_dot") / (F.col("_na") * F.col("_nb")))
+        .where(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", "cosine")
+    )
+
+
 def prefix_filtered_jaccard(
     df: DataFrame,
     id_col: str = "doc_id",

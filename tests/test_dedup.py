@@ -301,3 +301,81 @@ def test_prefix_filtered_jaccard_short_docs(spark):
         [(0, "one two"), (1, "one two"), (2, "")], ["doc_id", "text"]
     )
     assert prefix_filtered_jaccard(docs, threshold=0.5).count() == 0
+
+
+def _py_tfidf_cosine(corpus, term_n=2, min_df=2, max_df=None):
+    """Python oracle for tfidf_cosine_pairs: bigram tf-idf vectors over
+    the df-pruned vocabulary, plain-float cosine (the operator's decimal
+    dsum quantizes each addend to 8 decimal places, so Spark values sit
+    within ~1e-8 of the unquantized float oracle — compared at 1e-6)."""
+    import math
+    from collections import Counter
+
+    tfs = {}
+    for doc_id, text in corpus:
+        w = text.lower().split()
+        tfs[doc_id] = Counter(
+            " ".join(w[i : i + term_n]) for i in range(len(w) - term_n + 1)
+        )
+    df = Counter(t for c in tfs.values() for t in c)
+    n = len(corpus)
+    idf = {
+        t: math.log(n / d)
+        for t, d in df.items()
+        if d >= min_df and (max_df is None or d <= max_df)
+    }
+    vecs = {
+        doc: {t: tf * idf[t] for t, tf in c.items() if t in idf}
+        for doc, c in tfs.items()
+    }
+    out = {}
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            common = set(vecs[a]) & set(vecs[b])
+            if not common:
+                continue
+            dot = sum(vecs[a][t] * vecs[b][t] for t in common)
+            na = math.sqrt(sum(v * v for v in vecs[a].values()))
+            nb = math.sqrt(sum(v * v for v in vecs[b].values()))
+            out[(a, b)] = dot / (na * nb)
+    return out
+
+
+def test_tfidf_cosine_matches_python_oracle(spark, docs):
+    from etl_mudah_spark.operators.dedup import tfidf_cosine_pairs
+
+    want = _py_tfidf_cosine(CORPUS)
+    got = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in tfidf_cosine_pairs(docs, threshold=0.0).collect()
+    }
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-6, k
+    # the exact-duplicate pair is a perfect cosine, near-dup close below
+    assert abs(got[(0, 1)] - 1.0) < 1e-6
+    assert 0.8 < got[(0, 2)] < 1.0
+
+
+def test_tfidf_cosine_max_df_prunes_space_not_just_index(spark):
+    """max_df drops boilerplate terms from the SPACE (weights and norms
+    together): two docs whose entire overlap is a hot template get NO
+    pair at all, while a pair sharing rare terms keeps a true cosine
+    in the reduced space — recomputed by the Python oracle with the
+    same cap."""
+    from etl_mudah_spark.operators.dedup import tfidf_cosine_pairs
+
+    boiler = "posted by authorized dealer call now "
+    corpus = [(i, boiler + f"tail{i} tok{i} x{i} y{i}") for i in range(12)]
+    corpus += [(100, boiler + "tail3 tok3 x3 zz zz")]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in tfidf_cosine_pairs(df, threshold=0.0, max_df=5).collect()
+    }
+    want = _py_tfidf_cosine(corpus, max_df=5)
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-6, k
+    assert (3, 100) in got  # rare-term overlap survives the cap
