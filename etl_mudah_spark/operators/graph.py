@@ -413,3 +413,124 @@ def pagerank(
         )
         prev.unpersist()
     return ranks
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (degree-oriented)
+# ---------------------------------------------------------------------------
+
+def triangles(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+) -> DataFrame:
+    """Every triangle in the undirected graph, exactly once, as
+    ``(n1, n2, n3)`` with ``n1 < n2 < n3`` — the cohesion primitive on
+    top of the pair graphs this module's dedup family emits (a triangle
+    is three MUTUALLY similar docs; a dup-pair edge with no closing
+    third side is far weaker evidence of a real cluster).
+
+    Degree-oriented wedge join [Suri & Vassilvitskii, "Counting
+    Triangles and the Curse of the Last Reducer", WWW'11]: each
+    undirected edge is directed from the lower to the higher endpoint
+    under the total order (degree, node), wedges are generated per
+    SOURCE node from its out-neighbors, and a wedge (v, w) is a
+    triangle iff the oriented edge (v, w) exists. Orientation bounds
+    every node's out-degree at O(√m) regardless of its real degree —
+    the hub that would generate deg² wedges under naive a<b ordering
+    generates almost none, because high-degree nodes sort LAST and
+    receive edges instead of emitting them. Work is O(Σ outdeg²) ≤
+    O(m^1.5), the sequential optimum for triangle listing, in three
+    shuffles (degree agg, wedge self-join, closing-edge semi-join).
+    Self-loops are dropped; parallel edges count once.
+    """
+    lo, hi = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    e = (
+        edges.select(lo.alias("_u"), hi.alias("_v"))
+        .where(F.col("_u") != F.col("_v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("_u").alias("node"))
+        .unionByName(e.select(F.col("_v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("_deg"))
+    )
+    du = deg.select(F.col("node").alias("_u"), F.col("_deg").alias("_du"))
+    dv = deg.select(F.col("node").alias("_v"), F.col("_deg").alias("_dv"))
+    ranked = e.join(du, "_u").join(dv, "_v")
+    u_first = (F.col("_du") < F.col("_dv")) | (
+        (F.col("_du") == F.col("_dv")) & (F.col("_u") < F.col("_v"))
+    )
+    oriented = ranked.select(
+        F.when(u_first, F.col("_u")).otherwise(F.col("_v")).alias("_s"),
+        F.when(u_first, F.col("_v")).otherwise(F.col("_u")).alias("_t"),
+        F.when(u_first, F.col("_dv")).otherwise(F.col("_du")).alias("_dt"),
+    )
+    w1 = oriented.select(
+        F.col("_s"), F.col("_t").alias("_x"), F.col("_dt").alias("_dx")
+    )
+    w2 = oriented.select(
+        F.col("_s"), F.col("_t").alias("_y"), F.col("_dt").alias("_dy")
+    )
+    # wedge (x, y) ordered by the same (deg, node) rank so each wedge is
+    # generated once and matches the oriented closing edge's direction.
+    wedges = w1.join(w2, "_s").where(
+        (F.col("_dx") < F.col("_dy"))
+        | ((F.col("_dx") == F.col("_dy")) & (F.col("_x") < F.col("_y")))
+    )
+    closing = oriented.select(
+        F.col("_s").alias("_x"), F.col("_t").alias("_y")
+    )
+    tri = wedges.join(closing, ["_x", "_y"]).select("_s", "_x", "_y")
+    nodes = F.array_sort(F.array("_s", "_x", "_y"))
+    return tri.select(
+        nodes[0].alias("n1"), nodes[1].alias("n2"), nodes[2].alias("n3")
+    )
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+) -> DataFrame:
+    """One-row global cohesion summary of the undirected graph:
+    ``(n_edges, n_wedges, n_triangles, transitivity)`` where wedges are
+    unordered length-2 paths (Σ C(deg, 2)) and transitivity is the
+    global clustering coefficient 3·triangles / wedges (0.0 when the
+    graph has no wedge). All three counts are exact integers; the one
+    ratio is a single double division — deterministic across engines.
+    Three 1-row aggregates broadcast-crossJoined, never collected.
+    """
+    lo, hi = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    e = (
+        edges.select(lo.alias("_u"), hi.alias("_v"))
+        .where(F.col("_u") != F.col("_v"))
+        .distinct()
+    )
+    n_edges = e.agg(F.count("*").alias("n_edges"))
+    wedges = (
+        e.select(F.col("_u").alias("node"))
+        .unionByName(e.select(F.col("_v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("_deg"))
+        .agg(
+            F.sum(F.col("_deg") * (F.col("_deg") - 1) / 2)
+            .cast("bigint")
+            .alias("n_wedges")
+        )
+    )
+    n_tri = triangles(e, "_u", "_v").agg(F.count("*").alias("n_triangles"))
+    return (
+        n_edges.join(F.broadcast(wedges))
+        .join(F.broadcast(n_tri))
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(F.col("n_wedges") > 0,
+                   3.0 * F.col("n_triangles") / F.col("n_wedges"))
+            .otherwise(F.lit(0.0))
+            .alias("transitivity"),
+        )
+    )

@@ -630,6 +630,52 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_dup_triangles",
+    oracle=f"""
+    WITH {_jaccard_pairs_ctes(0.2)}, e AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+    ), deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT a AS node FROM e UNION ALL SELECT b FROM e
+        ) GROUP BY node
+    )
+    SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+           (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) FROM deg)
+               AS n_wedges,
+           (SELECT COUNT(*)
+            FROM e e1 JOIN e e2 ON e2.a = e1.b
+                      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+               AS n_triangles,
+           3.0 * (SELECT COUNT(*)
+                  FROM e e1 JOIN e e2 ON e2.a = e1.b
+                            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+               / (SELECT SUM(d * (d - 1) / 2) FROM deg) AS transitivity
+    """,
+    doc=(
+        "Cohesion of the exact near-dup pair graph: edges, wedges, "
+        "triangles, global clustering coefficient (degree-oriented "
+        "triangle listing; oracle is the naive a<b<c 3-way join)."
+    ),
+)
+def doc_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How clustered are the near-duplicates — a pair edge with a
+    closing third side is three MUTUALLY similar docs (template family),
+    while an open wedge is chaining through shared boilerplate; the
+    transitivity ratio is the one-number diagnostic that separates the
+    two regimes before dedup survivor selection. Triangle listing is
+    operators/graph.py:triangles — degree-oriented wedge join (Suri &
+    Vassilvitskii WW'11), O(m^1.5) work with hub out-degrees bounded
+    at O(√m) — so the plan survives the boilerplate-heavy corpus whose
+    hub nodes would make the oracle's naive a<b<c join quadratic."""
+    pairs = dd.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"),
+        threshold=0.2,
+        max_shingle_df=_NGRAM_MAX_SHINGLE_DF,
+    ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    return gr.triangle_stats(pairs)
+
+
 # ---------------------------------------------------------------------------
 # Embedding similarity
 # ---------------------------------------------------------------------------

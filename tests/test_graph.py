@@ -189,3 +189,62 @@ def test_pagerank_exact_mode_partition_invariant(spark):
     plain = {r["node"]: r["rank"] for r in pagerank(df, iterations=4).collect()}
     for k, v in one.items():
         assert abs(v / 1e9 - plain[k]) < 1e-6
+
+
+def _py_triangles(edges):
+    import itertools
+
+    adj = {}
+    es = set()
+    for a, b in edges:
+        if a == b:
+            continue
+        u, v = min(a, b), max(a, b)
+        es.add((u, v))
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tris = {
+        tuple(sorted(t))
+        for u, v in es
+        for t in ((u, v, w) for w in adj[u] & adj[v])
+    }
+    wedges = sum(len(n) * (len(n) - 1) // 2 for n in adj.values())
+    return es, wedges, tris
+
+
+def test_triangles_match_python_oracle(spark):
+    """Degree-oriented listing vs brute force on a graph with a hub
+    (star + clique + chain + isolated edge, parallel edges and a
+    self-loop thrown in)."""
+    from etl_mudah_spark.operators.graph import triangle_stats, triangles
+
+    edges = (
+        [(0, i) for i in range(1, 8)]            # star hub
+        + [(1, 2), (2, 3), (1, 3)]               # clique with the hub
+        + [(10, 11), (11, 12), (12, 13)]         # open chain
+        + [(20, 21), (21, 20), (5, 5)]           # parallel + self-loop
+    )
+    df = spark.createDataFrame(edges, "a bigint, b bigint")
+    es, wedges, tris = _py_triangles(edges)
+    got = {
+        (r["n1"], r["n2"], r["n3"]) for r in triangles(df).collect()
+    }
+    assert got == tris
+    stats = triangle_stats(df).collect()[0]
+    assert stats["n_edges"] == len(es)
+    assert stats["n_wedges"] == wedges
+    assert stats["n_triangles"] == len(tris)
+    assert abs(stats["transitivity"] - 3.0 * len(tris) / wedges) < 1e-12
+
+
+def test_triangles_complete_graph_and_empty(spark):
+    from etl_mudah_spark.operators.graph import triangle_stats, triangles
+
+    import itertools
+
+    k6 = list(itertools.combinations(range(6), 2))
+    df = spark.createDataFrame(k6, "a bigint, b bigint")
+    assert triangles(df).count() == 20  # C(6,3)
+    empty = spark.createDataFrame([(1, 2)], "a bigint, b bigint")
+    s = triangle_stats(empty).collect()[0]
+    assert (s["n_triangles"], s["n_wedges"], s["transitivity"]) == (0, 0, 0.0)
