@@ -1,0 +1,113 @@
+"""Feature-engineering operators for training-data prep: leakage-safe
+target encoding (the categorical-feature workhorse gradient-boosting
+pipelines expect) with deterministic fold assignment.
+
+Why out-of-fold: encoding a category by the mean of the target LEAKS
+the target into the feature (a category seen once carries its own
+label verbatim). The standard fix is K-fold: a row's encoding uses
+only the target statistics of the OTHER folds, plus m-smoothing toward
+the global prior so rare categories shrink to it:
+
+    enc(cat, fold) = (sum_other_folds + m·μ) / (n_other_folds + m)
+
+Determinism: fold assignment is a pure key function (``key % n_folds``
+— the same no-RNG discipline as doc_train_split), per-(cat, fold)
+target sums use the exact decimal lattice (functions/core._DEC) and
+out-of-fold numerators are DECIMAL subtractions — exact at any
+aggregation order — cast to double only for the final division, so two
+runs or two engines agree double for double.
+
+Scale shape: one shuffle on (cat, fold) with map-side partials; the
+category re-aggregation and the 1-row grand total are tiny; the
+encoder TABLE (|cats|·K rows) broadcasts back onto the training rows
+(:func:`attach_target_encoding`) — the fact table is never shuffled.
+
+Reference analog: none — the reference's ML prep is pandas
+get_dummies-style (streamlit/pages); this is the scale-path encoder a
+100 TB feature pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_mudah_spark.functions.core import _DEC
+
+
+def fold_assign(key: Column | str, n_folds: int) -> Column:
+    """Deterministic fold id in ``[0, n_folds)`` from an integer key —
+    a pure function, so retries, resumes, and SQL oracles reproduce the
+    same split (contract shared with doc_train_split's keymod)."""
+    k = F.col(key) if isinstance(key, str) else key
+    return F.pmod(k, F.lit(n_folds)).cast("int")
+
+
+def target_encode_oof(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    fold_col: str | Column,
+    smoothing: float = 20.0,
+) -> DataFrame:
+    """The out-of-fold encoder table: one row per observed
+    ``(cat, fold)`` with ``n_fold`` (rows of that cat IN the fold) and
+    ``encoding`` (the smoothed mean of the cat's target OUTSIDE the
+    fold). A category confined to one fold gets exactly the global
+    prior μ — the shrinkage limit, not a NaN.
+
+    Returns columns ``(cat_col, fold, n_fold, encoding)``.
+    """
+    fold = F.col(fold_col) if isinstance(fold_col, str) else fold_col
+    per = (
+        df.select(cat_col, fold.alias("fold"), F.col(target_col).alias("_y"))
+        .groupBy(cat_col, "fold")
+        .agg(
+            F.sum(F.col("_y").cast(_DEC)).alias("_fs"),
+            F.count("*").alias("_fn"),
+        )
+    )
+    tot = per.groupBy(cat_col).agg(
+        F.sum("_fs").alias("_ts"), F.sum("_fn").alias("_tn")
+    )
+    grand = tot.agg(F.sum("_ts").alias("_gs"), F.sum("_tn").alias("_gn"))
+    mu = F.col("_gs").cast("double") / F.col("_gn")
+    enc = (
+        (F.col("_ts") - F.col("_fs")).cast("double") + smoothing * mu
+    ) / (F.col("_tn") - F.col("_fn") + smoothing)
+    return (
+        per.join(tot, cat_col)
+        .join(F.broadcast(grand))
+        .select(
+            cat_col,
+            "fold",
+            F.col("_fn").alias("n_fold"),
+            enc.alias("encoding"),
+        )
+    )
+
+
+def attach_target_encoding(
+    df: DataFrame,
+    encoder: DataFrame,
+    cat_col: str,
+    fold_col: str | Column,
+    out_col: str = "cat_enc",
+) -> DataFrame:
+    """Join the (tiny) encoder table back onto the training rows — a
+    broadcast map-side join, the fact side is never shuffled. Rows of
+    unseen (cat, fold) combinations keep a null encoding (impute with
+    the prior downstream if the split can produce them)."""
+    fold = F.col(fold_col) if isinstance(fold_col, str) else fold_col
+    e = F.broadcast(
+        encoder.select(
+            F.col(cat_col).alias("_ec"),
+            F.col("fold").alias("_ef"),
+            F.col("encoding").alias(out_col),
+        )
+    )
+    return df.withColumn("_fold", fold).join(
+        e,
+        (F.col(cat_col) == F.col("_ec")) & (F.col("_fold") == F.col("_ef")),
+        "left",
+    ).drop("_ec", "_ef", "_fold")

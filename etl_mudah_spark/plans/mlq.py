@@ -277,3 +277,58 @@ def emb_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vecs bigint, total_var double, evr_monotone boolean, "
         "evr_sum_ok boolean, pc1_var_ok boolean",
     )
+
+
+@register(
+    "part_brand_target_encoding",
+    oracle="""
+    WITH rows_f AS (
+        SELECT p_brand, CAST(p_partkey % 5 AS INT) AS fold,
+               p_retailprice AS y
+        FROM part
+    ), per AS (
+        SELECT p_brand, fold,
+               SUM(CAST(y AS DECIMAL(18,6))) AS fs,
+               COUNT(*) AS fn
+        FROM rows_f GROUP BY 1, 2
+    ), tot AS (
+        SELECT p_brand, SUM(fs) AS ts, SUM(fn) AS tn FROM per GROUP BY 1
+    ), grand AS (
+        SELECT CAST(SUM(ts) AS DOUBLE) / SUM(tn) AS mu FROM tot
+    )
+    SELECT per.p_brand, per.fold, CAST(per.fn AS BIGINT) AS n_fold,
+           (CAST(tot.ts - per.fs AS DOUBLE) + 20.0 * grand.mu)
+               / (tot.tn - per.fn + 20.0) AS encoding
+    FROM per JOIN tot USING (p_brand) CROSS JOIN grand
+    ORDER BY per.p_brand, per.fold
+    """,
+    doc=(
+        "Leakage-safe 5-fold out-of-fold target encoding of p_brand by "
+        "p_retailprice (m=20 smoothing toward the global prior); "
+        "decimal-exact numerators, keymod folds."
+    ),
+)
+def part_brand_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The categorical-feature encoder table (ml/features.py
+    target_encode_oof): each (brand, fold) cell's encoding uses only
+    the OTHER folds' target sums — the standard leakage-safe mean
+    encoding — shrunk toward the global mean with m=20. Folds are
+    p_partkey % 5 (pure key function, no RNG). One (cat, fold) shuffle
+    with map-side partials; the encoder table is 125 rows and
+    broadcasts back onto training rows via attach_target_encoding —
+    the fact side never shuffles. Decimal-lattice sums and exact
+    decimal subtraction make the out-of-fold numerator independent of
+    aggregation order, so both engines land identical doubles."""
+    from etl_mudah_spark.ml.features import fold_assign, target_encode_oof
+
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    enc = target_encode_oof(
+        part.withColumn("fold", fold_assign("p_partkey", 5)),
+        cat_col="p_brand",
+        target_col="p_retailprice",
+        fold_col="fold",
+        smoothing=20.0,
+    )
+    return enc.orderBy("p_brand", "fold")

@@ -129,3 +129,71 @@ def test_doc_quality_model_auc_floor(spark):
     assert row["n_rows"] > 0
     assert 0 < row["n_positive"] < row["n_rows"]
     assert row["auc_ok"], "AUC below the QUALITY_AUC_FLOOR band"
+
+
+def test_target_encode_oof_matches_python(spark):
+    """Encoder table vs a Python oracle on a hand mix: multi-fold
+    categories, a single-fold category (must land exactly on the
+    global prior), and m-shrinkage."""
+    from etl_mudah_spark.ml.features import fold_assign, target_encode_oof
+
+    rows = [
+        # (key, cat, y)
+        (0, "a", 10.0), (1, "a", 20.0), (2, "a", 30.0), (3, "a", 40.0),
+        (4, "b", 100.0), (5, "b", 200.0),
+        (6, "c", 7.0),  # alone, key%2=0 -> single fold
+    ]
+    df = spark.createDataFrame(rows, "k bigint, cat string, y double")
+    enc = target_encode_oof(
+        df.withColumn("fold", fold_assign("k", 2)),
+        "cat", "y", "fold", smoothing=3.0,
+    )
+    got = {(r["cat"], r["fold"]): (r["n_fold"], r["encoding"]) for r in enc.collect()}
+
+    mu = sum(y for _, _, y in rows) / len(rows)
+    def oof(cat, fold):
+        inside = [y for k, c, y in rows if c == cat and k % 2 == fold]
+        outside = [y for k, c, y in rows if c == cat and k % 2 != fold]
+        return len(inside), (sum(outside) + 3.0 * mu) / (len(outside) + 3.0)
+
+    for (cat, fold), (n, e) in got.items():
+        wn, we = oof(cat, fold)
+        assert n == wn and abs(e - we) < 1e-9, (cat, fold)
+    # the lone category's encoding is exactly the global prior
+    assert abs(got[("c", 0)][1] - mu) < 1e-9
+    # leakage check: a fold's own y values never move its encoding —
+    # perturbing IN-fold targets leaves the encoding unchanged
+    rows2 = [(k, c, y + (999.0 if c == "a" and k % 2 == 0 else 0.0))
+             for k, c, y in rows]
+    df2 = spark.createDataFrame(rows2, "k bigint, cat string, y double")
+    enc2 = target_encode_oof(
+        df2.withColumn("fold", fold_assign("k", 2)),
+        "cat", "y", "fold", smoothing=3.0,
+    )
+    got2 = {(r["cat"], r["fold"]): r["encoding"] for r in enc2.collect()}
+    # mu moved, so compare against the recomputed oracle instead of got:
+    mu2 = sum(y for _, _, y in rows2) / len(rows2)
+    out_a0 = [y for k, c, y in rows2 if c == "a" and k % 2 != 0]
+    assert abs(got2[("a", 0)] - (sum(out_a0) + 3.0 * mu2) / (len(out_a0) + 3.0)) < 1e-9
+
+
+def test_attach_target_encoding_broadcast_join(spark):
+    from pyspark.sql import functions as F
+
+    from etl_mudah_spark.ml.features import (
+        attach_target_encoding,
+        fold_assign,
+        target_encode_oof,
+    )
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("c"), (F.col("id") % 4).cast("string")).alias("cat"),
+        (F.col("id") % 13).cast("double").alias("y"),
+    ).withColumn("fold", fold_assign("k", 5))
+    enc = target_encode_oof(df, "cat", "y", "fold")
+    out = attach_target_encoding(df, enc, "cat", "fold")
+    assert out.count() == 100
+    assert out.where(F.col("cat_enc").isNull()).count() == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
