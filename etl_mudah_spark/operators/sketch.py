@@ -172,3 +172,127 @@ def hll_distinct(
     return hll_estimate_from_registers(
         hll_registers(df, group_cols, value_col, p), group_cols, p
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (frequency estimation / heavy hitters)
+# ---------------------------------------------------------------------------
+# d independent hash rows come from XORing the key with a fixed seed
+# before the same 31-bit avalanche — xor and the mixer are exact in
+# both engines, so unlike HLL's float estimator the WHOLE CMS path is
+# integer arithmetic: counters are sums, the estimate is a MIN, and
+# cross-engine agreement is exact by construction.
+CMS_SEEDS = (0, 0x517C_C1B7, 0x2545_F491, 0x1966_0D4D,
+             0x68E3_1DA4, 0x0B49_2B79, 0x7FEB_352D)
+_CMS_WIDTH = 1 << 11
+_CMS_DEPTH = 4
+
+
+def cms_counters(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    width: int = _CMS_WIDTH,
+    depth: int = _CMS_DEPTH,
+) -> DataFrame:
+    """The sketch STATE: occurrence counts per (group, row, col) —
+    at most ``depth × width`` rows per group whatever the key
+    cardinality (the fixed-size substitute for a full per-key count
+    when the key space is open-ended: URLs, user ids, shingles).
+    Columns: group_cols..., row int, col int, cnt bigint. One shuffle
+    on (group, row, col) with map-side partial sums; the input is
+    widened ``depth×`` BEFORE the shuffle but collapses to the bounded
+    counter table inside the partial aggregate."""
+    if not 1 <= depth <= len(CMS_SEEDS):
+        raise ValueError(f"depth must be in [1, {len(CMS_SEEDS)}], got {depth}")
+    gb = [F.col(c) for c in group_cols]
+    rowcols = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    F.pmod(
+                        hll_hash(F.col(value_col).bitwiseXOR(F.lit(seed))),
+                        F.lit(width),
+                    )
+                    .cast("int")
+                    .alias("col"),
+                )
+                for i, seed in enumerate(CMS_SEEDS[:depth])
+            ]
+        )
+    ).alias("_rc")
+    return (
+        df.select(*gb, rowcols)
+        .groupBy(*group_cols, F.col("_rc.row").alias("row"), F.col("_rc.col").alias("col"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_merge_counters(
+    a: DataFrame, b: DataFrame, group_cols: Sequence[str]
+) -> DataFrame:
+    """Merge two sketches: union + SUM per counter (associative and
+    commutative — the linear-sketch property that lets daily partial
+    sketches roll up into monthly ones; NOT idempotent, as befits a
+    frequency counter)."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame,
+    keys: DataFrame,
+    group_cols: Sequence[str],
+    key_col: str,
+    width: int = _CMS_WIDTH,
+    depth: int = _CMS_DEPTH,
+    out_col: str = "cms_count",
+) -> DataFrame:
+    """Point-estimate the frequency of every row of ``keys`` (columns:
+    group_cols... + key_col): MIN over the d rows of the counter each
+    hash lands in. Guaranteed >= the true count (never an undercount);
+    over by at most ~2n/width with probability 1 − 2^-depth. The probe
+    re-derives the same (row, col) cells and joins the counter table —
+    integer MIN, so the estimate is exactly reproducible anywhere the
+    mixer is."""
+    if not 1 <= depth <= len(CMS_SEEDS):
+        raise ValueError(f"depth must be in [1, {len(CMS_SEEDS)}], got {depth}")
+    gb = [F.col(c) for c in group_cols]
+    rowcols = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    F.pmod(
+                        hll_hash(F.col(key_col).bitwiseXOR(F.lit(seed))),
+                        F.lit(width),
+                    )
+                    .cast("int")
+                    .alias("col"),
+                )
+                for i, seed in enumerate(CMS_SEEDS[:depth])
+            ]
+        )
+    ).alias("_rc")
+    probes = keys.select(
+        *gb,
+        F.col(key_col),
+        rowcols,
+    ).select(
+        *group_cols, key_col,
+        F.col("_rc.row").alias("row"),
+        F.col("_rc.col").alias("col"),
+    )
+    # inner join: a key that was sketched always finds its own cells
+    # (its own occurrences put them there); an unsketched key would
+    # need a left join + coalesce(0) — callers probing foreign keys
+    # should pre-filter or accept the inner-join drop.
+    return (
+        probes.join(counters, [*group_cols, "row", "col"])
+        .groupBy(*group_cols, key_col)
+        .agg(F.min("cnt").alias(out_col))
+    )

@@ -20,10 +20,11 @@ Importing this package registers every declared query into
 # round's window was frozen at 50: lineitem_zone_pruned_revenue,
 # orders_hll_distinct, doc_stratified_sample,
 # supplier_customer_pagerank, doc_tfidf_similar, doc_dup_triangles,
-# lineitem_bloom_semijoin, part_brand_target_encoding. All registered
-# queries are additionally sim-checked at sf0.01 AND sf0.1 every
-# round regardless (scripts/driver_sim.py; round-8 final: 159
-# registered, 159 with oracles — zero rows-only).
+# lineitem_bloom_semijoin, part_brand_target_encoding,
+# orders_cms_heavy_customers. All registered queries are additionally
+# sim-checked at sf0.01 AND sf0.1 every round regardless
+# (scripts/driver_sim.py; round-8 final: 160 registered, 160 with
+# oracles — zero rows-only).
 from etl_mudah_spark.plans import registry  # noqa: F401
 from etl_mudah_spark.plans import parity  # noqa: F401
 from etl_mudah_spark.plans import datapipe  # noqa: F401

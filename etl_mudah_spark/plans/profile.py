@@ -677,3 +677,113 @@ def orders_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+_CMS_W = 2048
+_CMS_SEED_VALUES = ", ".join(
+    f"({i}, {s})" for i, s in enumerate(sk.CMS_SEEDS[:4])
+)
+
+
+@register(
+    "orders_cms_heavy_customers",
+    oracle=f"""
+    WITH seeds(rw, sd) AS (VALUES {_CMS_SEED_VALUES}),
+    base AS (
+        SELECT o_orderpriority AS pri, o_custkey AS key FROM orders
+    ), x0 AS (
+        SELECT pri, key, rw, xor(key, sd) % {sk.HLL_M} AS x
+        FROM base CROSS JOIN seeds
+    ), m1 AS (
+        SELECT pri, key, rw, (xor(x >> 16, x) * {sk.HLL_MULT}) % {sk.HLL_M} AS x
+        FROM x0
+    ), m2 AS (
+        SELECT pri, key, rw, (xor(x >> 16, x) * {sk.HLL_MULT}) % {sk.HLL_M} AS x
+        FROM m1
+    ), h AS (
+        SELECT pri, key, rw, xor(x >> 16, x) % {_CMS_W} AS col FROM m2
+    ), cnt AS (
+        SELECT pri, rw, col, COUNT(*) AS c FROM h GROUP BY 1, 2, 3
+    ), kcell AS (
+        SELECT DISTINCT pri, key, rw, col FROM h
+    ), est AS (
+        SELECT k.pri, k.key, MIN(c.c) AS cms_count
+        FROM kcell k JOIN cnt c ON c.pri = k.pri AND c.rw = k.rw AND c.col = k.col
+        GROUP BY 1, 2
+    ), exact AS (
+        SELECT pri, key, COUNT(*) AS exact_cnt FROM base GROUP BY 1, 2
+    ), top AS (
+        SELECT pri, key, exact_cnt,
+               ROW_NUMBER() OVER (PARTITION BY pri ORDER BY exact_cnt DESC, key)
+                   AS rn
+        FROM exact
+    )
+    SELECT t.pri AS o_orderpriority, t.key AS o_custkey,
+           CAST(t.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(e.cms_count AS BIGINT) AS cms_count,
+           CAST(e.cms_count - t.exact_cnt AS BIGINT) AS overcount
+    FROM top t JOIN est e ON e.pri = t.pri AND e.key = t.key
+    WHERE t.rn <= 5
+    ORDER BY o_orderpriority, exact_cnt DESC, o_custkey
+    """,
+    doc=(
+        "Count-Min heavy hitters: top-5 customers per priority with "
+        "the CMS frequency estimate next to the exact count — the "
+        "sketch is pure integer arithmetic (xor-avalanche rows, sum "
+        "counters, MIN estimate), so the oracle reproduces it exactly."
+    ),
+)
+def orders_cms_heavy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency estimation with bounded state
+    (operators/sketch.py cms_counters/cms_estimate): the counter table
+    is depth×width cells per group REGARDLESS of key cardinality —
+    the open-key-space substitute for a full per-key count, and like
+    the HLL registers a persistable, union-SUM-mergeable artifact
+    (daily sketches roll up linearly). The registered query probes the
+    exact top-5 customers per priority and shows estimate vs truth:
+    CMS never undercounts (overcount >= 0, typically 0 here since
+    2048 cells x 4 rows dwarf the sf0.01 key space). Everything —
+    mixer, counters, MIN — is exact integer arithmetic, so unlike
+    classic float sketches the estimate itself is oracle-hash-green."""
+    from pyspark.sql import Window as W
+
+    o = load(spark, sf_dir, "orders").select("o_orderpriority", "o_custkey")
+    counters = sk.cms_counters(
+        o, ["o_orderpriority"], "o_custkey", width=_CMS_W, depth=4
+    )
+    exact = o.groupBy("o_orderpriority", "o_custkey").agg(
+        F.count("*").alias("exact_cnt")
+    )
+    top = (
+        exact.withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("o_orderpriority").orderBy(
+                    F.desc("exact_cnt"), F.asc("o_custkey")
+                )
+            ),
+        )
+        .where(F.col("_rn") <= 5)
+        .drop("_rn")
+    )
+    est = sk.cms_estimate(
+        counters,
+        top.select("o_orderpriority", "o_custkey"),
+        ["o_orderpriority"],
+        "o_custkey",
+        width=_CMS_W,
+        depth=4,
+    )
+    return (
+        top.join(est, ["o_orderpriority", "o_custkey"])
+        .select(
+            "o_orderpriority",
+            "o_custkey",
+            "exact_cnt",
+            F.col("cms_count").cast("bigint").alias("cms_count"),
+            (F.col("cms_count") - F.col("exact_cnt"))
+            .cast("bigint")
+            .alias("overcount"),
+        )
+        .orderBy("o_orderpriority", F.desc("exact_cnt"), "o_custkey")
+    )

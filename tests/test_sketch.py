@@ -73,3 +73,61 @@ def test_hll_register_state_is_bounded(spark):
     sizes = {r["grp"]: r["n"] for r in
              reg.groupBy("grp").agg(F.count("*").alias("n")).collect()}
     assert sizes["a"] <= 256 and sizes["b"] <= 256
+
+
+def test_cms_never_undercounts_and_is_tight_when_wide(spark):
+    """A zipf-ish stream: estimate >= truth for EVERY key, and with
+    width >> keys the estimate is exactly the truth."""
+    from pyspark.sql import functions as F
+
+    from etl_mudah_spark.operators.sketch import cms_counters, cms_estimate
+
+    rows = [(k,) for k in range(50) for _ in range(50 - k)]  # key k appears 50-k times
+    df = spark.createDataFrame(rows, "k bigint").withColumn("g", F.lit("x"))
+    counters = cms_counters(df, ["g"], "k", width=1024, depth=4)
+    keys = df.select("g", "k").distinct()
+    got = {
+        r["k"]: r["cms_count"]
+        for r in cms_estimate(counters, keys, ["g"], "k", width=1024, depth=4).collect()
+    }
+    for k in range(50):
+        assert got[k] >= 50 - k
+        assert got[k] == 50 - k  # wide sketch, tiny key space: exact
+
+
+def test_cms_overcounts_bounded_under_collision_pressure(spark):
+    """Squeeze 2000 uniform keys into width 64: the classic bound says
+    est - truth <= ~2n/width with prob 1 - 2^-depth per key; assert the
+    MEAN overcount stays within the bound and no key undercounts."""
+    from pyspark.sql import functions as F
+
+    from etl_mudah_spark.operators.sketch import cms_counters, cms_estimate
+
+    n = 2000
+    df = spark.range(n).select(F.col("id").alias("k"), F.lit("x").alias("g"))
+    counters = cms_counters(df, ["g"], "k", width=64, depth=4)
+    est = cms_estimate(
+        counters, df.select("g", "k"), ["g"], "k", width=64, depth=4
+    ).collect()
+    overs = [r["cms_count"] - 1 for r in est]
+    assert len(est) == n
+    assert min(overs) >= 0
+    assert sum(overs) / n <= 2 * n / 64
+
+
+def test_cms_merge_equals_one_shot(spark):
+    """Linear-sketch law: sketch(A) + sketch(B) == sketch(A ∪ B),
+    cell for cell — so daily partials roll up exactly."""
+    from pyspark.sql import functions as F
+
+    from etl_mudah_spark.operators.sketch import cms_counters, cms_merge_counters
+
+    a = spark.range(0, 300).select((F.col("id") % 40).alias("k"), F.lit("x").alias("g"))
+    b = spark.range(300, 1000).select((F.col("id") % 97).alias("k"), F.lit("x").alias("g"))
+    merged = cms_merge_counters(
+        cms_counters(a, ["g"], "k", width=128, depth=3),
+        cms_counters(b, ["g"], "k", width=128, depth=3),
+        ["g"],
+    )
+    whole = cms_counters(a.unionByName(b), ["g"], "k", width=128, depth=3)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
