@@ -141,8 +141,11 @@ def bloom_semi_join(
     bytes when the dim predicate is selective."""
     bloom = bloom_build(dim.select(dim_key), dim_key, n_bits, k)
     pruned = bloom_prune(fact, fact_key, bloom, n_bits, k)
+    # no distinct on the dim side: left_semi already emits each fact
+    # row at most once, and a distinct would add a dim-wide shuffle —
+    # the very cost this operator exists to avoid.
     return pruned.join(
-        dim.select(F.col(dim_key).alias("_dk")).distinct(),
+        dim.select(F.col(dim_key).alias("_dk")),
         pruned[fact_key] == F.col("_dk"),
         "left_semi",
     )

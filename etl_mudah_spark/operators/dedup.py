@@ -379,10 +379,14 @@ def tfidf_cosine_pairs(
     Returns ``(doc_a, doc_b, cosine)`` with cosine ≥ ``threshold`` and
     ``doc_a < doc_b``. Terms are lowercased word ``term_n``-grams WITH
     multiplicity (tf); idf = ln(N / df); the vector space is the
-    ``min_df``/``max_df``-pruned vocabulary (df-1 terms can never pair
-    through the index, so ``min_df=2`` prunes the posting tail for
-    free without changing any pair's cosine — both the weight AND the
-    norm see the same pruned space, keeping cosine a true cosine).
+    ``min_df``/``max_df``-pruned vocabulary. df-1 terms can never
+    create a pair through the index, so ``min_df=2`` prunes the
+    posting tail at no recall cost — but it is NOT value-neutral:
+    docs containing df-1 terms lose them from their NORMS too, so
+    such pairs' cosines are higher than in the unpruned space. The
+    semantics are "exact cosine in the pruned vocabulary" (weights
+    and norms always see the same space), not "unpruned cosine,
+    computed cheaper".
 
     Determinism across engines: idf and the per-term weights are plain
     double arithmetic (bit-identical given identical inputs), and both

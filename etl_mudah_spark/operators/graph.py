@@ -386,10 +386,19 @@ def pagerank(
         with_deg = ranks.join(
             out_deg, ranks.node == out_deg._src, "left"
         ).select("node", "rank", "_deg")
-        # mass from dangling nodes (no out-edges) spreads uniformly
+        # mass from dangling nodes (no out-edges) spreads uniformly.
+        # Under exact_contrib_decimal the dangling sum must use the
+        # same exact-decimal discipline as the push sum — a plain
+        # double sum here would reintroduce the association-order
+        # dependence the mode exists to remove.
+        dangling_sum = (
+            F.sum(F.col("rank").cast(exact_contrib_decimal)).cast("double")
+            if exact_contrib_decimal
+            else F.sum("rank")
+        )
         dangling = (
             with_deg.where(F.col("_deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+            .agg(F.coalesce(dangling_sum, F.lit(0.0)).alias("_dm"))
             .first()["_dm"]
         )
         pushed = (
@@ -444,12 +453,24 @@ def triangles(
     shuffles (degree agg, wedge self-join, closing-edge semi-join).
     Self-loops are dropped; parallel edges count once.
     """
+    return _triangles_canonical(_canon_undirected(edges, src, dst))
+
+
+def _canon_undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge list as distinct ``(_u < _v)`` rows — self-loops
+    dropped, parallel edges collapsed."""
     lo, hi = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
-    e = (
+    return (
         edges.select(lo.alias("_u"), hi.alias("_v"))
         .where(F.col("_u") != F.col("_v"))
         .distinct()
     )
+
+
+def _triangles_canonical(e: DataFrame) -> DataFrame:
+    """:func:`triangles` on an already-canonical ``(_u, _v)`` edge list
+    (the shared core, so :func:`triangle_stats` never canonicalizes —
+    or re-executes the upstream pair computation — twice)."""
     deg = (
         e.select(F.col("_u").alias("node"))
         .unionByName(e.select(F.col("_v").alias("node")))
@@ -498,16 +519,16 @@ def triangle_stats(
     ``(n_edges, n_wedges, n_triangles, transitivity)`` where wedges are
     unordered length-2 paths (Σ C(deg, 2)) and transitivity is the
     global clustering coefficient 3·triangles / wedges (0.0 when the
-    graph has no wedge). All three counts are exact integers; the one
-    ratio is a single double division — deterministic across engines.
-    Three 1-row aggregates broadcast-crossJoined, never collected.
+    graph has no wedge). All three counts are exact INTEGER arithmetic
+    (``deg·(deg−1) DIV 2`` summed as bigint — no double sum to go
+    inexact past 2^53 on hub-heavy graphs); the one ratio is a single
+    double division — deterministic across engines. Three 1-row
+    aggregates broadcast-crossJoined, never collected. The canonical
+    edge list is localCheckpointed once: three aggregates consume it,
+    and without truncation each would re-execute the (often expensive
+    — e.g. an inverted-index self-join) upstream pair plan.
     """
-    lo, hi = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
-    e = (
-        edges.select(lo.alias("_u"), hi.alias("_v"))
-        .where(F.col("_u") != F.col("_v"))
-        .distinct()
-    )
+    e = _canon_undirected(edges, src, dst).localCheckpoint(eager=True)
     n_edges = e.agg(F.count("*").alias("n_edges"))
     wedges = (
         e.select(F.col("_u").alias("node"))
@@ -515,12 +536,14 @@ def triangle_stats(
         .groupBy("node")
         .agg(F.count("*").alias("_deg"))
         .agg(
-            F.sum(F.col("_deg") * (F.col("_deg") - 1) / 2)
+            F.coalesce(
+                F.sum(F.expr("_deg * (_deg - 1) DIV 2")), F.lit(0)
+            )
             .cast("bigint")
             .alias("n_wedges")
         )
     )
-    n_tri = triangles(e, "_u", "_v").agg(F.count("*").alias("n_triangles"))
+    n_tri = _triangles_canonical(e).agg(F.count("*").alias("n_triangles"))
     return (
         n_edges.join(F.broadcast(wedges))
         .join(F.broadcast(n_tri))

@@ -188,6 +188,31 @@ _CMS_WIDTH = 1 << 11
 _CMS_DEPTH = 4
 
 
+
+def _cms_cells(key: Column, width: int, depth: int) -> Column:
+    """The exploded (row, col) counter cells of ``key`` — the ONE
+    definition of the cell derivation, shared by build and probe (a
+    drift between the two would silently probe the wrong cells)."""
+    if not 1 <= depth <= len(CMS_SEEDS):
+        raise ValueError(f"depth must be in [1, {len(CMS_SEEDS)}], got {depth}")
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    F.pmod(
+                        hll_hash(key.bitwiseXOR(F.lit(seed))),
+                        F.lit(width),
+                    )
+                    .cast("int")
+                    .alias("col"),
+                )
+                for i, seed in enumerate(CMS_SEEDS[:depth])
+            ]
+        )
+    )
+
+
 def cms_counters(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -203,25 +228,8 @@ def cms_counters(
     on (group, row, col) with map-side partial sums; the input is
     widened ``depth×`` BEFORE the shuffle but collapses to the bounded
     counter table inside the partial aggregate."""
-    if not 1 <= depth <= len(CMS_SEEDS):
-        raise ValueError(f"depth must be in [1, {len(CMS_SEEDS)}], got {depth}")
     gb = [F.col(c) for c in group_cols]
-    rowcols = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("row"),
-                    F.pmod(
-                        hll_hash(F.col(value_col).bitwiseXOR(F.lit(seed))),
-                        F.lit(width),
-                    )
-                    .cast("int")
-                    .alias("col"),
-                )
-                for i, seed in enumerate(CMS_SEEDS[:depth])
-            ]
-        )
-    ).alias("_rc")
+    rowcols = _cms_cells(F.col(value_col), width, depth).alias("_rc")
     return (
         df.select(*gb, rowcols)
         .groupBy(*group_cols, F.col("_rc.row").alias("row"), F.col("_rc.col").alias("col"))
@@ -259,25 +267,8 @@ def cms_estimate(
     re-derives the same (row, col) cells and joins the counter table —
     integer MIN, so the estimate is exactly reproducible anywhere the
     mixer is."""
-    if not 1 <= depth <= len(CMS_SEEDS):
-        raise ValueError(f"depth must be in [1, {len(CMS_SEEDS)}], got {depth}")
     gb = [F.col(c) for c in group_cols]
-    rowcols = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("row"),
-                    F.pmod(
-                        hll_hash(F.col(key_col).bitwiseXOR(F.lit(seed))),
-                        F.lit(width),
-                    )
-                    .cast("int")
-                    .alias("col"),
-                )
-                for i, seed in enumerate(CMS_SEEDS[:depth])
-            ]
-        )
-    ).alias("_rc")
+    rowcols = _cms_cells(F.col(key_col), width, depth).alias("_rc")
     probes = keys.select(
         *gb,
         F.col(key_col),

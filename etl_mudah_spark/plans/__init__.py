@@ -16,8 +16,8 @@ Importing this package registers every declared query into
 # round-8 additions — after this round every registered query's newest
 # driver row is r6+. Round-9 should rotate to the then-oldest r6 rows
 # (alphabetically-first of the 50 CORRECTNESS_r06 names) plus any
-# round-9 additions AND the four queries registered after this
-# round's window was frozen at 50: lineitem_zone_pruned_revenue,
+# round-9 additions AND the queries registered after this round's
+# window was frozen at 50 (nine so far): lineitem_zone_pruned_revenue,
 # orders_hll_distinct, doc_stratified_sample,
 # supplier_customer_pagerank, doc_tfidf_similar, doc_dup_triangles,
 # lineitem_bloom_semijoin, part_brand_target_encoding,

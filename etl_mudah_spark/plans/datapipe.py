@@ -641,16 +641,18 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) GROUP BY node
     )
     SELECT (SELECT COUNT(*) FROM e) AS n_edges,
-           (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) FROM deg)
-               AS n_wedges,
+           (SELECT CAST(COALESCE(SUM(d * (d - 1) // 2), 0) AS BIGINT)
+            FROM deg) AS n_wedges,
            (SELECT COUNT(*)
             FROM e e1 JOIN e e2 ON e2.a = e1.b
                       JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
                AS n_triangles,
-           3.0 * (SELECT COUNT(*)
-                  FROM e e1 JOIN e e2 ON e2.a = e1.b
-                            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
-               / (SELECT SUM(d * (d - 1) / 2) FROM deg) AS transitivity
+           CASE WHEN COALESCE((SELECT SUM(d * (d - 1) // 2) FROM deg), 0) > 0
+                THEN 3.0 * (SELECT COUNT(*)
+                            FROM e e1 JOIN e e2 ON e2.a = e1.b
+                                      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+                     / (SELECT SUM(d * (d - 1) // 2) FROM deg)
+                ELSE 0.0 END AS transitivity
     """,
     doc=(
         "Cohesion of the exact near-dup pair graph: edges, wedges, "

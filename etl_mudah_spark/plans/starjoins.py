@@ -1297,7 +1297,13 @@ def part_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # doubles in Spark and DuckDB. The graph is symmetric by construction
 # (both edge directions), so the dangling-mass term is exactly 0 and
 # the oracle can omit it. 3 rounds is the oracle-tractable setting;
-# production uses the same operator at 10-20 rounds.
+# production uses the same operator at 10-20 rounds. The base term's
+# CAST(1.0 AS DOUBLE) forces DuckDB onto IEEE double arithmetic: as
+# decimals, (1.0 - 0.85)*1e9 is exactly 1.5e8, but the operator
+# computes the Python float (1.0 - damping) * total_mass =
+# 150000000.00000003 — the cast makes both engines take the identical
+# subtract-multiply-divide double path instead of relying on ROUND to
+# absorb a ~2e-8 drift.
 # ---------------------------------------------------------------------------
 @register(
     "supplier_customer_pagerank",
@@ -1318,7 +1324,7 @@ def part_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM deg CROSS JOIN nn
     ), r1 AS MATERIALIZED (
         SELECT e.dst AS node,
-               (1.0 - 0.85) * 1000000000.0 / nn.n
+               (CAST(1.0 AS DOUBLE) - 0.85) * 1000000000.0 / nn.n
                + 0.85 * CAST(SUM(CAST(p.r / deg.d AS DECIMAL(18,6)))
                              AS DOUBLE) AS r
         FROM e
@@ -1328,7 +1334,7 @@ def part_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY e.dst, nn.n
     ), r2 AS MATERIALIZED (
         SELECT e.dst AS node,
-               (1.0 - 0.85) * 1000000000.0 / nn.n
+               (CAST(1.0 AS DOUBLE) - 0.85) * 1000000000.0 / nn.n
                + 0.85 * CAST(SUM(CAST(p.r / deg.d AS DECIMAL(18,6)))
                              AS DOUBLE) AS r
         FROM e
@@ -1338,7 +1344,7 @@ def part_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY e.dst, nn.n
     ), r3 AS MATERIALIZED (
         SELECT e.dst AS node,
-               (1.0 - 0.85) * 1000000000.0 / nn.n
+               (CAST(1.0 AS DOUBLE) - 0.85) * 1000000000.0 / nn.n
                + 0.85 * CAST(SUM(CAST(p.r / deg.d AS DECIMAL(18,6)))
                              AS DOUBLE) AS r
         FROM e
