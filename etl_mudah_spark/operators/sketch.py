@@ -182,6 +182,15 @@ def hll_distinct(
 # both engines, so unlike HLL's float estimator the WHOLE CMS path is
 # integer arithmetic: counters are sums, the estimate is a MIN, and
 # cross-engine agreement is exact by construction.
+#
+# Relationship to plans/llmprep.py vocab_cms_topk: that query inlines a
+# CMS over STRING terms via xxhash64 (no DuckDB twin, so its oracle is
+# invariant-shaped — exact counts + contract booleans). This module is
+# the reusable artifact API — persistable counter tables, the linear
+# union-SUM merge, point estimation — for INTEGER keys, where the
+# shared mixer makes even the estimates oracle-hash-exact. String keys
+# at 100 TB: pre-hash to bigint (accepting xxhash64's rows-only
+# oracle) or keep the inline form.
 CMS_SEEDS = (0, 0x517C_C1B7, 0x2545_F491, 0x1966_0D4D,
              0x68E3_1DA4, 0x0B49_2B79, 0x7FEB_352D)
 _CMS_WIDTH = 1 << 11

@@ -76,6 +76,9 @@ _BNLJ_ALLOWED = {
     "doc_bigram_pmi",  # 1-row (U, B) grand-total broadcast onto the pair counts
     "part_basket_lift",  # 1-row order-total broadcast onto the pair counts
     "events_key_skew",  # 1-row stats × 1-row hottest-key broadcast crossJoins
+    "doc_tfidf_similar",  # 1-row n_docs broadcast onto the |vocab|-row idf frame
+    "doc_dup_triangles",  # three 1-row count aggregates broadcast-crossJoined
+    "part_brand_target_encoding",  # 1-row grand-total (global prior) broadcast
 }
 
 # Windows that legitimately run over ONE partition: their input is
