@@ -1030,3 +1030,71 @@ def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_share_pct"
         ),
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ), trans AS (
+        SELECT prev_type AS from_type, event_type AS to_type,
+               COUNT(*) AS n_transitions
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    ), totals AS (
+        SELECT from_type, SUM(n_transitions) AS total FROM trans GROUP BY 1
+    )
+    SELECT t.from_type, t.to_type,
+           CAST(t.n_transitions AS BIGINT) AS n_transitions,
+           t.n_transitions * 1.0 / tot.total AS prob
+    FROM trans t JOIN totals tot USING (from_type)
+    ORDER BY from_type, to_type
+    """,
+    doc=(
+        "First-order Markov transition matrix of per-user event-type "
+        "sequences: counts and row-normalized probabilities for every "
+        "(from, to) pair."
+    ),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey structure as a transition matrix — the behavioral
+    model under funnel/attribution analyses (events_funnel,
+    events_attribution) made explicit: P(next event type | current).
+    One lag window PARTITIONED BY user (bounded partitions — never a
+    global sort), one (from, to) count shuffle with map-side partials,
+    and the 25-row matrix row-normalized through a broadcast of the
+    per-source totals. Ties in ts break on event_id, so the sequence —
+    and therefore every count — is deterministic in both engines."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    seq = ev.withColumn(
+        "prev_type",
+        F.lag("event_type").over(
+            W.partitionBy("user_id").orderBy("ts", "event_id")
+        ),
+    )
+    trans = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    totals = trans.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("_total")
+    )
+    return (
+        trans.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            (F.col("n_transitions") * 1.0 / F.col("_total")).alias("prob"),
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -31,6 +31,7 @@ from etl_mudah_spark.functions.core import (
     oracle_dsum,
     share_pct,
 )
+from etl_mudah_spark.operators import dedup as dd
 from etl_mudah_spark.operators import sampling as smp
 from etl_mudah_spark.plans.registry import register
 from etl_mudah_spark.tables import load
@@ -965,4 +966,60 @@ def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c_acctbal").cast("double").alias("hi"),
         )
         .orderBy("decile")
+    )
+
+
+@register(
+    "customer_balance_neighbors",
+    oracle="""
+    WITH r AS (
+        SELECT c_custkey, c_acctbal,
+               ROW_NUMBER() OVER (ORDER BY c_acctbal, c_custkey) AS rn
+        FROM customer
+    )
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(b.rn - a.rn AS INT) AS rank_dist,
+           a.c_acctbal AS bal_a, b.c_acctbal AS bal_b
+    FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn <= 3
+    WHERE ABS(b.c_acctbal - a.c_acctbal) <= 0.01
+    ORDER BY id_a, id_b
+    """,
+    doc=(
+        "Sorted-neighborhood blocking (window 4 on the balance order) "
+        "filtered to near-identical balances — the ordered-attribute "
+        "record-linkage candidate pass; oracle is the single-task "
+        "ROW_NUMBER self-join."
+    ),
+)
+def customer_balance_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-account candidates by near-identical balance
+    (operators/dedup.py sorted_neighborhood_pairs): the classic
+    Hernández–Stolfo blocking pass — linear candidate volume
+    ((window−1)·n) under a global (c_acctbal, c_custkey) order that is
+    computed WITHOUT a single-task window (bucketed_global_rank,
+    bucket = floor(acctbal): two parallel exchanges + a cumsum over
+    the ~11k bucket-count rows). The oracle's one-task ROW_NUMBER is
+    the semantic spec the banding must reproduce pair-for-pair; the
+    |Δbal| ≤ 0.01 verification filter is the scorer stage every
+    blocking pass feeds."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    pairs = dd.sorted_neighborhood_pairs(
+        cust,
+        id_col="c_custkey",
+        sort_col="c_acctbal",
+        bucket=F.floor(F.col("c_acctbal")),
+        window=4,
+    )
+    ba = cust.select(
+        F.col("c_custkey").alias("id_a"), F.col("c_acctbal").alias("bal_a")
+    )
+    bb = cust.select(
+        F.col("c_custkey").alias("id_b"), F.col("c_acctbal").alias("bal_b")
+    )
+    return (
+        pairs.join(ba, "id_a")
+        .join(bb, "id_b")
+        .where(F.abs(F.col("bal_b") - F.col("bal_a")) <= 0.01)
+        .select("id_a", "id_b", "rank_dist", "bal_a", "bal_b")
+        .orderBy("id_a", "id_b")
     )

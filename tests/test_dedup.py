@@ -379,3 +379,33 @@ def test_tfidf_cosine_max_df_prunes_space_not_just_index(spark):
     for k, v in want.items():
         assert abs(got[k] - v) < 1e-6, k
     assert (3, 100) in got  # rare-term overlap survives the cap
+
+
+def test_sorted_neighborhood_matches_single_window(spark):
+    """The banded two-block join reproduces the one-task ROW_NUMBER
+    self-join pair-for-pair — including pairs that straddle block
+    boundaries — for several window sizes, on data with duplicate sort
+    keys (tie-break on id) and negative values (floor bucket)."""
+    import itertools
+
+    from etl_mudah_spark.operators.dedup import sorted_neighborhood_pairs
+
+    vals = [(-3.7, 1), (-3.7, 0), (0.0, 2), (0.2, 3), (0.2, 4), (1.1, 5),
+            (1.15, 6), (7.9, 7), (7.95, 8), (8.0, 9), (8.0, 10), (12.4, 11)]
+    df = spark.createDataFrame(
+        [(i, v) for v, i in vals], "id bigint, v double"
+    )
+    order = sorted(vals)  # (v, id) total order
+    for window in (2, 3, 5):
+        want = {
+            (order[i][1], order[j][1], j - i)
+            for i, j in itertools.combinations(range(len(order)), 2)
+            if j - i <= window - 1
+        }
+        got = {
+            (r["id_a"], r["id_b"], r["rank_dist"])
+            for r in sorted_neighborhood_pairs(
+                df, "id", "v", bucket=F.floor(F.col("v")), window=window
+            ).collect()
+        }
+        assert got == want, window

@@ -99,6 +99,7 @@ _GLOBAL_WINDOW_ALLOWED = {
     "parts_pareto_80",
     "doc_global_shuffle",
     "daily_revenue_moving_avg",
+    "customer_balance_neighbors",  # same phase-2 cumsum over the ~11k floor(acctbal) bucket COUNTS (bucketed_global_rank, twice: rank + join-back lineage)
 }
 
 _EXCHANGE = re.compile(r"Exchange (SinglePartition|hashpartitioning|rangepartitioning)")
