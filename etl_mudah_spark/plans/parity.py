@@ -1023,3 +1023,46 @@ def customer_balance_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "rank_dist", "bal_a", "bal_b")
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "part_price_size_frontier",
+    oracle="""
+    WITH pts AS (
+        SELECT p_retailprice AS x, p_size AS y FROM part
+    )
+    SELECT x AS p_retailprice, CAST(y AS INT) AS p_size,
+           COUNT(*) AS n_rows
+    FROM pts p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts q
+        WHERE (q.x < p.x AND q.y >= p.y)
+           OR (q.x <= p.x AND q.y > p.y)
+    )
+    GROUP BY x, y
+    ORDER BY x
+    """,
+    doc=(
+        "2-D Pareto frontier (min price, max size) via the bucketed "
+        "sweep — the oracle is the quadratic NOT-EXISTS dominance "
+        "self-join the sweep replaces."
+    ),
+)
+def part_price_size_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline query (operators/skyline.py pareto_frontier_2d): the
+    parts where no other part is both cheaper and at least as large —
+    best-price-for-size. The oracle runs the textbook O(n²) dominance
+    join as the semantic spec; the engine computes the identical set
+    with one groupBy(x) + a two-phase bucketed strict-prefix max
+    (bucket = floor(price), so the only ordered window runs over the
+    ~1.2k bucket-maxima rows and the per-bucket windows run in
+    parallel) — no theta-join anywhere in the plan."""
+    from etl_mudah_spark.operators.skyline import pareto_frontier_2d
+
+    part = load(spark, sf_dir, "part").select("p_retailprice", "p_size")
+    return pareto_frontier_2d(
+        part,
+        x_col="p_retailprice",
+        y_col="p_size",
+        bucket=lambda c: F.floor(c),
+    ).orderBy("p_retailprice")

@@ -409,3 +409,31 @@ def test_sorted_neighborhood_matches_single_window(spark):
             ).collect()
         }
         assert got == want, window
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    """Bucketed sweep vs the O(n²) dominance definition on adversarial
+    data: duplicate points, equal-x ties, equal-y ties across x,
+    negative values, and a strictly-improving chain."""
+    from etl_mudah_spark.operators.skyline import pareto_frontier_2d
+
+    pts = [(-2.5, 1), (-2.5, 1), (-2.5, 0), (-1.0, 5), (-1.0, 3),
+           (0.3, 5), (0.4, 7), (0.4, 6), (1.7, 7), (2.0, 9),
+           (5.5, 9), (6.1, 2), (7.0, 10)]
+    df = spark.createDataFrame(pts, "x double, y int")
+    want = {}
+    for x, y in pts:
+        dominated = any(
+            (qx < x and qy >= y) or (qx <= x and qy > y) for qx, qy in pts
+        )
+        if not dominated:
+            want[(x, y)] = want.get((x, y), 0) + 1
+    from pyspark.sql import functions as F
+
+    got = {
+        (r["x"], r["y"]): r["n_rows"]
+        for r in pareto_frontier_2d(
+            df, "x", "y", bucket=lambda c: F.floor(c)
+        ).collect()
+    }
+    assert got == want

@@ -100,6 +100,7 @@ _GLOBAL_WINDOW_ALLOWED = {
     "doc_global_shuffle",
     "daily_revenue_moving_avg",
     "customer_balance_neighbors",  # same phase-2 cumsum over the ~11k floor(acctbal) bucket COUNTS (bucketed_global_rank, twice: rank + join-back lineage)
+    "part_price_size_frontier",  # skyline phase-2 prefix max over the ~1.2k floor(price) bucket MAXIMA (operators/skyline.py)
 }
 
 _EXCHANGE = re.compile(r"Exchange (SinglePartition|hashpartitioning|rangepartitioning)")
