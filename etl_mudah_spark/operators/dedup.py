@@ -466,35 +466,54 @@ def sorted_neighborhood_pairs(
     whose similarity lives in an ORDERED attribute (amounts, dates,
     serial-ish ids, normalized names) where token sets are useless.
 
-    Returns ``(id_a, id_b, rank_dist)`` with ``rank_dist`` in
-    ``[1, window-1]`` under the total order ``(sort_col, id_col)``;
-    ``id_a`` is the lower-ranked row. Candidate volume is exactly
-    ``(window-1)·n − C(window,2)`` — linear in n by construction, the
-    whole point of the method.
+    Returns ``(id_a, id_b, rank_dist, val_a, val_b)`` with
+    ``rank_dist`` in ``[1, window-1]`` under the total order
+    ``(sort_col, id_col)``; ``id_a`` is the lower-ranked row, ``val_*``
+    carry the sort values (the scorer stage compares them anyway —
+    re-deriving them downstream would cost two joins back onto the
+    input). Candidate volume is exactly ``(window-1)·n − C(window,2)``
+    — linear in n by construction, the whole point of the method.
 
     Scale shape: the global rank comes from
     ``sampling.bucketed_global_rank`` (two parallel exchanges; no
     single-task window — ``bucket`` must be the order-preserving
     non-null coarsening of ``sort_col`` that contract requires, e.g.
-    ``F.floor(F.col(sort_col))``). Pairing then bands ranks into
-    width-``window`` blocks: a row joins only its own and the next
-    block (every pair at distance < window lives in adjacent blocks),
-    one equi-join on block id — never a rank-range theta-join.
+    ``F.floor(F.col(sort_col))``). The ranked relation is
+    localCheckpointed once — both self-join sides consume it, and
+    without truncation each side re-executes the whole two-phase rank
+    (the pagerank/triangle_stats multi-consumer discipline). Pairing
+    then bands ranks into width-``window`` blocks: a row joins only
+    its own and the next block (every pair at distance < window lives
+    in adjacent blocks), one equi-join on block id — never a
+    rank-range theta-join.
     """
     if window < 2:
         raise ValueError(f"window must be >= 2, got {window}")
     from etl_mudah_spark.operators.sampling import bucketed_global_rank
 
-    ranked = bucketed_global_rank(
-        df.select(id_col, sort_col), bucket, [sort_col, id_col]
-    ).select(id_col, F.col("rn"), F.expr(f"(rn - 1) DIV {window}").alias("_blk"))
+    ranked = (
+        bucketed_global_rank(
+            df.select(id_col, sort_col), bucket, [sort_col, id_col]
+        )
+        .select(
+            id_col,
+            sort_col,
+            F.col("rn"),
+            F.expr(f"(rn - 1) DIV {window}").alias("_blk"),
+        )
+        .localCheckpoint(eager=True)
+    )
     a = ranked.select(
         F.col(id_col).alias("id_a"),
+        F.col(sort_col).alias("val_a"),
         F.col("rn").alias("_ra"),
         F.explode(F.array(F.col("_blk"), F.col("_blk") + 1)).alias("_blk"),
     )
     b = ranked.select(
-        F.col(id_col).alias("id_b"), F.col("rn").alias("_rb"), "_blk"
+        F.col(id_col).alias("id_b"),
+        F.col(sort_col).alias("val_b"),
+        F.col("rn").alias("_rb"),
+        "_blk",
     )
     return (
         a.join(b, "_blk")
@@ -506,6 +525,8 @@ def sorted_neighborhood_pairs(
             "id_a",
             "id_b",
             (F.col("_rb") - F.col("_ra")).cast("int").alias("rank_dist"),
+            "val_a",
+            "val_b",
         )
     )
 

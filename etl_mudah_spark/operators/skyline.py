@@ -56,42 +56,47 @@ def pareto_frontier_2d(
     bucket-level prefix maxima combined from the O(#buckets) aggregate
     relation. A callable (not a prebuilt Column) because the prefix
     pass evaluates it on the AGGREGATED x alias, not the input column.
+
+    NULL contract: rows with a NULL x or y are EXCLUDED up front
+    (filtered explicitly below). SQL three-valued dominance would keep
+    a NULL-y row as vacuously undominated — a meaningless answer; a
+    caller who wants NULLs ranked must coalesce them to a sentinel
+    first. All comparisons run in y's NATIVE type (no double
+    widening), so bigint/decimal y columns keep full precision — a
+    double cast would merge values that differ past 2^53.
     """
-    per_x = (
+    per_xy = (
         df.select(F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
-        .groupBy("_x")
-        .agg(F.max("_y").alias("_ymax"))
-        .withColumn("_bk", bucket(F.col("_x")))
+        .where(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+        .groupBy("_x", "_y")
+        .agg(F.count("*").alias(n_col))
+    )
+    per_x = per_xy.groupBy("_x").agg(F.max("_y").alias("_ymax")).withColumn(
+        "_bk", bucket(F.col("_x"))
     )
     # bucket-level maxima -> strict prefix over PRECEDING buckets only
     # (window over the aggregate relation, bounded by the bucket domain)
     bmax = per_x.groupBy("_bk").agg(F.max("_ymax").alias("_bmax"))
     wb = W.orderBy("_bk").rowsBetween(W.unboundedPreceding, -1)
     boffs = bmax.select("_bk", F.max("_bmax").over(wb).alias("_prev_bmax"))
-    # within-bucket strict prefix max, in parallel per bucket
+    # within-bucket strict prefix max, in parallel per bucket.
+    # F.greatest skips NULLs, so the prefix stays native-typed with no
+    # -inf sentinel; a NULL prefix means "nothing before me".
     wx = W.partitionBy("_bk").orderBy("_x").rowsBetween(W.unboundedPreceding, -1)
-    neg_inf = F.lit(float("-inf")).cast("double")
     ranked = (
         per_x.join(F.broadcast(boffs), "_bk")
         .withColumn("_prev_in_bk", F.max("_ymax").over(wx))
         .withColumn(
-            "_prefix",
-            F.greatest(
-                F.coalesce(F.col("_prev_bmax").cast("double"), neg_inf),
-                F.coalesce(F.col("_prev_in_bk").cast("double"), neg_inf),
-            ),
+            "_prefix", F.greatest(F.col("_prev_bmax"), F.col("_prev_in_bk"))
         )
     )
-    frontier_x = ranked.where(F.col("_ymax").cast("double") > F.col("_prefix")).select(
-        F.col("_x").alias("_fx"), F.col("_ymax").alias("_fy")
-    )
-    # n_rows at the frontier point: count input rows equal to (x, ymax)
-    pts = df.select(F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
-    return (
-        pts.join(
-            F.broadcast(frontier_x),
-            (F.col("_x") == F.col("_fx")) & (F.col("_y") == F.col("_fy")),
-        )
-        .groupBy(F.col("_fx").alias(x_col), F.col("_fy").alias(y_col))
-        .agg(F.count("*").alias(n_col))
+    frontier_x = ranked.where(
+        F.col("_prefix").isNull() | (F.col("_ymax") > F.col("_prefix"))
+    ).select("_x", F.col("_ymax").alias("_y"))
+    # n_rows comes from the ALREADY-GROUPED per-(x, y) relation — no
+    # second scan of df, and no forced broadcast: a correlated frontier
+    # can be O(#distinct x) rows, so the join strategy is left to the
+    # planner.
+    return frontier_x.join(per_xy, ["_x", "_y"]).select(
+        F.col("_x").alias(x_col), F.col("_y").alias(y_col), n_col
     )

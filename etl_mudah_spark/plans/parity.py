@@ -1010,17 +1010,15 @@ def customer_balance_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket=F.floor(F.col("c_acctbal")),
         window=4,
     )
-    ba = cust.select(
-        F.col("c_custkey").alias("id_a"), F.col("c_acctbal").alias("bal_a")
-    )
-    bb = cust.select(
-        F.col("c_custkey").alias("id_b"), F.col("c_acctbal").alias("bal_b")
-    )
     return (
-        pairs.join(ba, "id_a")
-        .join(bb, "id_b")
-        .where(F.abs(F.col("bal_b") - F.col("bal_a")) <= 0.01)
-        .select("id_a", "id_b", "rank_dist", "bal_a", "bal_b")
+        pairs.where(F.abs(F.col("val_b") - F.col("val_a")) <= 0.01)
+        .select(
+            "id_a",
+            "id_b",
+            "rank_dist",
+            F.col("val_a").alias("bal_a"),
+            F.col("val_b").alias("bal_b"),
+        )
         .orderBy("id_a", "id_b")
     )
 
