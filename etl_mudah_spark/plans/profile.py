@@ -787,3 +787,126 @@ def orders_cms_heavy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", F.desc("exact_cnt"), "o_custkey")
     )
+
+
+@register(
+    "priority_customer_overlap",
+    oracle=f"""
+    WITH x0 AS (
+        SELECT o_orderpriority AS pri, o_custkey % {sk.HLL_M} AS x
+        FROM orders
+    ), m1 AS (
+        SELECT pri, (xor(x >> 16, x) * {sk.HLL_MULT}) % {sk.HLL_M} AS x FROM x0
+    ), m2 AS (
+        SELECT pri, (xor(x >> 16, x) * {sk.HLL_MULT}) % {sk.HLL_M} AS x FROM m1
+    ), reg AS (
+        SELECT pri, xor(x >> 16, x) % 256 AS bucket,
+               MAX(CASE WHEN xor(x >> 16, x) // 256 = 0 THEN 24
+                        ELSE 23 - length(bin(xor(x >> 16, x) // 256)) + 1 END)
+                   AS rho
+        FROM m2 GROUP BY pri, bucket
+    ), pairs AS (
+        SELECT a.pri AS pri_a, b.pri AS pri_b
+        FROM (SELECT DISTINCT pri FROM reg) a
+        JOIN (SELECT DISTINCT pri FROM reg) b ON a.pri < b.pri
+    ), merged AS (
+        SELECT p.pri_a, p.pri_b, r.bucket, MAX(r.rho) AS rho
+        FROM pairs p JOIN reg r ON r.pri IN (p.pri_a, p.pri_b)
+        GROUP BY 1, 2, 3
+    ), est AS (
+        SELECT pri, ROUND({sk._alpha(256) * 65536!r}
+                   / (SUM(2.0 ^ (-rho)) + (256 - COUNT(*))), 4) AS hll
+        FROM reg GROUP BY pri
+    ), est_u AS (
+        SELECT pri_a, pri_b,
+               ROUND({sk._alpha(256) * 65536!r}
+                   / (SUM(2.0 ^ (-rho)) + (256 - COUNT(*))), 4) AS hll_union
+        FROM merged GROUP BY pri_a, pri_b
+    ), ex AS (
+        SELECT a.pri_a, b.pri_b, COUNT(*) AS exact_intersect
+        FROM (SELECT DISTINCT o_orderpriority AS pri_a, o_custkey AS c
+              FROM orders) a
+        JOIN (SELECT DISTINCT o_orderpriority AS pri_b, o_custkey AS c
+              FROM orders) b
+          ON a.c = b.c AND a.pri_a < b.pri_b
+        GROUP BY 1, 2
+    )
+    SELECT u.pri_a, u.pri_b,
+           ea.hll AS hll_a, eb.hll AS hll_b, u.hll_union,
+           ROUND(ea.hll + eb.hll - u.hll_union, 4) AS hll_intersect,
+           ex.exact_intersect
+    FROM est_u u
+    JOIN est ea ON ea.pri = u.pri_a
+    JOIN est eb ON eb.pri = u.pri_b
+    JOIN ex ON ex.pri_a = u.pri_a AND ex.pri_b = u.pri_b
+    ORDER BY u.pri_a, u.pri_b
+    """,
+    doc=(
+        "HLL set algebra: per-priority customer sketches merged "
+        "pairwise (union = register max) give inclusion-exclusion "
+        "intersection estimates next to the exact overlap — the "
+        "oracle reproduces every register and estimate bit-for-bit."
+    ),
+)
+def priority_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the mergeable-sketch design buys beyond single-set counts:
+    the 10 pairwise customer overlaps between order priorities computed
+    from FIVE persisted 256-register sketches (union by register max,
+    |A∩B| ≈ |A|+|B|−|A∪B|), never re-scanning orders per pair. At
+    100 TB this is the segment-overlap matrix from kilobytes of state;
+    the exact-intersect column (one distinct + self-join at testdata
+    scale) rides along as ground truth, and everything — registers,
+    merges, estimates — is the same power-of-two arithmetic both
+    engines reproduce exactly (operators/sketch.py)."""
+    o = load(spark, sf_dir, "orders").select("o_orderpriority", "o_custkey")
+    regs = sk.hll_registers(o, ["o_orderpriority"], "o_custkey")
+    pris = regs.select("o_orderpriority").distinct()
+    pairs = (
+        pris.select(F.col("o_orderpriority").alias("pri_a"))
+        .join(
+            pris.select(F.col("o_orderpriority").alias("pri_b")),
+            F.col("pri_a") < F.col("pri_b"),
+        )
+    )
+    ra = regs.select(
+        F.col("o_orderpriority").alias("pri_a"), "bucket", "rho"
+    ).join(F.broadcast(pairs), "pri_a")
+    rb = regs.select(
+        F.col("o_orderpriority").alias("pri_b"), "bucket", "rho"
+    ).join(F.broadcast(pairs), "pri_b")
+    merged = sk.hll_merge_registers(
+        ra.select("pri_a", "pri_b", "bucket", "rho"),
+        rb.select("pri_a", "pri_b", "bucket", "rho"),
+        ["pri_a", "pri_b"],
+    )
+    est_u = sk.hll_estimate_from_registers(
+        merged, ["pri_a", "pri_b"], out_col="hll_union"
+    ).drop("buckets_hit")
+    est = sk.hll_estimate_from_registers(
+        regs, ["o_orderpriority"], out_col="hll"
+    ).drop("buckets_hit")
+    ea = est.select(F.col("o_orderpriority").alias("pri_a"), F.col("hll").alias("hll_a"))
+    eb = est.select(F.col("o_orderpriority").alias("pri_b"), F.col("hll").alias("hll_b"))
+    dist = o.distinct()
+    ex = (
+        dist.select(F.col("o_orderpriority").alias("pri_a"), F.col("o_custkey").alias("_c"))
+        .join(
+            dist.select(F.col("o_orderpriority").alias("pri_b"), F.col("o_custkey").alias("_c")),
+            "_c",
+        )
+        .where(F.col("pri_a") < F.col("pri_b"))
+        .groupBy("pri_a", "pri_b")
+        .agg(F.count("*").alias("exact_intersect"))
+    )
+    return (
+        est_u.join(F.broadcast(ea), "pri_a")
+        .join(F.broadcast(eb), "pri_b")
+        .join(ex, ["pri_a", "pri_b"])
+        .select(
+            "pri_a", "pri_b", "hll_a", "hll_b", "hll_union",
+            F.round(F.col("hll_a") + F.col("hll_b") - F.col("hll_union"), 4)
+            .alias("hll_intersect"),
+            "exact_intersect",
+        )
+        .orderBy("pri_a", "pri_b")
+    )

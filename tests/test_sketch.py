@@ -131,3 +131,30 @@ def test_cms_merge_equals_one_shot(spark):
     )
     whole = cms_counters(a.unionByName(b), ["g"], "k", width=128, depth=3)
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_hll_inclusion_exclusion_intersection(spark):
+    """Set algebra on sketches: |A∩B| ≈ |A|+|B|−|A∪B| from merged
+    registers, within the combined p=8 error envelope (~3·1.04/√256 ≈
+    20% of the union) on two overlapping ranges."""
+    from pyspark.sql import functions as F
+
+    from etl_mudah_spark.operators.sketch import (
+        hll_estimate_from_registers,
+        hll_merge_registers,
+        hll_registers,
+    )
+
+    a = spark.range(0, 3000).select(F.lit("a").alias("g"), F.col("id").alias("k"))
+    b = spark.range(2000, 5000).select(F.lit("b").alias("g"), F.col("id").alias("k"))
+    ra = hll_registers(a, ["g"], "k")
+    rb = hll_registers(b, ["g"], "k")
+    ea = hll_estimate_from_registers(ra, ["g"]).collect()[0]["hll_distinct"]
+    eb = hll_estimate_from_registers(rb, ["g"]).collect()[0]["hll_distinct"]
+    merged = hll_merge_registers(
+        ra.withColumn("g", F.lit("u")), rb.withColumn("g", F.lit("u")), ["g"]
+    )
+    eu = hll_estimate_from_registers(merged, ["g"]).collect()[0]["hll_distinct"]
+    inter = ea + eb - eu
+    assert abs(eu - 5000) / 5000 < 0.2
+    assert abs(inter - 1000) < 0.2 * 5000  # envelope scales with the union
