@@ -248,3 +248,23 @@ def test_triangles_complete_graph_and_empty(spark):
     empty = spark.createDataFrame([(1, 2)], "a bigint, b bigint")
     s = triangle_stats(empty).collect()[0]
     assert (s["n_triangles"], s["n_wedges"], s["transitivity"]) == (0, 0, 0.0)
+
+
+def test_pagerank_exact_mode_invariant_with_dangling(spark):
+    """The ADVICE-class gap the plain-double dangling sum left open:
+    with dangling nodes present, the exact mode must still be
+    partition-invariant (the dangling mass re-distribution uses the
+    same decimal discipline as the push sum), and total mass must be
+    conserved each run."""
+    from etl_mudah_spark.operators.graph import pagerank
+
+    # nodes 50..59 are sinks: they receive edges but emit none
+    edges = [(i, 50 + (i % 10)) for i in range(40)] + [
+        (i, (i * 7) % 40) for i in range(40)
+    ]
+    df = spark.createDataFrame(edges, "a bigint, b bigint")
+    kw = dict(iterations=4, total_mass=1e9, exact_contrib_decimal="decimal(18,6)")
+    one = {r["node"]: r["rank"] for r in pagerank(df, **kw).collect()}
+    two = {r["node"]: r["rank"] for r in pagerank(df.repartition(17), **kw).collect()}
+    assert one == two
+    assert abs(sum(one.values()) - 1e9) / 1e9 < 1e-6
