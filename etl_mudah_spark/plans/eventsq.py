@@ -1098,3 +1098,112 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+_CMS_W_EV = 2048
+# seed VALUES for the 4 hash rows, shared with operators/sketch.py
+from etl_mudah_spark.operators import sketch as _sk  # noqa: E402
+
+_CMS_SEEDS_EV = ", ".join(
+    f"({i}, {s})" for i, s in enumerate(_sk.CMS_SEEDS[:4])
+)
+
+
+@register(
+    "events_stream_cms_users",
+    oracle=f"""
+    WITH seeds(rw, sd) AS (VALUES {_CMS_SEEDS_EV}),
+    base AS (
+        SELECT event_type AS g, user_id AS key FROM events
+    ), x0 AS (
+        SELECT g, key, rw, xor(key, sd) % {_sk.HLL_M} AS x
+        FROM base CROSS JOIN seeds
+    ), m1 AS (
+        SELECT g, key, rw, (xor(x >> 16, x) * {_sk.HLL_MULT}) % {_sk.HLL_M} AS x
+        FROM x0
+    ), m2 AS (
+        SELECT g, key, rw, (xor(x >> 16, x) * {_sk.HLL_MULT}) % {_sk.HLL_M} AS x
+        FROM m1
+    ), h AS (
+        SELECT g, key, rw, xor(x >> 16, x) % {_CMS_W_EV} AS col FROM m2
+    ), cnt AS (
+        SELECT g, rw, col, COUNT(*) AS c FROM h GROUP BY 1, 2, 3
+    ), kcell AS (
+        SELECT DISTINCT g, key, rw, col FROM h
+    ), est AS (
+        SELECT k.g, k.key, MIN(c.c) AS cms_count
+        FROM kcell k JOIN cnt c ON c.g = k.g AND c.rw = k.rw AND c.col = k.col
+        GROUP BY 1, 2
+    ), exact AS (
+        SELECT g, key, COUNT(*) AS exact_cnt FROM base GROUP BY 1, 2
+    ), top AS (
+        SELECT g, key, exact_cnt,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY exact_cnt DESC, key)
+                   AS rn
+        FROM exact
+    )
+    SELECT t.g AS event_type, t.key AS user_id,
+           CAST(t.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(e.cms_count AS BIGINT) AS cms_count
+    FROM top t JOIN est e ON e.g = t.g AND e.key = t.key
+    WHERE t.rn <= 5
+    ORDER BY event_type, exact_cnt DESC, user_id
+    """,
+    doc=(
+        "Streaming-maintained Count-Min sketch of per-type user "
+        "activity: micro-batch counters merged by linear union-SUM, "
+        "probed for the top-5 users per type — the maintained state "
+        "equals the batch sketch cell-for-cell, so the oracle "
+        "reproduces even the estimates exactly."
+    ),
+)
+def events_stream_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming twin of orders_cms_heavy_customers: a REAL
+    Structured Streaming query maintains the (event_type, row, col)
+    counter table via foreachBatch union-SUM merges into immutable
+    versioned state (streaming/pipeline.py stream_cms_counters) — the
+    CMS's linearity means the maintained state after all batches IS
+    the batch sketch, so the estimates probed from it hash-match the
+    batch oracle exactly. Bounded state (depth×width rows per type)
+    forever — the sketch-backed streaming rollup shape that replaces
+    an unbounded per-user count table."""
+    from etl_mudah_spark.operators import sketch as sk
+    from etl_mudah_spark.streaming.pipeline import stream_cms_counters
+
+    counters = stream_cms_counters(
+        spark, sf_dir, ["event_type"], "user_id", width=_CMS_W_EV, depth=4
+    )
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    exact = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("exact_cnt")
+    )
+    top = (
+        exact.withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("event_type").orderBy(
+                    F.desc("exact_cnt"), F.asc("user_id")
+                )
+            ),
+        )
+        .where(F.col("_rn") <= 5)
+        .drop("_rn")
+    )
+    est = sk.cms_estimate(
+        counters,
+        top.select("event_type", "user_id"),
+        ["event_type"],
+        "user_id",
+        width=_CMS_W_EV,
+        depth=4,
+    )
+    return (
+        top.join(est, ["event_type", "user_id"])
+        .select(
+            "event_type",
+            "user_id",
+            "exact_cnt",
+            F.col("cms_count").cast("bigint").alias("cms_count"),
+        )
+        .orderBy("event_type", F.desc("exact_cnt"), "user_id")
+    )

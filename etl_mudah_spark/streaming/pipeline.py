@@ -20,6 +20,7 @@ different source — that is the point of Structured Streaming).
 from __future__ import annotations
 
 import atexit
+import glob
 import os
 import shutil
 import tempfile
@@ -237,3 +238,77 @@ def stream_hourly_user_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return drain_to_parquet(agg, spark, "complete")
+
+
+def stream_cms_counters(
+    spark: SparkSession,
+    sf_dir: str,
+    group_cols: list[str],
+    value_col: str,
+    width: int = 2048,
+    depth: int = 4,
+    source_glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming-maintained Count-Min sketch: each micro-batch builds
+    the batch's counter table and MERGES it into the persisted state
+    (union + SUM — operators/sketch.py cms_merge_counters). Because the
+    CMS is a LINEAR sketch, the maintained state after any prefix of
+    batches equals the batch-built sketch of exactly those rows, cell
+    for cell — the streaming path needs no reconciliation pass, and
+    the pin is exact equality, not a tolerance (tests/test_streaming
+    splits the source into multiple files to force real multi-batch
+    merging).
+
+    State discipline: counters land in immutable versioned dirs (one
+    per micro-batch, the compact_files/manifest publish pattern —
+    never an in-place overwrite of a parquet dir a later batch still
+    reads); state size is bounded at depth × width rows per group
+    forever, the whole point of sketch-backed streaming rollups.
+    Returns the final counter table as a batch DataFrame.
+    """
+    from etl_mudah_spark.operators.sketch import (
+        cms_counters,
+        cms_merge_counters,
+    )
+
+    state_root = tempfile.mkdtemp(prefix="stream_cms_")
+    atexit.register(shutil.rmtree, state_root, ignore_errors=True)
+    latest: dict[str, str | None] = {"path": None}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_counters = cms_counters(
+            batch_df.select(*group_cols, value_col),
+            group_cols,
+            value_col,
+            width,
+            depth,
+        )
+        if latest["path"] is not None:
+            prev = batch_df.sparkSession.read.parquet(latest["path"])
+            batch_counters = cms_merge_counters(prev, batch_counters, group_cols)
+        out = os.path.join(state_root, f"v{batch_id}")
+        batch_counters.write.parquet(out)
+        latest["path"] = out
+
+    ddl, ts_dtype = events_raw_schema(
+        spark, glob.glob(os.path.join(sf_dir, source_glob))[0]
+    )
+    reader = spark.readStream.schema(ddl).option("pathGlobFilter", source_glob)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = normalize_ts(reader.parquet(sf_dir), ts_dtype)
+    q = (
+        src.writeStream.outputMode("append")
+        .foreachBatch(apply_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    if latest["path"] is None:
+        return spark.createDataFrame(
+            [], f"{', '.join(c + ' string' for c in group_cols)}, row int, col int, cnt bigint"
+        )
+    return spark.read.parquet(latest["path"])

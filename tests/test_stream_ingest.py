@@ -440,3 +440,54 @@ def test_stream_ingest_with_quarantine_gate(spark, tmp_path):
             spark, str(drop), table, str(tmp_path / "ckpt2"),
             row_checks=checks,
         )
+
+
+def test_stream_cms_equals_batch_sketch_multibatch(spark, tmp_path):
+    """CMS linearity end to end: the events table split into FOUR
+    files, streamed one file per trigger through stream_cms_counters
+    (four real foreachBatch merges into versioned state), equals the
+    one-shot batch sketch CELL FOR CELL."""
+    from pyspark.sql import functions as F
+
+    from etl_mudah_spark.operators.sketch import cms_counters
+    from etl_mudah_spark.streaming.pipeline import stream_cms_counters
+    from etl_mudah_spark.tables import load
+
+    src = str(tmp_path / "multi")
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    raw.repartition(4).write.parquet(src)
+    import glob as _g
+    import os as _os
+    import shutil as _sh
+
+    # rename part files to match a stable glob and drop _SUCCESS
+    files = sorted(_g.glob(_os.path.join(src, "part-*.parquet")))
+    assert len(files) == 4
+    for i, f in enumerate(files):
+        _os.rename(f, _os.path.join(src, f"events_{i}.parquet"))
+    for junk in _g.glob(_os.path.join(src, "_*")) + _g.glob(
+        _os.path.join(src, ".*.crc")
+    ):
+        _os.remove(junk)
+
+    streamed = stream_cms_counters(
+        spark,
+        src,
+        ["event_type"],
+        "user_id",
+        width=256,
+        depth=3,
+        source_glob="events_*.parquet",
+        max_files_per_trigger=1,
+    )
+    batch = cms_counters(
+        ev.select("event_type", "user_id"),
+        ["event_type"],
+        "user_id",
+        width=256,
+        depth=3,
+    )
+    got = sorted(map(tuple, streamed.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want
