@@ -291,9 +291,12 @@ def stream_cms_counters(
         batch_counters.write.parquet(out)
         latest["path"] = out
 
-    ddl, ts_dtype = events_raw_schema(
-        spark, glob.glob(os.path.join(sf_dir, source_glob))[0]
-    )
+    matches = sorted(glob.glob(os.path.join(sf_dir, source_glob)))
+    if not matches:
+        raise FileNotFoundError(
+            f"no files match {source_glob!r} under {sf_dir!r}"
+        )
+    ddl, ts_dtype = events_raw_schema(spark, matches[0])
     reader = spark.readStream.schema(ddl).option("pathGlobFilter", source_glob)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
