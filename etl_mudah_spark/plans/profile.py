@@ -910,3 +910,135 @@ def priority_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pri_a", "pri_b")
     )
+
+
+def _sig_chain_sql(src: str, first: str, rest: list[str], out: str) -> str:
+    """CTE chain computing operators/reconcile.py row_signature over
+    ``first`` + ``rest`` column exprs of CTE ``src``, ending in CTE
+    ``out`` = src's columns + ``sig``. Mirrors hll_hash exactly: seed
+    % M, two xorshift-multiply rounds, final fold — per chained
+    column."""
+    stages = []
+    prev = src
+    for i, col in enumerate([first, *rest]):
+        seed = col if i == 0 else f"xor(sig, {col})"
+        mk = "," if True else ""
+        a, b, c, d = (f"{out}_{i}{t}" for t in "abcd")
+        if i == 0:
+            stages.append(
+                f"{a} AS (SELECT *, ({seed}) % {sk.HLL_M} AS mx FROM {prev})"
+            )
+        else:
+            stages.append(
+                f"{a} AS (SELECT * REPLACE (({seed}) % {sk.HLL_M} AS mx) FROM {prev})"
+            )
+        for step, src_cte in ((b, a), (c, b)):
+            stages.append(
+                f"{step} AS (SELECT * REPLACE ((xor(mx >> 16, mx) * {sk.HLL_MULT})"
+                f" % {sk.HLL_M} AS mx) FROM {src_cte})"
+            )
+        if i == 0:
+            stages.append(f"{d} AS (SELECT *, xor(mx >> 16, mx) AS sig FROM {c})")
+        else:
+            stages.append(
+                f"{d} AS (SELECT * REPLACE (xor(mx >> 16, mx) AS sig) FROM {c})"
+            )
+        prev = d
+    stages.append(f"{out} AS (SELECT * EXCLUDE (mx) FROM {prev})")
+    return ",\n    ".join(stages)
+
+
+_RECON_PERTURB = (
+    "CAST(FLOOR((o_totalprice"
+    " + CASE WHEN o_orderkey = 42 THEN 1000.0 ELSE 0.0 END) * 100) AS BIGINT)"
+)
+
+
+@register(
+    "orders_replica_diff",
+    oracle=f"""
+    WITH base0 AS (
+        SELECT o_orderkey AS k,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS p
+        FROM orders
+    ), rep0 AS (
+        SELECT o_orderkey AS k, {_RECON_PERTURB} AS p
+        FROM orders
+    ),
+    {_sig_chain_sql("base0", "k", ["p"], "basesig")},
+    {_sig_chain_sql("rep0", "k", ["p"], "repsig")},
+    fpa AS (
+        SELECT sig % 64 AS bucket, COUNT(*) AS n, SUM(sig) AS s,
+               BIT_XOR(sig) AS x
+        FROM basesig GROUP BY 1
+    ), fpb AS (
+        SELECT sig % 64 AS bucket, COUNT(*) AS n, SUM(sig) AS s,
+               BIT_XOR(sig) AS x
+        FROM repsig GROUP BY 1
+    ), diffb AS (
+        SELECT COALESCE(fpa.bucket, fpb.bucket) AS bucket
+        FROM fpa FULL OUTER JOIN fpb ON fpa.bucket = fpb.bucket
+        WHERE fpa.n IS DISTINCT FROM fpb.n
+           OR fpa.s IS DISTINCT FROM fpb.s
+           OR fpa.x IS DISTINCT FROM fpb.x
+    ), ca AS (
+        SELECT sig % 64 AS bucket, sig, COUNT(*) AS na
+        FROM basesig WHERE sig % 64 IN (SELECT bucket FROM diffb)
+        GROUP BY 1, 2
+    ), cb AS (
+        SELECT sig % 64 AS bucket, sig, COUNT(*) AS nb
+        FROM repsig WHERE sig % 64 IN (SELECT bucket FROM diffb)
+        GROUP BY 1, 2
+    ), j AS (
+        SELECT COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+        FROM ca FULL OUTER JOIN cb ON ca.bucket = cb.bucket AND ca.sig = cb.sig
+    )
+    SELECT (SELECT COUNT(*) FROM diffb) AS n_buckets_diff,
+           CAST(COALESCE((SELECT SUM(na) FROM j), 0) AS BIGINT)
+               AS n_rows_scanned,
+           CAST(COALESCE((SELECT SUM(GREATEST(na - nb, 0)) FROM j), 0)
+               AS BIGINT) AS only_in_a,
+           CAST(COALESCE((SELECT SUM(GREATEST(nb - na, 0)) FROM j), 0)
+               AS BIGINT) AS only_in_b
+    """,
+    doc=(
+        "Merkle-style replica reconciliation: bucketed signature "
+        "fingerprints find the disagreeing buckets, the drill-down "
+        "diffs only those buckets' signature multisets — against a "
+        "replica with one perturbed row."
+    ),
+)
+def orders_replica_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy between a table and its (deliberately one-row-
+    perturbed) replica via operators/reconcile.py: phase 1 exchanges
+    64 fingerprint rows per side (count + exact signature sum + XOR
+    per bucket — a single changed row flips its bucket on both
+    sides), phase 2 re-reads ONLY the disagreeing buckets and diffs
+    (signature, multiplicity) groups. At 100 TB agreement costs zero
+    row movement and a one-row divergence shuffles ~2·|bucket| rows —
+    the Cassandra-repair shape in five DataFrame operators, every
+    fingerprint reproduced bit-for-bit by the oracle."""
+    from etl_mudah_spark.operators.reconcile import (
+        reconcile_tables,
+        row_signature,
+    )
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("p"),
+    )
+    replica = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(
+            (
+                F.col("o_totalprice")
+                + F.when(F.col("o_orderkey") == 42, F.lit(1000.0)).otherwise(0.0)
+            )
+            * 100
+        )
+        .cast("bigint")
+        .alias("p"),
+    )
+    sig = row_signature(F.col("k"), F.col("p"))
+    return reconcile_tables(base, replica, sig, n_buckets=64)
