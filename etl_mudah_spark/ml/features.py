@@ -111,3 +111,41 @@ def attach_target_encoding(
         (F.col(cat_col) == F.col("_ec")) & (F.col("_fold") == F.col("_ef")),
         "left",
     ).drop("_ec", "_ef", "_fold")
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lower_p: float = 0.05,
+    upper_p: float = 0.95,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group percentile winsorization — the standard outlier
+    treatment before training on heavy-tailed features: values below
+    the group's ``lower_p`` exact percentile clip up to it, above
+    ``upper_p`` clip down. Returns ``df`` plus ``out_col`` (default
+    ``{value_col}_w``) and the bounds (``_lo``/``_hi`` suffixed), so
+    the same bounds table can be persisted and applied to serving
+    data (clip with TRAINING bounds — recomputing them on serving
+    data leaks distribution shift into the feature).
+
+    Exact percentiles (``F.percentile``, linear interpolation — the
+    same definition as DuckDB's quantile_cont, the cross-engine
+    contract every quantile query here relies on) via one map-side-
+    combinable aggregate per group; the bounds table is tiny and
+    broadcasts back. At 100 TB swap in percentile_approx and accept
+    the documented rank error.
+    """
+    out_col = out_col or f"{value_col}_w"
+    bounds = df.groupBy(*group_cols).agg(
+        F.percentile(value_col, lower_p).alias(f"{value_col}_lo"),
+        F.percentile(value_col, upper_p).alias(f"{value_col}_hi"),
+    )
+    lo, hi = F.col(f"{value_col}_lo"), F.col(f"{value_col}_hi")
+    return df.join(F.broadcast(bounds), group_cols).withColumn(
+        out_col,
+        F.when(F.col(value_col) < lo, lo)
+        .when(F.col(value_col) > hi, hi)
+        .otherwise(F.col(value_col)),
+    )

@@ -1207,3 +1207,64 @@ def events_stream_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", F.desc("exact_cnt"), "user_id")
     )
+
+
+@register(
+    "events_value_winsorized",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS lo,
+               quantile_cont(value, 0.95) AS hi
+        FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           COUNT(*) FILTER (value < lo) AS n_clipped_low,
+           COUNT(*) FILTER (value > hi) AS n_clipped_high,
+           ROUND(ANY_VALUE(lo), 4) AS lo_bound,
+           ROUND(ANY_VALUE(hi), 4) AS hi_bound,
+           {oracle_dsum('value')} / COUNT(*) AS mean_raw,
+           {oracle_dsum(
+               'CASE WHEN value < lo THEN lo '
+               'WHEN value > hi THEN hi ELSE value END'
+           )} / COUNT(*) AS mean_w
+    FROM events e JOIN b USING (event_type)
+    GROUP BY e.event_type
+    ORDER BY event_type
+    """,
+    doc=(
+        "Per-type percentile winsorization (clip at [p05, p95]): "
+        "clipped-row counts, bounds, and the mean before/after — the "
+        "heavy-tail outlier treatment for training features."
+    ),
+)
+def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-prep winsorization (ml/features.py winsorize): exact
+    per-group percentile bounds via one map-side-combinable aggregate,
+    broadcast back, values clipped in place. The persistable bounds
+    table is the point — serving data clips with TRAINING bounds.
+    Means use the decimal lattice; the interpolated bounds round to
+    4dp in the output (algorithm-dependent values, per the float
+    policy)."""
+    from etl_mudah_spark.ml.features import winsorize
+
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    w = winsorize(ev, "value", ["event_type"], 0.05, 0.95)
+    return (
+        w.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("value") < F.col("value_lo"), 1)).alias(
+                "n_clipped_low"
+            ),
+            F.count(F.when(F.col("value") > F.col("value_hi"), 1)).alias(
+                "n_clipped_high"
+            ),
+            F.round(F.first("value_lo"), 4).alias("lo_bound"),
+            F.round(F.first("value_hi"), 4).alias("hi_bound"),
+            (dsum("value") / F.count("*")).alias("mean_raw"),
+            (dsum("value_w") / F.count("*")).alias("mean_w"),
+        )
+        .orderBy("event_type")
+    )

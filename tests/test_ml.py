@@ -197,3 +197,34 @@ def test_attach_target_encoding_broadcast_join(spark):
     assert out.where(F.col("cat_enc").isNull()).count() == 0
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_winsorize_clips_to_group_bounds(spark):
+    """Per-group clipping vs a numpy-free Python oracle: exact linear
+    interpolation percentiles, values outside [lo, hi] land exactly ON
+    the bound, inside values pass through untouched."""
+    from pyspark.sql import functions as F
+
+    from etl_mudah_spark.ml.features import winsorize
+
+    rows = [("a", float(v)) for v in range(1, 21)] + [
+        ("a", 1000.0), ("b", 5.0), ("b", 6.0), ("b", 7.0), ("b", -50.0)
+    ]
+    df = spark.createDataFrame(rows, "g string, value double")
+    out = winsorize(df, "value", ["g"], 0.1, 0.9).collect()
+
+    def py_pct(vals, p):
+        vals = sorted(vals)
+        idx = p * (len(vals) - 1)
+        lo, f = int(idx), idx - int(idx)
+        return vals[lo] if f == 0 else vals[lo] * (1 - f) + vals[lo + 1] * f
+
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    bounds = {g: (py_pct(v, 0.1), py_pct(v, 0.9)) for g, v in by_g.items()}
+    for r in out:
+        lo, hi = bounds[r["g"]]
+        want = min(max(r["value"], lo), hi)
+        assert abs(r["value_w"] - want) < 1e-9, (r["g"], r["value"])
+        assert abs(r["value_lo"] - lo) < 1e-9 and abs(r["value_hi"] - hi) < 1e-9
