@@ -593,3 +593,125 @@ def events_daily_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d", "n_events", F.round("s", 4).alias("ewma30"))
         .orderBy("d")
     )
+
+
+@register(
+    "daily_revenue_changepoint",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', o_orderdate) AS d,
+               {oracle_dsum('o_totalprice')} AS rev
+        FROM orders GROUP BY 1
+    ), stats AS (
+        SELECT CAST(SUM(CAST(rev AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*) AS mu,
+               COUNT(*) AS n_days
+        FROM daily
+    ), cusum AS (
+        SELECT d, n_days,
+               CAST(SUM(CAST(rev - mu AS DECIMAL(18,6)))
+                        OVER (ORDER BY d) AS DOUBLE) AS s
+        FROM daily CROSS JOIN stats
+    )
+    SELECT d AS changepoint_day,
+           ROUND(s, 4) AS cusum_at_peak,
+           CAST(n_days AS BIGINT) AS n_days
+    FROM cusum
+    ORDER BY ABS(s) DESC, d LIMIT 1
+    """,
+    doc=(
+        "CUSUM changepoint: the day where the cumulative deviation of "
+        "daily revenue from its mean peaks — the max-|S_t| point of "
+        "the classic level-shift detector."
+    ),
+)
+def daily_revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-shift detection on the revenue series: S_t = Σ_{i≤t}
+    (x_i − μ) peaks in magnitude at the most likely changepoint. The
+    cumulative window runs over the POST-AGGREGATION day spine
+    (O(calendar days) rows — the daily_revenue_moving_avg discipline),
+    never over orders; deviations sum on the decimal lattice so the
+    running sum is association-order-exact in both engines."""
+    o = load(spark, sf_dir, "orders").select(
+        F.date_trunc("day", "o_orderdate").alias("d"), "o_totalprice"
+    )
+    daily = o.groupBy("d").agg(dsum("o_totalprice").alias("rev"))
+    stats = daily.agg(
+        (F.sum(F.col("rev").cast(_DEC)).cast("double") / F.count("*")).alias("mu"),
+        F.count("*").alias("n_days"),
+    )
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    cusum = daily.join(F.broadcast(stats)).withColumn(
+        "s",
+        F.sum((F.col("rev") - F.col("mu")).cast(_DEC)).over(w).cast("double"),
+    )
+    return (
+        cusum.select(
+            F.col("d").alias("changepoint_day"),
+            F.round("s", 4).alias("cusum_at_peak"),
+            F.col("n_days").cast("bigint").alias("n_days"),
+        )
+        .orderBy(F.abs(F.col("cusum_at_peak")).desc(), "changepoint_day")
+        .limit(1)
+    )
+
+
+@register(
+    "orders_dow_seasonality",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               dayofweek(o_orderdate) AS dow,
+               COUNT(*) AS n
+        FROM orders GROUP BY 1, 2
+    ), per_dow AS (
+        SELECT dow,
+               CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean_daily_n,
+               COUNT(*) AS n_days
+        FROM daily GROUP BY dow
+    ), overall AS (
+        SELECT CAST(SUM(n) AS DOUBLE) / COUNT(*) AS grand_mean FROM daily
+    )
+    SELECT CAST(dow AS INT) AS dow, CAST(n_days AS BIGINT) AS n_days,
+           mean_daily_n,
+           mean_daily_n / grand_mean AS seasonal_index
+    FROM per_dow CROSS JOIN overall
+    ORDER BY dow
+    """,
+    doc=(
+        "Day-of-week seasonal index of order volume: mean daily count "
+        "per weekday over the grand daily mean (index 1.0 = no "
+        "seasonality)."
+    ),
+)
+def orders_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multiplicative seasonal profile under every forecasting
+    pipeline: mean daily volume per weekday normalized by the grand
+    daily mean. Two bounded aggregations (days, then weekdays) and a
+    1-row broadcast — integer counts make every ratio a single
+    deterministic division. DuckDB dayofweek is 0=Sunday; Spark's
+    dayofweek is 1=Sunday, so the engine side subtracts 1 to share
+    the convention."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("d")
+    )
+    daily = o.groupBy(
+        "d", (F.dayofweek("d") - 1).cast("int").alias("dow")
+    ).agg(F.count("*").alias("n"))
+    per_dow = daily.groupBy("dow").agg(
+        (F.sum("n").cast("double") / F.count("*")).alias("mean_daily_n"),
+        F.count("*").cast("bigint").alias("n_days"),
+    )
+    overall = daily.agg(
+        (F.sum("n").cast("double") / F.count("*")).alias("grand_mean")
+    )
+    return (
+        per_dow.join(F.broadcast(overall))
+        .select(
+            "dow",
+            "n_days",
+            "mean_daily_n",
+            (F.col("mean_daily_n") / F.col("grand_mean")).alias("seasonal_index"),
+        )
+        .orderBy("dow")
+    )
