@@ -79,6 +79,10 @@ _BNLJ_ALLOWED = {
     "doc_tfidf_similar",  # 1-row n_docs broadcast onto the |vocab|-row idf frame
     "doc_dup_triangles",  # three 1-row count aggregates broadcast-crossJoined
     "part_brand_target_encoding",  # 1-row grand-total (global prior) broadcast
+    "priority_customer_overlap",  # 10-row priority-pair frame broadcast with a < condition (priority domain is bounded)
+    "orders_replica_diff",  # 1-row drill-down summary broadcast onto the 1-row bucket count
+    "orders_dow_seasonality",  # 1-row grand-daily-mean broadcast
+    "daily_revenue_changepoint",  # 1-row (mu, n_days) stats broadcast
 }
 
 # Windows that legitimately run over ONE partition: their input is
@@ -99,8 +103,11 @@ _GLOBAL_WINDOW_ALLOWED = {
     "parts_pareto_80",
     "doc_global_shuffle",
     "daily_revenue_moving_avg",
-    "customer_balance_neighbors",  # same phase-2 cumsum over the ~11k floor(acctbal) bucket COUNTS (bucketed_global_rank, twice: rank + join-back lineage)
+    # (customer_balance_neighbors runs the same phase-2 cumsum over the
+    # ~11k floor(acctbal) bucket COUNTS, but its localCheckpoint
+    # truncates the inspected plan, so the detector can't see it.)
     "part_price_size_frontier",  # skyline phase-2 prefix max over the ~1.2k floor(price) bucket MAXIMA (operators/skyline.py)
+    "daily_revenue_changepoint",  # CUSUM over the O(calendar days) post-aggregation daily spine, like daily_revenue_moving_avg
 }
 
 _EXCHANGE = re.compile(r"Exchange (SinglePartition|hashpartitioning|rangepartitioning)")
