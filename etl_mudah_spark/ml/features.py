@@ -142,10 +142,27 @@ def winsorize(
         F.percentile(value_col, lower_p).alias(f"{value_col}_lo"),
         F.percentile(value_col, upper_p).alias(f"{value_col}_hi"),
     )
+    # null-SAFE join back: groupBy keeps a NULL group, and a null-unsafe
+    # equi-join would silently DROP every NULL-group training row.
+    b = F.broadcast(
+        bounds.select(
+            *[F.col(c).alias(f"_bg_{c}") for c in group_cols],
+            f"{value_col}_lo",
+            f"{value_col}_hi",
+        )
+    )
+    cond = None
+    for c in group_cols:
+        eq = F.col(c).eqNullSafe(F.col(f"_bg_{c}"))
+        cond = eq if cond is None else cond & eq
     lo, hi = F.col(f"{value_col}_lo"), F.col(f"{value_col}_hi")
-    return df.join(F.broadcast(bounds), group_cols).withColumn(
-        out_col,
-        F.when(F.col(value_col) < lo, lo)
-        .when(F.col(value_col) > hi, hi)
-        .otherwise(F.col(value_col)),
+    return (
+        df.join(b, cond)
+        .drop(*[f"_bg_{c}" for c in group_cols])
+        .withColumn(
+            out_col,
+            F.when(F.col(value_col) < lo, lo)
+            .when(F.col(value_col) > hi, hi)
+            .otherwise(F.col(value_col)),
+        )
     )

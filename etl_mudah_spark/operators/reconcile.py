@@ -127,10 +127,18 @@ def reconcile_tables(
     is unmatched — under the no-collision assumption (31-bit space vs
     bucket populations) these are the changed/missing rows.
     """
-    diff_buckets = fingerprint_diff(
-        table_fingerprint(a, sig, n_buckets),
-        table_fingerprint(b, sig, n_buckets),
-    ).select("bucket")
+    # checkpoint once: three consumers (two drill joins + the count)
+    # would otherwise re-run BOTH full-table fingerprint scans each —
+    # the pagerank/sorted-neighborhood multi-consumer discipline, and
+    # this frame is at most n_buckets rows.
+    diff_buckets = (
+        fingerprint_diff(
+            table_fingerprint(a, sig, n_buckets),
+            table_fingerprint(b, sig, n_buckets),
+        )
+        .select("bucket")
+        .localCheckpoint(eager=True)
+    )
 
     def sig_counts(df: DataFrame) -> DataFrame:
         return (

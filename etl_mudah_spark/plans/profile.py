@@ -922,7 +922,6 @@ def _sig_chain_sql(src: str, first: str, rest: list[str], out: str) -> str:
     prev = src
     for i, col in enumerate([first, *rest]):
         seed = col if i == 0 else f"xor(sig, {col})"
-        mk = "," if True else ""
         a, b, c, d = (f"{out}_{i}{t}" for t in "abcd")
         if i == 0:
             stages.append(

@@ -645,14 +645,16 @@ def daily_revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s",
         F.sum((F.col("rev") - F.col("mu")).cast(_DEC)).over(w).cast("double"),
     )
+    # rank on the UNROUNDED |s| (the oracle's ORDER BY ABS(s)); rounding
+    # first could tie two near-peak days the oracle distinguishes.
     return (
-        cusum.select(
+        cusum.orderBy(F.abs(F.col("s")).desc(), "d")
+        .limit(1)
+        .select(
             F.col("d").alias("changepoint_day"),
             F.round("s", 4).alias("cusum_at_peak"),
             F.col("n_days").cast("bigint").alias("n_days"),
         )
-        .orderBy(F.abs(F.col("cusum_at_peak")).desc(), "changepoint_day")
-        .limit(1)
     )
 
 

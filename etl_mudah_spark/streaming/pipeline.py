@@ -277,6 +277,15 @@ def stream_cms_counters(
     latest: dict[str, str | None] = {"path": None}
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = os.path.join(state_root, f"v{batch_id}")
+        # foreachBatch can RE-DELIVER a batch_id after a transient
+        # failure; the merge must be idempotent or cells double-count.
+        # A committed _SUCCESS means the publish finished — repoint and
+        # return; anything else (absent or torn dir) is rebuilt from
+        # the PREVIOUS version with mode=overwrite.
+        if os.path.exists(os.path.join(out, "_SUCCESS")):
+            latest["path"] = out
+            return
         batch_counters = cms_counters(
             batch_df.select(*group_cols, value_col),
             group_cols,
@@ -287,8 +296,7 @@ def stream_cms_counters(
         if latest["path"] is not None:
             prev = batch_df.sparkSession.read.parquet(latest["path"])
             batch_counters = cms_merge_counters(prev, batch_counters, group_cols)
-        out = os.path.join(state_root, f"v{batch_id}")
-        batch_counters.write.parquet(out)
+        batch_counters.write.mode("overwrite").parquet(out)
         latest["path"] = out
 
     matches = sorted(glob.glob(os.path.join(sf_dir, source_glob)))
@@ -311,7 +319,20 @@ def stream_cms_counters(
     finally:
         q.stop()
     if latest["path"] is None:
-        return spark.createDataFrame(
-            [], f"{', '.join(c + ' string' for c in group_cols)}, row int, col int, cnt bigint"
+        # empty stream: derive the group columns' REAL types from the
+        # source schema (a hardcoded string type would break unions
+        # against genuinely-typed counter tables downstream).
+        from pyspark.sql.types import (
+            IntegerType,
+            LongType,
+            StructField,
+            StructType,
         )
+
+        fields = [src.schema[c] for c in group_cols] + [
+            StructField("row", IntegerType()),
+            StructField("col", IntegerType()),
+            StructField("cnt", LongType()),
+        ]
+        return spark.createDataFrame([], StructType(fields))
     return spark.read.parquet(latest["path"])
