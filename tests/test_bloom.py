@@ -13,7 +13,6 @@ from etl_mudah_spark.operators.bloom import (
     bloom_prune,
     bloom_semi_join,
 )
-from tests.conftest import get_spark  # noqa: F401  (fixture import pattern)
 
 
 @pytest.fixture(scope="module")
