@@ -346,3 +346,44 @@ def token_budget_mix(
         * F.col("_stratum_tokens")
     ) < (budget.cast("bigint") * F.lit(buckets))
     return joined.withColumn("_kept", F.coalesce(kept, F.lit(False)))
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    key_col: str,
+    shards: list[tuple[str, int]],
+    out_col: str = "shard",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment [Thaler &
+    Ravishankar '96] — the routing rule consistent pipelines want:
+    each key goes to the shard whose ``mix(key XOR seed)`` weight is
+    highest, so REMOVING a shard moves only that shard's keys (each
+    surviving shard's weight for a key is unchanged — its winners stay
+    put) and ADDING one steals only the keys it now wins: ~1/n of
+    each, no ring to maintain, no resharding storm. ``shards`` is a
+    list of (name, seed) with fixed integer seeds < 2^31 (the seed
+    list IS the cluster topology artifact — persist it).
+
+    Map-only Column algebra: per shard one 31-bit avalanche
+    (operators/sketch.py hll_hash, the engine-shared mixer, so SQL
+    oracles reproduce the routing exactly), argmax via array_max over
+    (weight, name) structs — weight ties (p ≈ 2⁻³¹) break toward the
+    lexicographically larger name. No shuffle, no UDF, no window.
+    """
+    if not shards:
+        raise ValueError("shards must be non-empty")
+    from etl_mudah_spark.operators.sketch import hll_hash
+
+    key = F.col(key_col)
+    winner = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    hll_hash(key.bitwiseXOR(F.lit(seed))).alias("w"),
+                    F.lit(name).alias("name"),
+                )
+                for name, seed in shards
+            ]
+        )
+    )
+    return df.withColumn(out_col, winner["name"])

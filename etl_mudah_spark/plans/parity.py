@@ -1064,3 +1064,77 @@ def part_price_size_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         y_col="p_size",
         bucket=lambda c: F.floor(c),
     ).orderBy("p_retailprice")
+
+
+# Fixed shard topology for the rendezvous-routing query: the (name,
+# seed) list is the persisted cluster artifact; seeds are arbitrary
+# fixed constants < 2^31.
+SHARD_TOPOLOGY = [
+    ("shard-a", 0x1111_1111),
+    ("shard-b", 0x2222_2222),
+    ("shard-c", 0x3333_3333),
+    ("shard-d", 0x4444_4444),
+]
+
+
+@register(
+    "customer_shard_routing",
+    oracle=f"""
+    WITH shards(name, sd) AS (VALUES
+        {", ".join(f"('{n}', {s})" for n, s in [("shard-a", 0x11111111), ("shard-b", 0x22222222), ("shard-c", 0x33333333), ("shard-d", 0x44444444)])}
+    ), x0 AS (
+        SELECT c_custkey, name, xor(c_custkey, sd) % 2147483648 AS x
+        FROM customer CROSS JOIN shards
+    ), m1 AS (
+        SELECT c_custkey, name, (xor(x >> 16, x) * 73244475) % 2147483648 AS x
+        FROM x0
+    ), m2 AS (
+        SELECT c_custkey, name, (xor(x >> 16, x) * 73244475) % 2147483648 AS x
+        FROM m1
+    ), h AS (
+        SELECT c_custkey, name, xor(x >> 16, x) AS w FROM m2
+    ), win AS (
+        SELECT c_custkey, name,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c_custkey ORDER BY w DESC, name DESC
+               ) AS rn
+        FROM h
+    )
+    SELECT name AS shard, COUNT(*) AS n_keys,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+           CAST(MAX(c_custkey) AS BIGINT) AS max_key,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+    FROM win WHERE rn = 1
+    GROUP BY name
+    ORDER BY name
+    """,
+    doc=(
+        "Rendezvous (HRW) shard routing of customers over a 4-shard "
+        "topology: per-shard membership fingerprints; the oracle "
+        "re-runs the weight argmax through the shared mixer."
+    ),
+)
+def customer_shard_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard routing (operators/sampling.py
+    rendezvous_assign): highest-random-weight hashing gives minimal
+    movement under topology change — remove a shard and ONLY its keys
+    move (pinned in tests) — with no ring state, just the (name, seed)
+    list. The engine side is map-only struct-argmax (no explode, no
+    window, no shuffle before the summary agg); the oracle replays
+    the same mixer per (key, shard) and takes the window argmax.
+    Membership is pinned by min/max/sum fingerprints per shard, not
+    just counts."""
+    from etl_mudah_spark.operators.sampling import rendezvous_assign
+
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    routed = rendezvous_assign(cust, "c_custkey", SHARD_TOPOLOGY)
+    return (
+        routed.groupBy(F.col("shard"))
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.min("c_custkey").cast("bigint").alias("min_key"),
+            F.max("c_custkey").cast("bigint").alias("max_key"),
+            F.sum("c_custkey").cast("bigint").alias("sum_key"),
+        )
+        .orderBy("shard")
+    )

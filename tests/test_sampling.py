@@ -236,3 +236,33 @@ def test_stratified_topn_salted_equals_one_phase(spark):
             assert sorted(map(tuple, two.collect())) == sorted(
                 map(tuple, one.collect())
             ), (n, n_salts)
+
+
+def test_rendezvous_minimal_movement_and_balance(spark):
+    """The HRW guarantees: (1) removing a shard moves ONLY that
+    shard's keys — every other key keeps its assignment (each
+    surviving shard's weight is unchanged); (2) assignment is roughly
+    balanced; (3) adding the shard back restores the original routing
+    exactly (pure function of (key, topology))."""
+    from etl_mudah_spark.operators.sampling import rendezvous_assign
+
+    four = [("a", 11), ("b", 22), ("c", 33), ("d", 44)]
+    three = four[:3]
+    df = spark.range(0, 4000).select(F.col("id").alias("k"))
+    with4 = {r["k"]: r["shard"] for r in rendezvous_assign(df, "k", four).collect()}
+    with3 = {r["k"]: r["shard"] for r in rendezvous_assign(df, "k", three).collect()}
+    for k, s in with4.items():
+        if s != "d":
+            assert with3[k] == s, k  # survivors never move
+        else:
+            assert with3[k] in {"a", "b", "c"}
+    # balance: each shard within 3x of fair share (loose, deterministic)
+    from collections import Counter
+
+    c4 = Counter(with4.values())
+    assert set(c4) == {"a", "b", "c", "d"}
+    for n in c4.values():
+        assert 4000 / 12 < n < 4000 / 4 * 3
+    # re-adding d restores the original assignment bit-for-bit
+    again = {r["k"]: r["shard"] for r in rendezvous_assign(df, "k", four).collect()}
+    assert again == with4
