@@ -17,7 +17,7 @@ Importing this package registers every declared query into
 # driver row is r6+. Round-9 should rotate to the then-oldest r6 rows
 # (alphabetically-first of the 50 CORRECTNESS_r06 names) plus any
 # round-9 additions AND the queries registered after this round's
-# window was frozen at 50 (nineteen so far): lineitem_zone_pruned_revenue,
+# window was frozen at 50 (twenty so far): lineitem_zone_pruned_revenue,
 # orders_hll_distinct, doc_stratified_sample,
 # supplier_customer_pagerank, doc_tfidf_similar, doc_dup_triangles,
 # lineitem_bloom_semijoin, part_brand_target_encoding,
@@ -26,10 +26,10 @@ Importing this package registers every declared query into
 # priority_customer_overlap, events_stream_cms_users,
 # orders_replica_diff, events_value_winsorized,
 # daily_revenue_changepoint, orders_dow_seasonality,
-# customer_shard_routing. All registered queries are additionally
-# sim-checked at sf0.01 AND sf0.1 every round regardless
-# (scripts/driver_sim.py; round-8 final: 170 registered, 170 with
-# oracles — zero rows-only).
+# customer_shard_routing, part_brand_type_mi. All registered queries
+# are additionally sim-checked at sf0.01 AND sf0.1 every round
+# regardless (scripts/driver_sim.py; round-8 final: 171 registered,
+# 171 with oracles — zero rows-only).
 from etl_mudah_spark.plans import registry  # noqa: F401
 from etl_mudah_spark.plans import parity  # noqa: F401
 from etl_mudah_spark.plans import datapipe  # noqa: F401

@@ -332,3 +332,95 @@ def part_brand_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         smoothing=20.0,
     )
     return enc.orderBy("p_brand", "fold")
+
+
+@register(
+    "part_brand_type_mi",
+    oracle="""
+    WITH joint AS (
+        SELECT p_brand AS x, p_type AS y, COUNT(*) AS nxy FROM part
+        GROUP BY 1, 2
+    ), mx AS (
+        SELECT x, SUM(nxy) AS nx FROM joint GROUP BY 1
+    ), my AS (
+        SELECT y, SUM(nxy) AS ny FROM joint GROUP BY 1
+    ), tot AS (
+        SELECT SUM(nxy) AS n FROM joint
+    ), terms AS (
+        SELECT (nxy * 1.0 / n) * ln((nxy * n) * 1.0 / (nx * ny)) AS mi_t
+        FROM joint JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+    ), hx AS (
+        SELECT CAST(SUM(CAST(-(nx * 1.0 / n) * ln(nx * 1.0 / n)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS h
+        FROM mx CROSS JOIN tot
+    ), hy AS (
+        SELECT CAST(SUM(CAST(-(ny * 1.0 / n) * ln(ny * 1.0 / n)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS h
+        FROM my CROSS JOIN tot
+    ), mi AS (
+        SELECT CAST(SUM(CAST(mi_t AS DECIMAL(18,6))) AS DOUBLE) AS mi
+        FROM terms
+    )
+    SELECT mi.mi AS mi_nats, hx.h AS h_brand, hy.h AS h_type,
+           mi.mi / LEAST(hx.h, hy.h) AS nmi
+    FROM mi, hx, hy
+    """,
+    doc=(
+        "Mutual information between p_brand and p_type (nats), the "
+        "marginal entropies, and min-normalized MI — the "
+        "feature-relevance screen before encoding categoricals."
+    ),
+)
+def part_brand_type_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical feature-relevance: I(brand; type) = Σ p(x,y)·
+    ln(p(x,y)/(p(x)p(y))) with the marginal entropies and NMI =
+    I/min(H) — the screen that decides which categoricals deserve a
+    target encoding (ml/features.py). One (x, y) count shuffle; the
+    marginals re-aggregate the |X×Y|-cell joint (1,000 cells here, tiny
+    at any sf since the DOMAINS are bounded); every log term is
+    count-ratio arithmetic (exact bigints in, identical doubles out)
+    and the sums ride the decimal lattice, so both engines agree
+    double for double."""
+    part = load(spark, sf_dir, "part")
+    from pyspark.sql import functions as F
+
+    joint = part.groupBy(
+        F.col("p_brand").alias("x"), F.col("p_type").alias("y")
+    ).agg(F.count("*").alias("nxy"))
+    mx = joint.groupBy("x").agg(F.sum("nxy").alias("nx"))
+    my = joint.groupBy("y").agg(F.sum("nxy").alias("ny"))
+    tot = joint.agg(F.sum("nxy").alias("n"))
+    dsum6 = lambda c: F.sum(c.cast("decimal(18,6)")).cast("double")  # noqa: E731
+    mi_term = (F.col("nxy") * 1.0 / F.col("n")) * F.log(
+        (F.col("nxy") * F.col("n")) * 1.0 / (F.col("nx") * F.col("ny"))
+    )
+    mi = (
+        joint.join(mx, "x")
+        .join(my, "y")
+        .join(F.broadcast(tot))
+        .agg(dsum6(mi_term).alias("mi_nats"))
+    )
+    hx = mx.join(F.broadcast(tot)).agg(
+        dsum6(
+            -(F.col("nx") * 1.0 / F.col("n"))
+            * F.log(F.col("nx") * 1.0 / F.col("n"))
+        ).alias("h_brand")
+    )
+    hy = my.join(F.broadcast(tot)).agg(
+        dsum6(
+            -(F.col("ny") * 1.0 / F.col("n"))
+            * F.log(F.col("ny") * 1.0 / F.col("n"))
+        ).alias("h_type")
+    )
+    return (
+        mi.join(F.broadcast(hx))
+        .join(F.broadcast(hy))
+        .select(
+            "mi_nats",
+            "h_brand",
+            "h_type",
+            (F.col("mi_nats") / F.least(F.col("h_brand"), F.col("h_type"))).alias(
+                "nmi"
+            ),
+        )
+    )
