@@ -83,6 +83,7 @@ _BNLJ_ALLOWED = {
     "orders_replica_diff",  # 1-row drill-down summary broadcast onto the 1-row bucket count
     "orders_dow_seasonality",  # 1-row grand-daily-mean broadcast
     "daily_revenue_changepoint",  # 1-row (mu, n_days) stats broadcast
+    "part_brand_type_mi",  # 1-row total + 1-row entropy broadcasts over the bounded-domain joint
 }
 
 # Windows that legitimately run over ONE partition: their input is
