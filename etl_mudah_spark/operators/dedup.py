@@ -809,3 +809,95 @@ ngram_decontaminate_spans`: (id, span_id, span_start, span_end,
         repeated.hint("shuffle_hash"), "gram", "left_semi"
     )
     return positions_to_spans(hits, id_col=id_col, n=n)
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.6,
+    max_index_df: int | None = None,
+) -> DataFrame:
+    """EXACT directed containment pairs: ``(doc_a, doc_b,
+    containment)`` with c(A→B) = |A∩B| / |A| ≥ t — "A is mostly
+    inside B". The asymmetric sibling of
+    :func:`prefix_filtered_jaccard`: Jaccard misses a short document
+    quoted verbatim inside a long one (the union dominates), but
+    containment is exactly the quote/boilerplate-inclusion signal a
+    training-data pipeline dedups on.
+
+    Prefix filter, asymmetric form (Xiao et al. WWW'08 overlap
+    variant): c(A→B) ≥ t requires |A∩B| ≥ ceil(t·|A|), so under one
+    global (df, shingle) total order, A's first
+    ``|A| − ceil(t·|A|) + 1`` (rarest) shingles must hit B — the
+    CONTAINED side joins by prefix only, while the container side
+    indexes its full set (an overlap bound on B's size does not exist:
+    B may be arbitrarily large). Lossless — no recall knob.
+
+    Plan shape at 100 TB: shingle explode → window df / per-doc size /
+    prefix rank on the same two exchanges prefix_filtered_jaccard
+    rides → prefix-to-full join (shuffle on shingle) → sorted-set
+    fetch + exact intersection (shuffle on id). Skew: the full-side
+    index DOES carry high-df boilerplate shingles; A-prefixes are rare
+    by construction so the hot keys pair rare-with-hot, which AQE
+    skew-join splits. For a corpus with degenerate boilerplate pass
+    ``max_index_df`` to drop container-side postings above the bound —
+    that trades completeness for a hard cost cap (containment becomes
+    a lower bound), mirroring ngram_jaccard_pairs' documented cap.
+
+    Reference analog: none — beyond-reference dedup family
+    (SURVEY.md §2 extensions).
+    """
+    shingled = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    ranked = (
+        shingled.withColumn("_df", F.count("*").over(W.partitionBy("sh")))
+        .withColumn("_n_sh", F.count("*").over(W.partitionBy(id_col)))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy(id_col).orderBy(F.asc("_df"), F.asc("sh"))
+            ),
+        )
+    )
+    # Exact-ceiling epsilon: see prefix_filtered_jaccard — the epsilon
+    # can only LENGTHEN the prefix (extra candidates, never lost ones).
+    prefix = ranked.where(
+        F.col("_rn")
+        <= F.col("_n_sh")
+        - F.ceil(F.lit(threshold) * F.col("_n_sh") - F.lit(1e-9))
+        + 1
+    ).select(id_col, "sh")
+    full = ranked.select(id_col, "sh")
+    if max_index_df is not None:
+        full = ranked.where(F.col("_df") <= max_index_df).select(id_col, "sh")
+    a = prefix.alias("a").hint("shuffle_hash")
+    b = full.alias("b").hint("shuffle_hash")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sets = ranked.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("sh")).alias("_shs")
+    )
+    sa = sets.select(F.col(id_col).alias("doc_a"), F.col("_shs").alias("_sha"))
+    sb = sets.select(F.col(id_col).alias("doc_b"), F.col("_shs").alias("_shb"))
+    common = F.size(F.array_intersect("_sha", "_shb"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("containment", common / F.size("_sha"))
+        .where(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )

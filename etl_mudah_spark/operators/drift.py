@@ -1,0 +1,116 @@
+"""Distribution-drift measurement: PSI / KL over fixed bins.
+
+Population Stability Index is the standard production gate for "has
+this feature's distribution moved since the reference window" — the
+check a training pipeline runs before retraining on a new crawl, and
+a feature store runs per feature per day. PSI = Σ (p_cur − p_ref) ·
+ln(p_cur / p_ref) over bins; the same binned counts give directed
+KL(cur‖ref). Rules of thumb: <0.1 stable, 0.1-0.25 drifting, >0.25
+shifted.
+
+Determinism / cross-engine exactness: bins are FIXED literal-width
+intervals (no data-dependent quantile edges — those would make the
+bin boundaries themselves a float race), counts are exact bigints,
+and proportions are Laplace-smoothed count ratios (cnt+1)/(n+bins) so
+empty bins stay finite without dropping mass. Every per-bin term is a
+pure function of four bigints, so both engines produce the identical
+doubles; only the summed scalars ride the decimal lattice.
+
+Scale shape (100 TB): one map-side-combined aggregation per side
+reduces each corpus to ≤ n_bins rows; the bin-level join and the
+1-row totals broadcast are constant-size. No window, no collect; the
+two scans are embarrassingly parallel. Skew-proof: the bin domain is
+bounded by construction.
+
+Reference analog: none — the reference recomputes its dashboard from
+scratch per load (streamlit/utils/data_loader.py); drift gating is
+what replaces "eyeball the new histogram" at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def fixed_bin(col: Column, lo: float, width: float, n_bins: int) -> Column:
+    """Bin index in [0, n_bins): fixed width, clamped at both ends so
+    out-of-range values land in the edge bins rather than vanishing."""
+    raw = F.floor((col - F.lit(lo)) / F.lit(width)).cast("int")
+    return F.greatest(F.lit(0), F.least(F.lit(n_bins - 1), raw))
+
+
+def psi_bins(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    lo: float,
+    width: float,
+    n_bins: int,
+) -> DataFrame:
+    """Per-bin drift table: ``(bin, ref_cnt, cur_cnt, p_ref, p_cur,
+    psi_term, kl_term)`` ordered by bin, one row per bin with any mass.
+
+    ``p_*`` are Laplace-smoothed ``(cnt+1)/(n+n_bins)``; ``psi_term``
+    is the bin's additive PSI contribution, ``kl_term`` the KL(cur‖ref)
+    contribution. Sum them (decimal lattice) for the scalars — or use
+    :func:`psi_report` which does.
+    """
+    b = fixed_bin(F.col(col), lo, width, n_bins)
+
+    def side(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.where(F.col(col).isNotNull())
+            .select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count("*").alias(f"{name}_cnt"))
+        )
+
+    r, c = side(ref, "ref"), side(cur, "cur")
+    rt = r.agg(F.sum("ref_cnt").alias("ref_n"))
+    ct = c.agg(F.sum("cur_cnt").alias("cur_n"))
+    joined = (
+        r.join(c, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("ref_cnt", F.lit(0)).alias("ref_cnt"),
+            F.coalesce("cur_cnt", F.lit(0)).alias("cur_cnt"),
+        )
+        .join(F.broadcast(rt))
+        .join(F.broadcast(ct))
+    )
+    p_ref = (F.col("ref_cnt") + 1) / (F.col("ref_n") + n_bins)
+    p_cur = (F.col("cur_cnt") + 1) / (F.col("cur_n") + n_bins)
+    return joined.select(
+        "bin",
+        "ref_cnt",
+        "cur_cnt",
+        p_ref.alias("p_ref"),
+        p_cur.alias("p_cur"),
+        ((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("psi_term"),
+        (p_cur * F.log(p_cur / p_ref)).alias("kl_term"),
+    ).orderBy("bin")
+
+
+def psi_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    lo: float,
+    width: float,
+    n_bins: int,
+) -> DataFrame:
+    """1-row drift summary: ``(ref_n, cur_n, psi, kl_cur_ref)``.
+
+    Scalar sums ride the decimal(18,6) lattice so partition order
+    cannot perturb the low bits (the per-term doubles are themselves
+    engine-exact count-ratio arithmetic).
+    """
+    bins = psi_bins(ref, cur, col, lo, width, n_bins)
+    dsum6 = lambda c: F.sum(F.col(c).cast("decimal(18,6)")).cast("double")  # noqa: E731
+    return bins.agg(
+        F.sum("ref_cnt").cast("bigint").alias("ref_n"),
+        F.sum("cur_cnt").cast("bigint").alias("cur_n"),
+        dsum6("psi_term").alias("psi"),
+        dsum6("kl_term").alias("kl_cur_ref"),
+    )

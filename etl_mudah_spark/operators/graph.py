@@ -557,3 +557,70 @@ def triangle_stats(
             .alias("transitivity"),
         )
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "a",
+    dst: str = "b",
+    node_col: str = "node",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Level-synchronous BFS: minimum hop count from a seed SET to
+    every node within ``max_hops`` — the reachability primitive
+    (contamination spread through a dup graph, supply-chain blast
+    radius, k-hop feature neighborhoods).
+
+    ``edges`` is a DIRECTED (``src``, ``dst``) list — pass both
+    directions for undirected semantics. ``seeds`` is a 1-column frame
+    of start nodes (hop 0). Returns ``(node, hops)`` with one row per
+    reached node; because each level excludes everything already
+    visited, the first time a node appears IS its minimum distance —
+    no min-aggregate needed, and the loop can stop early when a
+    frontier empties.
+
+    Scale shape, per level: one equi-join shuffle of the CURRENT
+    frontier (never the visited set) against the edge list on
+    ``src``, a distinct on the new frontier, and a left_anti against
+    the accumulated visited set — all hash-partitioned on the node
+    key; nothing is ever collected to the driver and no window is
+    used. The frontier-dedup bounds every level at |V| rows no matter
+    how many paths exist (the path-enumeration blowup is the classic
+    BFS-in-SQL mistake). ``localCheckpoint`` truncates the loop
+    lineage every ``checkpoint_every`` levels, same discipline as
+    :func:`pagerank`; ``max_hops`` bounds the join count, making the
+    whole plan k·(join+distinct+anti) — deterministic, shuffle-least,
+    and skew-tolerant under AQE.
+
+    Reference analog: none — beyond-reference graph reachability over
+    the trade/dup graphs (SURVEY.md §2 extensions).
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    visited = (
+        seeds.select(F.col(seeds.columns[0]).alias(node_col))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+    )
+    frontier = visited.select(node_col)
+    for h in range(1, max_hops + 1):
+        # Alias both sides: from hop 2 on the frontier DERIVES from
+        # edges, and un-aliased self-referencing joins hit Spark's
+        # ambiguous-attribute resolution.
+        nxt = (
+            frontier.alias("_f")
+            .join(edges.alias("_e"), F.col(f"_f.{node_col}") == F.col(f"_e.{src}"))
+            .select(F.col(f"_e.{dst}").alias(node_col))
+            .distinct()
+            .join(visited.select(node_col), node_col, "left_anti")
+            .withColumn("hops", F.lit(h))
+        )
+        if checkpoint_every and h % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+            if not nxt.take(1):  # early exit only when already materialized
+                break
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select(node_col)
+    return visited

@@ -11,25 +11,15 @@ Importing this package registers every declared query into
 # Rotation history: r5 flipped the 12 invariant-shape conversions + 34
 # oldest r2/r3 rows (CORRECTNESS_r05 50/50); r6 completed the rotation
 # (50/50); r7 covered the 30 r4-checked names + the 11 r7 additions +
-# r5 fills (CORRECTNESS_r07 50/50). The round-8 window below finishes
-# the cycle: the 43 names whose newest driver row is r4/r5 plus the 7
-# round-8 additions — after this round every registered query's newest
-# driver row is r6+. Round-9 should rotate to the then-oldest r6 rows
-# (alphabetically-first of the 50 CORRECTNESS_r06 names) plus any
-# round-9 additions AND the queries registered after this round's
-# window was frozen at 50 (twenty so far): lineitem_zone_pruned_revenue,
-# orders_hll_distinct, doc_stratified_sample,
-# supplier_customer_pagerank, doc_tfidf_similar, doc_dup_triangles,
-# lineitem_bloom_semijoin, part_brand_target_encoding,
-# orders_cms_heavy_customers, events_markov_transitions,
-# customer_balance_neighbors, part_price_size_frontier,
-# priority_customer_overlap, events_stream_cms_users,
-# orders_replica_diff, events_value_winsorized,
-# daily_revenue_changepoint, orders_dow_seasonality,
-# customer_shard_routing, part_brand_type_mi. All registered queries
-# are additionally sim-checked at sf0.01 AND sf0.1 every round
-# regardless (scripts/driver_sim.py; round-8 final: 171 registered,
-# 171 with oracles — zero rows-only).
+# r5 fills (CORRECTNESS_r07 50/50); r8 covered the 43 r4/r5-stale
+# names + the 7 round-8 additions (CORRECTNESS_r08 50/50) — after r8
+# every query REGISTERED AT THE FREEZE has a driver row of r6+. The
+# round-9 window below picks up (a) the 21 queries registered after
+# the r8 freeze (never driver-rowed), (b) the 6 round-9 additions,
+# and (c) the 23 alphabetically-first r6-stale names. All registered
+# queries are additionally sim-checked at sf0.01 AND sf0.1 every
+# round regardless (scripts/driver_sim.py; round-9: 177 registered,
+# 177 with oracles — zero rows-only).
 from etl_mudah_spark.plans import registry  # noqa: F401
 from etl_mudah_spark.plans import parity  # noqa: F401
 from etl_mudah_spark.plans import datapipe  # noqa: F401
@@ -42,67 +32,73 @@ from etl_mudah_spark.plans import temporal  # noqa: F401
 from etl_mudah_spark.plans import mlq  # noqa: F401
 
 _PRIORITY = [
-    # Round-8 window (exactly 50 names), executing the rotation
-    # planned in the r7 comment above: (a) the 43 names whose newest
-    # driver row is round 5 or older -- after this round no
-    # registered query's newest driver row is older than round 6;
-    # (b) the 7 round-8 additions (prefix-filtered exact Jaccard,
-    # weighted sampling, bigram PMI, basket lift, daily EWMA, key-skew
-    # report, erasure-cascade audit). All registered queries remain
-    # sim-checked at sf0.01 and sf0.1 every round regardless
-    # (scripts/driver_sim.py).
-    # --- (a) names whose newest driver row is r4/r5 ---
-    "brand_type_supplier_counts",
-    "cheapest_supplier_per_part",
-    "customers_churned",
-    "customers_retained",
-    "customers_without_orders",
-    "doc_chunks",
-    "doc_decontaminate_spans",
-    "doc_dup_clusters",
-    "doc_minhash_incremental",
-    "doc_minhash_near_dup",
-    "doc_quality_model",
-    "doc_simhash_near_dup",
-    "emb_cosine_near_dup_lsh",
-    "events_asof_last_view",
-    "events_promo_range_join",
-    "events_stream_attribution",
-    "events_user_hll",
-    "events_value_quantiles",
-    "idle_rich_customers_by_nation",
-    "late_shipment_priority",
-    "lineitem_profile",
-    "lineitem_unpivot_metrics",
-    "nation_acctbal_concentration",
-    "nation_customer_stats",
-    "nation_market_share",
-    "orders_cube_status_priority",
-    "orders_pivot_status",
-    "part_name_fuzzy_pairs",
-    "price_bins",
-    "price_kde",
-    "price_model_r2",
-    "promo_revenue_by_month",
-    "qty_price_corr",
-    "rollup_region_nation",
-    "running_customer_revenue",
-    "salted_event_totals",
-    "share_above_avg",
-    "small_qty_part_revenue",
-    "state_market_stats",
-    "term_idf_top20",
-    "top_supplier_by_revenue",
-    "vocab_cms_topk",
-    "vocab_topk",
-    # --- (b) new in round 8 ---
-    "doc_prefix_jaccard",
-    "doc_weighted_sample",
-    "doc_bigram_pmi",
-    "part_basket_lift",
-    "events_daily_ewma",
-    "events_key_skew",
-    "customer_erasure_audit",
+    # Round-9 window (exactly 50 names), executing the rotation planned
+    # in the r8 comment above:
+    # (a) the 21 queries registered AFTER the round-8 window froze --
+    #     they have never had a driver-produced CORRECTNESS row;
+    # (b) the 6 round-9 additions (exact Mann-Whitney AUC, PSI drift,
+    #     k-hop BFS reach, directed containment pairs, G2 keyness,
+    #     Benford digit audit);
+    # (c) the 23 alphabetically-first names whose newest driver row is
+    #     round 6 -- the stalest records. Round-10 should cover the
+    #     remaining 27 r6-stale names (doc_global_shuffle onward
+    #     alphabetically) plus round-10 additions, then resume the
+    #     r7-stale names. All registered queries are additionally
+    #     sim-checked at sf0.01 AND sf0.1 every round regardless
+    #     (scripts/driver_sim.py).
+    # --- (a) never driver-rowed (registered after the r8 freeze) ---
+    "ann_ivfpq_filtered_topk",
+    "customer_balance_neighbors",
+    "customer_shard_routing",
+    "daily_revenue_changepoint",
+    "doc_dup_triangles",
+    "doc_stratified_sample",
+    "doc_tfidf_similar",
+    "events_markov_transitions",
+    "events_stream_cms_users",
+    "events_value_winsorized",
+    "lineitem_bloom_semijoin",
+    "lineitem_zone_pruned_revenue",
+    "orders_cms_heavy_customers",
+    "orders_dow_seasonality",
+    "orders_hll_distinct",
+    "orders_replica_diff",
+    "part_brand_target_encoding",
+    "part_brand_type_mi",
+    "part_price_size_frontier",
+    "priority_customer_overlap",
+    "supplier_customer_pagerank",
+    # --- (b) new in round 9 ---
+    "doc_quality_auc",
+    "events_value_drift_psi",
+    "supplier_reach_khop",
+    "doc_containment_pairs",
+    "doc_keyness_g2",
+    "orders_benford_audit",
+    # --- (c) stalest r6 rows, alphabetically first ---
+    "ann_batch_topk",
+    "ann_filtered_indexed",
+    "ann_filtered_topk",
+    "ann_pq_filtered_topk",
+    "big_orders",
+    "brand_price_regression",
+    "brand_share",
+    "customer_order_links",
+    "customer_priority_scd2",
+    "distinct_priorities",
+    "doc_bm25_search",
+    "doc_bpe_token_stats",
+    "doc_dedup_keep_best",
+    "doc_excise_repeated_spans",
+    "doc_hybrid_rrf",
+    "doc_lang_guess",
+    "doc_media_features",
+    "doc_quality",
+    "doc_repeated_spans",
+    "doc_split_leakage",
+    "doc_token_budget_mix",
+    "doc_token_stats",
+    "doc_unigram_surprisal",
 ]
 
 

@@ -2139,3 +2139,46 @@ def doc_excise_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return excised.where(
         F.col("n_tokens_after") < F.col("n_tokens_before")
     ).select("doc_id", "n_tokens_before", "n_tokens_after")
+
+
+@register(
+    "doc_containment_pairs",
+    oracle=rf"""
+    WITH words AS (
+        SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+    ), shingles AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+        FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+        WHERE len(w) >= 3
+    ), counts AS (
+        SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        FROM shingles a
+        JOIN shingles b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, common * 1.0 / na.n AS containment
+    FROM inter
+    JOIN counts na ON na.doc_id = doc_a
+    WHERE common * 1.0 / na.n >= 0.6
+    ORDER BY doc_a, doc_b
+    """,
+    doc=(
+        "EXACT directed containment pairs (|A∩B|/|A| >= 0.6, 3-gram "
+        "shingles) via the asymmetric prefix filter — catches a short "
+        "doc quoted inside a long one, which Jaccard's union washes "
+        "out; the oracle is the uncapped all-shared-shingle join."
+    ),
+)
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quote/boilerplate-inclusion detection
+    (operators/dedup.containment_pairs): directed pairs where ≥60% of
+    doc_a's 3-gram shingles appear in doc_b. The contained side joins
+    by its rarest-shingle PREFIX only (lossless overlap bound), the
+    container side by its full set; exact verification on sorted
+    shingle arrays. All ratios are int/int — engine-exact without
+    rounding."""
+    return dd.containment_pairs(
+        load(spark, sf_dir, "documents"), shingle_n=3, threshold=0.6
+    ).orderBy("doc_a", "doc_b")

@@ -1268,3 +1268,60 @@ def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_value_drift_psi",
+    oracle="""
+    WITH binned AS (
+        SELECT CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                    THEN 'ref' ELSE 'cur' END AS side,
+               greatest(0, least(10, CAST(floor(value / 25.0) AS INT))) AS bin
+        FROM events WHERE value IS NOT NULL
+    ), g AS (
+        SELECT bin,
+               SUM(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS ref_cnt,
+               SUM(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS cur_cnt
+        FROM binned GROUP BY bin
+    ), tot AS (
+        SELECT SUM(ref_cnt) AS ref_n, SUM(cur_cnt) AS cur_n FROM g
+    )
+    SELECT bin,
+           CAST(ref_cnt AS BIGINT) AS ref_cnt,
+           CAST(cur_cnt AS BIGINT) AS cur_cnt,
+           (ref_cnt + 1) * 1.0 / (ref_n + 11) AS p_ref,
+           (cur_cnt + 1) * 1.0 / (cur_n + 11) AS p_cur,
+           ((cur_cnt + 1) * 1.0 / (cur_n + 11)
+               - (ref_cnt + 1) * 1.0 / (ref_n + 11))
+             * ln(((cur_cnt + 1) * 1.0 / (cur_n + 11))
+                  / ((ref_cnt + 1) * 1.0 / (ref_n + 11))) AS psi_term,
+           ((cur_cnt + 1) * 1.0 / (cur_n + 11))
+             * ln(((cur_cnt + 1) * 1.0 / (cur_n + 11))
+                  / ((ref_cnt + 1) * 1.0 / (ref_n + 11))) AS kl_term
+    FROM g CROSS JOIN tot
+    ORDER BY bin
+    """,
+    doc=(
+        "Population-stability drift of event value, first half of "
+        "January (ref) vs the rest (cur): fixed 25-wide bins, "
+        "Laplace-smoothed proportions, per-bin PSI and KL(cur||ref) "
+        "contributions."
+    ),
+)
+def events_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrain-gate drift check (operators/drift.py): has the
+    value distribution moved between the reference window (before
+    Jan 15) and the current window? Fixed literal bin edges — NOT
+    data-dependent quantiles, which would make the edges themselves a
+    float race — so each side collapses to <=11 bin counts in one
+    map-side-combined aggregation; the bin join and 1-row totals are
+    constant-size at any corpus scale. Every emitted double is pure
+    count-ratio arithmetic on exact bigints, identical across
+    engines."""
+    from etl_mudah_spark.operators.drift import psi_bins
+
+    ev = load(spark, sf_dir, "events").select("ts", "value")
+    split = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    ref = ev.where(F.col("ts") < split)
+    cur = ev.where(F.col("ts") >= split)
+    return psi_bins(ref, cur, "value", lo=0.0, width=25.0, n_bins=11)

@@ -1207,3 +1207,87 @@ def doc_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "a", "b")
         .limit(20)
     )
+
+
+@register(
+    "doc_keyness_g2",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT CASE WHEN lang = 'de' THEN 1 ELSE 0 END AS dom,
+               lower(t.term) AS term
+        FROM documents, UNNEST({_WORDS_SQL}) AS t(term)
+    ), cnt AS (
+        SELECT term,
+               SUM(dom) AS a,
+               SUM(1 - dom) AS b
+        FROM tok GROUP BY term
+    ), tot AS (
+        SELECT SUM(a) AS ta, SUM(b) AS tb FROM cnt
+    ), scored AS (
+        SELECT term, a, b,
+               2.0 * (
+                 CASE WHEN a > 0 THEN
+                   a * ln(a / ((a + b) * 1.0 * ta / (ta + tb)))
+                 ELSE 0.0 END
+                 +
+                 CASE WHEN b > 0 THEN
+                   b * ln(b / ((a + b) * 1.0 * tb / (ta + tb)))
+                 ELSE 0.0 END
+               ) AS g2
+        FROM cnt CROSS JOIN tot
+        WHERE a * 1.0 * tb > b * 1.0 * ta
+    )
+    SELECT term,
+           CAST(a AS BIGINT) AS cnt_dom,
+           CAST(b AS BIGINT) AS cnt_rest,
+           ROUND(g2, 4) AS g2
+    FROM scored
+    ORDER BY ROUND(g2, 4) DESC, term
+    LIMIT 20
+    """,
+    doc=(
+        "Log-likelihood (G²) keyness: the 20 terms most "
+        "over-represented in German-labeled docs vs the rest of the "
+        "corpus — Dunning's domain-term extraction, exact count-ratio "
+        "arithmetic."
+    ),
+)
+def doc_keyness_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-term extraction by Dunning log-likelihood: for each
+    lowercased token, the 2×2 contingency (in-domain count a, rest
+    count b, corpus totals) scores G² = 2·(a·ln(a/E_a) + b·ln(b/E_b));
+    only over-represented terms kept (a/A > b/B as an exact bigint
+    cross-multiplication — no float boundary), top 20 by rounded G².
+    One (term) shuffle with map-side partials; the corpus totals are a
+    1-row broadcast (sanctioned A13 re-aggregation); top-k is
+    TakeOrdered, never a global sort. Each term's G² is independent
+    count-ratio arithmetic — no summation-order sensitivity at all."""
+    docs = load(spark, sf_dir, "documents").select("lang", "text")
+    tok = docs.select(
+        (F.col("lang") == "de").cast("int").alias("dom"),
+        F.explode(tx.words("text")).alias("raw"),
+    ).select("dom", F.lower("raw").alias("term"))
+    cnt = tok.groupBy("term").agg(
+        F.sum("dom").alias("a"), F.sum(1 - F.col("dom")).alias("b")
+    )
+    tot = cnt.agg(F.sum("a").alias("ta"), F.sum("b").alias("tb"))
+    a, b = F.col("a"), F.col("b")
+    ta, tb = F.col("ta"), F.col("tb")
+    ea = (a + b) * 1.0 * ta / (ta + tb)
+    eb = (a + b) * 1.0 * tb / (ta + tb)
+    g2 = 2.0 * (
+        F.when(a > 0, a * F.log(a / ea)).otherwise(0.0)
+        + F.when(b > 0, b * F.log(b / eb)).otherwise(0.0)
+    )
+    return (
+        cnt.join(F.broadcast(tot))
+        .where(a * 1.0 * tb > b * 1.0 * ta)
+        .select(
+            "term",
+            a.cast("bigint").alias("cnt_dom"),
+            b.cast("bigint").alias("cnt_rest"),
+            F.round(g2, 4).alias("g2"),
+        )
+        .orderBy(F.desc("g2"), "term")
+        .limit(20)
+    )

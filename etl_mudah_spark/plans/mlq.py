@@ -424,3 +424,62 @@ def part_brand_type_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "doc_quality_auc",
+    oracle=r"""
+    WITH f AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               len(list_filter(string_split_regex(trim(text), '\s+'),
+                   x -> list_contains(['the','a','of','and','to','in','is','it'],
+                                      lower(x)))) * 1.0
+                   / len(string_split_regex(trim(text), '\s+')) AS s
+        FROM documents
+    ), g AS (
+        SELECT s, SUM(y) AS pos, SUM(1 - y) AS neg FROM f GROUP BY s
+    ), c AS (
+        SELECT pos, neg,
+               COALESCE(SUM(neg) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS below
+        FROM g
+    )
+    SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(neg) AS BIGINT) AS n_neg,
+           CAST(SUM(pos * (2 * below + neg)) AS BIGINT) AS num_pairs2,
+           SUM(pos * (2 * below + neg))
+               / (2.0 * SUM(pos) * SUM(neg)) AS auc
+    FROM c
+    """,
+    doc=(
+        "Exact ROC-AUC (Mann-Whitney, ties = half) of the English "
+        "stopword-ratio score against the lang='en' label — the "
+        "quality-filter evaluation gate, bit-identical across engines."
+    ),
+)
+def doc_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How well does a 1-feature heuristic (English stopword ratio)
+    identify English documents? Exact distributed AUC via
+    ml/metrics.binary_auc_exact: group docs by score (one hash
+    aggregation with map-side partials — the corpus reduces to
+    |distinct scores| rows), two-phase bucketed prefix-sum of
+    negatives (no single-task window over data), then one bigint
+    reduction 2U = Σ pos_g·(2·neg_below + neg_g). num_pairs2 is hashed
+    as an exact integer; auc is the one final division, so both
+    engines land the identical double. The score itself is an int/int
+    ratio (stop_hits/n_tokens) — deterministic without rounding."""
+    from pyspark.sql import functions as F
+
+    from etl_mudah_spark.ml.metrics import binary_auc_exact
+    from etl_mudah_spark.operators import text as tx
+
+    docs = load(spark, sf_dir, "documents").select("lang", "text")
+    w = tx.words("text")
+    en = F.array([F.lit(s) for s in tx.STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(w, lambda x: F.array_contains(en, F.lower(x))))
+    scored = docs.select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        (stop_hits / F.size(w)).alias("s"),
+    )
+    return binary_auc_exact(scored, label_col="y", score_col="s")

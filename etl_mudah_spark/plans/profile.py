@@ -1041,3 +1041,80 @@ def orders_replica_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig = row_signature(F.col("k"), F.col("p"))
     return reconcile_tables(base, replica, sig, n_buckets=64)
+
+
+@register(
+    "orders_benford_audit",
+    oracle="""
+    WITH ip AS (
+        SELECT CAST(floor(o_totalprice) AS BIGINT) AS v FROM orders
+        WHERE o_totalprice >= 1
+    ), d AS (
+        SELECT CASE
+                 WHEN v >= 100000 THEN v // 100000
+                 WHEN v >= 10000  THEN v // 10000
+                 WHEN v >= 1000   THEN v // 1000
+                 WHEN v >= 100    THEN v // 100
+                 WHEN v >= 10     THEN v // 10
+                 ELSE v
+               END AS digit
+        FROM ip
+    ), g AS (
+        SELECT digit, COUNT(*) AS n FROM d GROUP BY digit
+    ), tot AS (
+        SELECT SUM(n) AS total FROM g
+    )
+    SELECT CAST(digit AS INT) AS digit,
+           CAST(n AS BIGINT) AS n,
+           n * 1.0 / total AS share,
+           ln(1.0 + 1.0 / digit) / ln(10.0) AS benford_p,
+           (n - total * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+             * (n - total * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+             / (total * (ln(1.0 + 1.0 / digit) / ln(10.0))) AS chi2_term
+    FROM g CROSS JOIN tot
+    ORDER BY digit
+    """,
+    doc=(
+        "Benford first-digit audit of order totals: observed share vs "
+        "log10(1+1/d) expectation with per-digit chi-square "
+        "contributions — the classic fabricated-amounts screen."
+    ),
+)
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of o_totalprice vs
+    Benford's law. Digit extraction is EXACT integer arithmetic on the
+    floored amount (bounded magnitude ladder, no log10-of-double
+    boundary races — log10(1000) is not reliably 3.0 across libms);
+    the only doubles are the smooth ln expectation terms, identical in
+    both engines. Plan: one map-side-combined digit count (≤9 groups),
+    a 1-row total broadcast (A13), ordered 9-row output. Scale-proof
+    by construction — the aggregate domain is the digit set."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    v = F.floor("o_totalprice").cast("bigint")
+    digit = (
+        F.when(v >= 100000, F.expr("CAST(floor(o_totalprice) AS BIGINT) DIV 100000"))
+        .when(v >= 10000, F.expr("CAST(floor(o_totalprice) AS BIGINT) DIV 10000"))
+        .when(v >= 1000, F.expr("CAST(floor(o_totalprice) AS BIGINT) DIV 1000"))
+        .when(v >= 100, F.expr("CAST(floor(o_totalprice) AS BIGINT) DIV 100"))
+        .when(v >= 10, F.expr("CAST(floor(o_totalprice) AS BIGINT) DIV 10"))
+        .otherwise(v)
+    )
+    g = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n")
+    )
+    tot = g.agg(F.sum("n").alias("total"))
+    p = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    exp_n = F.col("total") * p
+    return (
+        g.join(F.broadcast(tot))
+        .select(
+            F.col("digit").cast("int").alias("digit"),
+            F.col("n").cast("bigint").alias("n"),
+            (F.col("n") * 1.0 / F.col("total")).alias("share"),
+            p.alias("benford_p"),
+            ((F.col("n") - exp_n) * (F.col("n") - exp_n) / exp_n).alias(
+                "chi2_term"
+            ),
+        )
+        .orderBy("digit")
+    )

@@ -1479,3 +1479,89 @@ def lineitem_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph-traversal class: level-synchronous BFS over the same bipartite
+# trade graph PageRank uses, oracle'd by a recursive CTE. The CTE's
+# UNION (not UNION ALL) dedups (node, hops) STATES against everything
+# already produced — the state space is |V|·(max_hops+1), never the
+# path space (which is combinatorial: ~43M length-3 paths at sf0.01) —
+# and MIN(hops) per node at the end equals the BFS visited-exclusion
+# distance. Hop counts are exact integers; nothing floats.
+# ---------------------------------------------------------------------------
+@register(
+    "supplier_reach_khop",
+    oracle="""
+    WITH RECURSIVE pair AS MATERIALIZED (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), e AS MATERIALIZED (
+        SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pair
+        UNION ALL
+        SELECT s * 2 + 1, c * 2 FROM pair
+    ), reach(node, hops) AS (
+        SELECT s_suppkey * 2 + 1, 0 FROM supplier WHERE s_suppkey <= 3
+        UNION
+        SELECT e.dst, r.hops + 1
+        FROM reach r JOIN e ON e.src = r.node
+        WHERE r.hops < 3
+    )
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+               AS node_type,
+           CAST(node // 2 AS BIGINT) AS entity_key,
+           CAST(MIN(hops) AS INT) AS hops
+    FROM reach
+    GROUP BY node
+    ORDER BY hops, node_type, entity_key
+    """,
+    doc=(
+        "3-hop BFS reach from the three lowest-key suppliers over the "
+        "bipartite customer-supplier trade graph: minimum hop "
+        "distance per reached entity (recursive-CTE oracle)."
+    ),
+)
+def supplier_reach_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blast-radius reachability (operators/graph.bfs_hops): which
+    entities sit within 3 trade hops of the seed suppliers
+    (s_suppkey <= 3 — non-empty at every sf, unlike a nation filter). Per level
+    the plan joins only the FRONTIER against the edge list (one
+    key-shuffle), distincts the next frontier, and anti-joins the
+    visited set — state-space bounded at |V| per level, while the
+    oracle's path space is combinatorial (~43M 3-paths at sf0.01); the
+    frontier dedup is what makes BFS, not path enumeration, the
+    100 TB-safe formulation. Node ids use PageRank's even/odd
+    encoding; hop counts are exact ints."""
+    from etl_mudah_spark.operators import graph as gr
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pair = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_suppkey") * 2 + 1).alias("snode"),
+        )
+        .distinct()
+    )
+    edges = pair.select(
+        F.col("cnode").alias("a"), F.col("snode").alias("b")
+    ).unionByName(
+        pair.select(F.col("snode").alias("a"), F.col("cnode").alias("b"))
+    )
+    seeds = (
+        load(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") <= 3)
+        .select((F.col("s_suppkey") * 2 + 1).alias("node"))
+    )
+    reached = gr.bfs_hops(edges, seeds, max_hops=3)
+    return (
+        reached.select(
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            F.expr("node DIV 2").cast("bigint").alias("entity_key"),
+            F.col("hops").cast("int").alias("hops"),
+        )
+        .orderBy("hops", "node_type", "entity_key")
+    )

@@ -437,3 +437,55 @@ def test_pareto_frontier_matches_bruteforce(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    """A 6-word doc quoted inside a 60-word doc: containment(A->B)=1.0
+    while Jaccard is far below any useful threshold."""
+    from etl_mudah_spark.operators.dedup import (
+        containment_pairs,
+        prefix_filtered_jaccard,
+    )
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    long_doc = quote + " " + " ".join(f"w{i} x{i} y{i}" for i in range(18))
+    df = spark.createDataFrame(
+        [(1, quote), (2, long_doc)], "doc_id bigint, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(df, threshold=0.6).collect()
+    }
+    assert got == {(1, 2): 1.0}  # directed: only A-in-B qualifies
+    assert prefix_filtered_jaccard(df, threshold=0.6).count() == 0
+
+
+def test_containment_threshold_boundary_exact(spark):
+    from etl_mudah_spark.operators.dedup import containment_pairs
+
+    # A has 5 shingles ("a b c d e f g" -> 5 3-shingles); B shares
+    # exactly 3 of them -> containment 0.6, which must be INCLUDED.
+    a = "a b c d e f g"
+    b = "a b c d e zz qq rr"  # shares shingles (a b c), (b c d), (c d e)
+    df = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id bigint, text string"
+    )
+    rows = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(df, threshold=0.6).collect()
+    }
+    assert rows[(1, 2)] == 0.6
+
+
+def test_containment_max_index_df_caps_but_lower_bounds(spark):
+    from etl_mudah_spark.operators.dedup import containment_pairs
+
+    # Shingle "a b c" appears in every doc (df=4). With the cap at 3,
+    # postings for it are dropped from the container index, so the
+    # candidate either survives via other shared shingles or drops.
+    docs = [(i, "a b c d e f") for i in range(4)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    uncapped = containment_pairs(df, threshold=0.9).count()
+    capped = containment_pairs(df, threshold=0.9, max_index_df=1).count()
+    assert uncapped == 12  # 4 identical docs, all directed pairs
+    assert capped == 0

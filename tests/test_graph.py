@@ -268,3 +268,56 @@ def test_pagerank_exact_mode_invariant_with_dangling(spark):
     two = {r["node"]: r["rank"] for r in pagerank(df.repartition(17), **kw).collect()}
     assert one == two
     assert abs(sum(one.values()) - 1e9) / 1e9 < 1e-6
+
+
+def test_bfs_hops_min_distance_on_a_dag(spark):
+    from etl_mudah_spark.operators.graph import bfs_hops
+
+    # 0->1->2->3 chain plus a shortcut 0->2: node 2 is 1 hop, not 2.
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 2)], "a bigint, b bigint"
+    )
+    seeds = spark.createDataFrame([(0,)], "node bigint")
+    got = {r.node: r.hops for r in bfs_hops(edges, seeds, max_hops=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2}
+
+
+def test_bfs_hops_respects_direction_and_bound(spark):
+    from etl_mudah_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (9, 0)], "a bigint, b bigint"
+    )
+    seeds = spark.createDataFrame([(0,)], "node bigint")
+    got = {r.node: r.hops for r in bfs_hops(edges, seeds, max_hops=2).collect()}
+    # 9 only has an edge INTO the seed; 3,4 are beyond the bound.
+    assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_bfs_hops_cycle_terminates_and_early_exits(spark):
+    from etl_mudah_spark.operators.graph import bfs_hops
+
+    # 3-cycle fully visited after 2 hops; checkpoint_every=1 exercises
+    # the empty-frontier early exit on the later levels.
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "a bigint, b bigint"
+    )
+    seeds = spark.createDataFrame([(0,)], "node bigint")
+    got = {
+        r.node: r.hops
+        for r in bfs_hops(
+            edges, seeds, max_hops=10, checkpoint_every=1
+        ).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_bfs_hops_multiple_seeds_take_nearest(spark):
+    from etl_mudah_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 2)], "a bigint, b bigint"
+    )
+    seeds = spark.createDataFrame([(0,), (5,)], "node bigint")
+    got = {r.node: r.hops for r in bfs_hops(edges, seeds, max_hops=3).collect()}
+    assert got == {0: 0, 5: 0, 1: 1, 2: 1}

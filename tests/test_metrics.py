@@ -1,0 +1,74 @@
+"""Exact-AUC pins: known closed-form values on tiny frames, tie
+handling, and degenerate single-class inputs (ml/metrics.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_mudah_spark.ml.metrics import binary_auc_exact
+
+
+def _auc(spark, rows):
+    df = spark.createDataFrame(rows, "y int, s double")
+    return binary_auc_exact(df, "y", "s").first()
+
+
+def test_perfect_separation(spark):
+    r = _auc(spark, [(1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1)])
+    assert (r.n_pos, r.n_neg) == (2, 2)
+    assert r.num_pairs2 == 2 * (2 * 2)  # all 4 pos-neg pairs concordant, x2
+    assert r.auc == 1.0
+
+
+def test_perfect_inversion(spark):
+    r = _auc(spark, [(0, 0.9), (0, 0.8), (1, 0.2), (1, 0.1)])
+    assert r.auc == 0.0
+
+
+def test_all_tied_scores_give_half(spark):
+    r = _auc(spark, [(1, 0.5), (1, 0.5), (0, 0.5), (0, 0.5)])
+    # Every pos-neg pair is a tie -> each contributes 1 of 2.
+    assert r.num_pairs2 == 4
+    assert r.auc == 0.5
+
+
+def test_mixed_ties_match_mann_whitney(spark):
+    # pos scores {0.7, 0.5}, neg scores {0.5, 0.3}:
+    # (0.7 vs 0.5)=1, (0.7 vs 0.3)=1, (0.5 vs 0.5)=0.5, (0.5 vs 0.3)=1
+    # U = 3.5 over 4 pairs -> AUC 0.875, numerator2 = 7.
+    r = _auc(spark, [(1, 0.7), (1, 0.5), (0, 0.5), (0, 0.3)])
+    assert r.num_pairs2 == 7
+    assert r.auc == pytest.approx(0.875)
+
+
+def test_null_rows_excluded(spark):
+    r = _auc(
+        spark,
+        [(1, 0.9), (0, 0.1), (None, 0.5), (1, None)],
+    )
+    assert (r.n_pos, r.n_neg) == (1, 1)
+    assert r.auc == 1.0
+
+
+def test_single_class_yields_null_auc(spark):
+    r = _auc(spark, [(1, 0.9), (1, 0.1)])
+    assert (r.n_pos, r.n_neg) == (2, 0)
+    assert r.num_pairs2 == 0
+    assert r.auc is None  # 0/0 division -> NULL, not a crash
+
+
+def test_custom_bucket_for_unbounded_scores(spark):
+    rows = [(i % 2, float(i)) for i in range(200)]
+    df = spark.createDataFrame(rows, "y int, s double")
+    r = binary_auc_exact(
+        df, "y", "s", score_bucket=F.floor(F.col("_s") / 10).cast("int")
+    ).first()
+    # odd scores are the positives: strictly above on half the pairs.
+    exp_num2 = sum(
+        2 if p > n else (1 if p == n else 0)
+        for p in range(1, 200, 2)
+        for n in range(0, 200, 2)
+    )
+    assert r.num_pairs2 == exp_num2
+    assert r.auc == pytest.approx(exp_num2 / (2.0 * 100 * 100))

@@ -84,6 +84,9 @@ _BNLJ_ALLOWED = {
     "orders_dow_seasonality",  # 1-row grand-daily-mean broadcast
     "daily_revenue_changepoint",  # 1-row (mu, n_days) stats broadcast
     "part_brand_type_mi",  # 1-row total + 1-row entropy broadcasts over the bounded-domain joint
+    "events_value_drift_psi",  # two 1-row side-total broadcasts onto the <=11-bin drift table
+    "doc_keyness_g2",  # 1-row corpus-totals broadcast onto the term counts (A13)
+    "orders_benford_audit",  # 1-row total broadcast onto the <=9 digit counts (A13)
 }
 
 # Windows that legitimately run over ONE partition: their input is
@@ -109,6 +112,7 @@ _GLOBAL_WINDOW_ALLOWED = {
     # truncates the inspected plan, so the detector can't see it.)
     "part_price_size_frontier",  # skyline phase-2 prefix max over the ~1.2k floor(price) bucket MAXIMA (operators/skyline.py)
     "daily_revenue_changepoint",  # CUSUM over the O(calendar days) post-aggregation daily spine, like daily_revenue_moving_avg
+    "doc_quality_auc",  # phase-2 cumsum over the <=64 score-bucket TOTALS of the two-phase AUC prefix sum (ml/metrics.py)
 }
 
 _EXCHANGE = re.compile(r"Exchange (SinglePartition|hashpartitioning|rangepartitioning)")
