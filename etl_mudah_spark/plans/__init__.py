@@ -15,11 +15,11 @@ Importing this package registers every declared query into
 # names + the 7 round-8 additions (CORRECTNESS_r08 50/50) — after r8
 # every query REGISTERED AT THE FREEZE has a driver row of r6+. The
 # round-9 window below picks up (a) the 21 queries registered after
-# the r8 freeze (never driver-rowed), (b) the 6 round-9 additions,
-# and (c) the 23 alphabetically-first r6-stale names. All registered
+# the r8 freeze (never driver-rowed), (b) the 10 round-9 additions,
+# and (c) the 19 alphabetically-first r6-stale names. All registered
 # queries are additionally sim-checked at sf0.01 AND sf0.1 every
-# round regardless (scripts/driver_sim.py; round-9: 177 registered,
-# 177 with oracles — zero rows-only).
+# round regardless (scripts/driver_sim.py; round-9: 181 registered,
+# 181 with oracles — zero rows-only).
 from etl_mudah_spark.plans import registry  # noqa: F401
 from etl_mudah_spark.plans import parity  # noqa: F401
 from etl_mudah_spark.plans import datapipe  # noqa: F401
@@ -36,12 +36,13 @@ _PRIORITY = [
     # in the r8 comment above:
     # (a) the 21 queries registered AFTER the round-8 window froze --
     #     they have never had a driver-produced CORRECTNESS row;
-    # (b) the 6 round-9 additions (exact Mann-Whitney AUC, PSI drift,
+    # (b) the 10 round-9 additions (exact Mann-Whitney AUC, PSI drift,
     #     k-hop BFS reach, directed containment pairs, G2 keyness,
-    #     Benford digit audit);
-    # (c) the 23 alphabetically-first names whose newest driver row is
+    #     Benford digit audit, daily ACF, calibration bins, user
+    #     paths, Fellegi-Sunter ER scores);
+    # (c) the 19 alphabetically-first names whose newest driver row is
     #     round 6 -- the stalest records. Round-10 should cover the
-    #     remaining 27 r6-stale names (doc_global_shuffle onward
+    #     remaining 31 r6-stale names (doc_split_leakage onward
     #     alphabetically) plus round-10 additions, then resume the
     #     r7-stale names. All registered queries are additionally
     #     sim-checked at sf0.01 AND sf0.1 every round regardless
@@ -75,6 +76,10 @@ _PRIORITY = [
     "doc_containment_pairs",
     "doc_keyness_g2",
     "orders_benford_audit",
+    "events_daily_acf",
+    "doc_quality_calibration",
+    "events_user_paths",
+    "part_er_match_scores",
     # --- (c) stalest r6 rows, alphabetically first ---
     "ann_batch_topk",
     "ann_filtered_indexed",
@@ -95,10 +100,6 @@ _PRIORITY = [
     "doc_media_features",
     "doc_quality",
     "doc_repeated_spans",
-    "doc_split_leakage",
-    "doc_token_budget_mix",
-    "doc_token_stats",
-    "doc_unigram_surprisal",
 ]
 
 

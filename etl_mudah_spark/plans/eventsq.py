@@ -1325,3 +1325,63 @@ def events_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = ev.where(F.col("ts") < split)
     cur = ev.where(F.col("ts") >= split)
     return psi_bins(ref, cur, "value", lo=0.0, width=25.0, n_bins=11)
+
+
+@register(
+    "events_user_paths",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), paths AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM ranked WHERE rn <= 3
+        GROUP BY user_id
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM paths
+    GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 10
+    """,
+    doc=(
+        "Top-10 opening event sequences: each user's first three "
+        "events (by ts, event_id) concatenated into a path, counted "
+        "across users — the entry-funnel mining query."
+    ),
+)
+def events_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence mining over the event log: what do users DO first.
+    One user-partitioned ranking window (hash-partitioned on the key,
+    never global), then a per-user ordered aggregation: collect the
+    ≤3 (rn, type) structs, array_sort — struct comparison orders by
+    rn first, making the concat order deterministic without a second
+    window — and count identical paths. Two key shuffles total
+    (user, then path) with map-side partials; top-10 is TakeOrdered.
+    The deterministic (ts, event_id) tiebreak matches the oracle's
+    ORDER BY inside string_agg."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    rn = F.row_number().over(
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    ranked = ev.withColumn("rn", rn).where(F.col("rn") <= 3)
+    paths = ranked.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(10)
+    )

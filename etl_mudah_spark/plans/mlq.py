@@ -483,3 +483,71 @@ def doc_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (stop_hits / F.size(w)).alias("s"),
     )
     return binary_auc_exact(scored, label_col="y", score_col="s")
+
+
+@register(
+    "doc_quality_calibration",
+    oracle=r"""
+    WITH f AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               len(list_filter(string_split_regex(trim(text), '\s+'),
+                   x -> list_contains(['the','a','of','and','to','in','is','it'],
+                                      lower(x)))) * 1.0
+                   / len(string_split_regex(trim(text), '\s+')) AS s
+        FROM documents
+    )
+    SELECT greatest(0, least(9, CAST(floor(s * 10) AS INT))) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+               AS mean_score,
+           SUM(y) * 1.0 / COUNT(*) AS pos_rate,
+           abs(SUM(y) * 1.0 / COUNT(*)
+               - CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+               AS abs_gap
+    FROM f
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc=(
+        "Reliability table for the stopword-ratio English classifier: "
+        "10 fixed score bins, observed positive rate vs mean score, "
+        "per-bin calibration gap (the ECE summands)."
+    ),
+)
+def doc_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The companion diagnostic to doc_quality_auc: AUC measures
+    RANKING, this measures whether the score's MAGNITUDE means what it
+    says (a 0.3-scoring bin should be ~30% English if the score is a
+    calibrated probability). Fixed-width bins — no data-dependent
+    edges — so the corpus reduces to ≤10 rows in one
+    map-side-combined aggregation; mean scores ride the decimal
+    lattice, the rates are exact count ratios. Weight abs_gap by n/N
+    downstream for scalar ECE."""
+    from pyspark.sql import functions as F
+
+    from etl_mudah_spark.operators import text as tx
+
+    docs = load(spark, sf_dir, "documents").select("lang", "text")
+    w = tx.words("text")
+    en = F.array([F.lit(s) for s in tx.STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(w, lambda x: F.array_contains(en, F.lower(x))))
+    f = docs.select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        (stop_hits / F.size(w)).alias("s"),
+    )
+    bin_ = F.greatest(
+        F.lit(0), F.least(F.lit(9), F.floor(F.col("s") * 10).cast("int"))
+    )
+    mean_score = F.sum(F.col("s").cast("decimal(18,6)")).cast(
+        "double"
+    ) / F.count("*")
+    pos_rate = F.sum("y") * 1.0 / F.count("*")
+    return (
+        f.groupBy(bin_.alias("bin"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            mean_score.alias("mean_score"),
+            pos_rate.alias("pos_rate"),
+            F.abs(pos_rate - mean_score).alias("abs_gap"),
+        )
+        .orderBy("bin")
+    )

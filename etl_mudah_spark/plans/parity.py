@@ -1138,3 +1138,105 @@ def customer_shard_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# m-probability literals for the Fellegi-Sunter part-linkage demo:
+# P(field agrees | same entity). Absent labeled pairs these are the
+# standard conservative literals; u comes from the data (operators/er).
+ER_M_BRAND = 0.95
+ER_M_TYPE = 0.9
+ER_M_SIZE = 0.85
+
+
+@register(
+    "part_er_match_scores",
+    oracle=f"""
+    WITH p0 AS (
+        SELECT p_partkey, p_brand, p_type, p_size,
+               string_split(p_name, ' ')[2] AS noun
+        FROM part
+    ), keyed AS (
+        SELECT * FROM p0
+        WHERE noun IN (
+            SELECT noun FROM p0 GROUP BY noun
+            HAVING COUNT(*) <= {FUZZY_MAX_BLOCK}
+        )
+    ), ub AS (
+        SELECT SUM(f * (f - 1)) * 1.0 / (SUM(f) * (SUM(f) - 1)) AS u
+        FROM (SELECT COUNT(*) AS f FROM part GROUP BY p_brand)
+    ), ut AS (
+        SELECT SUM(f * (f - 1)) * 1.0 / (SUM(f) * (SUM(f) - 1)) AS u
+        FROM (SELECT COUNT(*) AS f FROM part GROUP BY p_type)
+    ), uc AS (
+        SELECT SUM(f * (f - 1)) * 1.0 / (SUM(f) * (SUM(f) - 1)) AS u
+        FROM (SELECT COUNT(*) AS f FROM part GROUP BY p_size)
+    ), scored AS (
+        SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+               a.p_brand = b.p_brand AS agree_p_brand,
+               a.p_type = b.p_type AS agree_p_type,
+               a.p_size = b.p_size AS agree_p_size,
+               (CASE WHEN a.p_brand = b.p_brand
+                     THEN ln({ER_M_BRAND} / ub.u)
+                     ELSE ln((1.0 - {ER_M_BRAND}) / (1.0 - ub.u)) END
+                + CASE WHEN a.p_type = b.p_type
+                       THEN ln({ER_M_TYPE} / ut.u)
+                       ELSE ln((1.0 - {ER_M_TYPE}) / (1.0 - ut.u)) END
+                + CASE WHEN a.p_size = b.p_size
+                       THEN ln({ER_M_SIZE} / uc.u)
+                       ELSE ln((1.0 - {ER_M_SIZE}) / (1.0 - uc.u)) END
+               ) AS score
+        FROM keyed a
+        JOIN keyed b ON a.noun = b.noun AND a.p_partkey < b.p_partkey
+        CROSS JOIN ub CROSS JOIN ut CROSS JOIN uc
+    )
+    SELECT id_a, id_b, agree_p_brand, agree_p_type, agree_p_size,
+           ROUND(score, 4) AS score
+    FROM scored
+    ORDER BY ROUND(score, 4) DESC, id_a, id_b
+    LIMIT 25
+    """,
+    doc=(
+        "Fellegi-Sunter record-linkage scores over noun-blocked part "
+        "pairs: per-field log likelihood ratios with data-estimated "
+        "u-probabilities, top-25 candidate matches."
+    ),
+)
+def part_er_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic entity resolution (operators/er.fs_score_pairs):
+    score every noun-blocked part pair by summed per-field log
+    likelihood ratios — agreeing on a 25-value brand carries less
+    evidence than agreeing on a 150-value type or a 50-value size, and the weights know
+    it because u = Σf(f−1)/(N(N−1)) is estimated from the actual
+    value frequencies (three map-side-combined 1-row aggregates,
+    broadcast into the scorer — no collect). Blocking + the
+    FUZZY_MAX_BLOCK hot-block cap keep pair work Σ|block|²; scoring
+    is per-row codegen arithmetic. Scores round to 4 for the ordered
+    top-25 (ln determinism per the MI/keyness precedent)."""
+    from etl_mudah_spark.operators.er import fs_score_pairs
+
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_type", "p_size"
+    )
+    scored = fs_score_pairs(
+        part,
+        id_col="p_partkey",
+        block_col=F.split("p_name", " ").getItem(1),
+        fields={
+            "p_brand": ER_M_BRAND,
+            "p_type": ER_M_TYPE,
+            "p_size": ER_M_SIZE,
+        },
+        max_block=FUZZY_MAX_BLOCK,
+    )
+    return (
+        scored.select(
+            "id_a",
+            "id_b",
+            "agree_p_brand",
+            "agree_p_type",
+            "agree_p_size",
+            F.round("score", 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), "id_a", "id_b")
+        .limit(25)
+    )

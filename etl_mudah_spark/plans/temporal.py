@@ -717,3 +717,101 @@ def orders_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation: the seasonality detector underneath
+# orders_dow_seasonality and events_daily_ewma — "is the daily series
+# self-similar at lag k". Formulated as a SELF-JOIN on the shifted day
+# key, not a window: after the daily aggregation the spine is
+# O(calendar days), and the lag pairing is one broadcast-size equi-join
+# per plan, so no global window (and no allowlist entry) is needed.
+# Exactness: daily sums ride the decimal lattice; the mean is one exact
+# division; every centered product is cast to decimal(18,6) before the
+# lag sums, so partition order cannot perturb the quotient.
+# ---------------------------------------------------------------------------
+@register(
+    "events_daily_acf",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               {oracle_dsum('value')} AS x
+        FROM events GROUP BY 1
+    ), stats AS (
+        SELECT CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mu,
+               COUNT(*) AS n
+        FROM daily
+    ), dev AS (
+        SELECT day, x - mu AS d FROM daily CROSS JOIN stats
+    ), den AS (
+        SELECT CAST(SUM(CAST(d * d AS DECIMAL(18,6))) AS DOUBLE) AS ss
+        FROM dev
+    ), lags AS (
+        SELECT lag FROM UNNEST([1, 2, 3, 4, 5, 6, 7]) AS t(lag)
+    ), num AS (
+        SELECT l.lag,
+               COUNT(*) AS n_pairs,
+               CAST(SUM(CAST(a.d * b.d AS DECIMAL(18,6))) AS DOUBLE) AS sp
+        FROM lags l
+        JOIN dev a ON TRUE
+        JOIN dev b ON b.day = a.day + CAST(l.lag AS INT)
+        GROUP BY l.lag
+    )
+    SELECT CAST(lag AS INT) AS lag,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           sp / den.ss AS acf
+    FROM num CROSS JOIN den
+    ORDER BY lag
+    """,
+    doc=(
+        "Daily event-value autocorrelation at lags 1-7 (centered "
+        "products on the exact decimal lattice) — the seasonality "
+        "detector for the retrain-cadence decision."
+    ),
+)
+def events_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF of the daily value series at lags 1..7: r_k =
+    Σ(x_t−μ)(x_{t+k}−μ) / Σ(x_t−μ)². One map-side-combined daily
+    aggregation reduces the stream to O(days) rows; the lag pairing is
+    a self-join on the shifted DAY KEY over that spine (explode of 7
+    lag literals, then one equi-join) — no global window, no
+    single-task sort, and the join is broadcast-sized at any corpus
+    scale because the spine is calendar-bounded. The 1-row mean and
+    denominator broadcasts are the sanctioned A13 shape."""
+    ev = load(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "value"
+    )
+    daily = ev.groupBy("day").agg(dsum("value").alias("x"))
+    stats = daily.agg(
+        (F.sum(F.col("x").cast(_DEC)).cast("double") / F.count("*")).alias("mu"),
+    )
+    dev = daily.join(F.broadcast(stats)).select(
+        "day", (F.col("x") - F.col("mu")).alias("d")
+    )
+    den = dev.agg(
+        F.sum((F.col("d") * F.col("d")).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("ss")
+    )
+    lags = F.explode(F.array(*[F.lit(k) for k in range(1, 8)])).alias("lag")
+    a = dev.select(lags, "day", F.col("d").alias("da"))
+    b = dev.select(F.col("day").alias("bday"), F.col("d").alias("db"))
+    num = (
+        a.join(b, F.col("bday") == F.date_add(F.col("day"), F.col("lag")))
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum((F.col("da") * F.col("db")).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sp"),
+        )
+    )
+    return (
+        num.join(F.broadcast(den))
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            "n_pairs",
+            (F.col("sp") / F.col("ss")).alias("acf"),
+        )
+        .orderBy("lag")
+    )

@@ -1,0 +1,72 @@
+"""Fellegi–Sunter linkage pins (operators/er.py): u estimation,
+weight signs/magnitudes, hot-block cap, and null-safe agreement."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_mudah_spark.operators.er import fs_score_pairs, u_probability
+
+
+def test_u_probability_exact(spark):
+    # values: x,x,x,y -> agreements among distinct pairs: C(3,2)=3 of
+    # C(4,2)=6 -> u = 0.5. (Sum form: 3*2 + 1*0 = 6 over 4*3 = 12.)
+    df = spark.createDataFrame([("x",), ("x",), ("x",), ("y",)], "v string")
+    assert u_probability(df, "v").first().u == pytest.approx(0.5)
+
+
+def test_rare_field_agreement_outweighs_common(spark):
+    # Two fields with the same m: the near-unique field's agreement
+    # must carry a LARGER weight than the 2-value field's.
+    rows = [(i, "c%d" % i, "common") for i in range(9)] + [(9, "c0", "common")]
+    df = spark.createDataFrame(rows, "id bigint, rare string, dull string")
+    scored = fs_score_pairs(
+        df, "id", F.lit(1), {"rare": 0.9, "dull": 0.9}
+    ).collect()
+    # pair (0, 9) agrees on BOTH; pair (0, 1) agrees only on dull.
+    both = [r for r in scored if (r.id_a, r.id_b) == (0, 9)][0]
+    dull_only = [r for r in scored if (r.id_a, r.id_b) == (0, 1)][0]
+    assert both.agree_rare and both.agree_dull
+    assert (not dull_only.agree_rare) and dull_only.agree_dull
+    # u_rare = 2/90, u_dull = 1 -> ... dull weight ln(0.9/1) < 0 even
+    # on agreement; rare agreement is strongly positive.
+    u_rare = 2 / 90
+    w_rare = math.log(0.9 / u_rare)
+    w_dull = math.log(0.9 / 1.0)
+    w_rare_dis = math.log(0.1 / (1 - u_rare))
+    assert both.score == pytest.approx(w_rare + w_dull, rel=1e-9)
+    assert dull_only.score == pytest.approx(w_rare_dis + w_dull, rel=1e-9)
+    assert both.score > dull_only.score
+
+
+def test_block_cap_drops_hot_block(spark):
+    rows = [(i, "hot", "v") for i in range(5)] + [
+        (10, "cold", "v"),
+        (11, "cold", "v"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, blk string, f string")
+    capped = fs_score_pairs(
+        df, "id", F.col("blk"), {"f": 0.9}, max_block=4
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in capped} == {(10, 11)}
+
+
+def test_null_field_agreement_is_null_safe(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x")], "id bigint, f string"
+    )
+    scored = {
+        (r.id_a, r.id_b): r.agree_f
+        for r in fs_score_pairs(df, "id", F.lit(1), {"f": 0.9}).collect()
+    }
+    assert scored[(1, 2)] is True  # two NULLs agree (documented)
+    assert scored[(1, 3)] is False
+
+
+def test_bad_m_rejected(spark):
+    df = spark.createDataFrame([(1, "x")], "id bigint, f string")
+    with pytest.raises(ValueError, match="m for 'f'"):
+        fs_score_pairs(df, "id", F.lit(1), {"f": 1.0})

@@ -87,6 +87,8 @@ _BNLJ_ALLOWED = {
     "events_value_drift_psi",  # two 1-row side-total broadcasts onto the <=11-bin drift table
     "doc_keyness_g2",  # 1-row corpus-totals broadcast onto the term counts (A13)
     "orders_benford_audit",  # 1-row total broadcast onto the <=9 digit counts (A13)
+    "events_daily_acf",  # 1-row mean + 1-row denominator broadcasts onto the O(days) spine
+    "part_er_match_scores",  # three 1-row u-probability broadcasts into the pair scorer
 }
 
 # Windows that legitimately run over ONE partition: their input is
