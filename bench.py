@@ -286,6 +286,7 @@ def stage_scaled(
     target_bytes: int = 512 * 1024,
     cap: int = 32,
     tables: list[str] | None = None,
+    row_group_bytes: int | None = None,
 ) -> tuple[str, int]:
     """Data-proportional scale point (VERDICT r5 item 2): stage a
     ``factor``x replica of every table with PER-REPLICA KEY OFFSETS so
@@ -410,7 +411,13 @@ def stage_scaled(
             )
         dst = f"{dst_dir}/{name}.parquet"
         out.write.mode("overwrite").parquet(dst)
-        compact_files(spark, dst, target_file_bytes=target_bytes, max_files=cap)
+        compact_files(
+            spark,
+            dst,
+            target_file_bytes=target_bytes,
+            max_files=cap,
+            row_group_bytes=row_group_bytes,
+        )
     staged_bytes = sum(
         os.path.getsize(os.path.join(dp, f))
         for dp, _, fs in os.walk(dst_dir)
@@ -761,6 +768,11 @@ def main() -> None:
                 tables=["customer", "orders", "lineitem"],
                 target_bytes=64 * 1024 * 1024,
                 cap=64,
+                # Row groups ARE the split granularity: without this the
+                # 64 MB files land as one row group each and the scan
+                # cannot use more tasks than files (14 of 32 cores at
+                # x100 — see operators/layout.py compact_files).
+                row_group_bytes=16 * 1024 * 1024,
             )
             N_REPS = 1
             x2_timings, x2_io, _ = run_headline(

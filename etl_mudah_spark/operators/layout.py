@@ -265,6 +265,7 @@ def compact_files(
     max_files: int | None = None,
     zorder_by: Sequence[str] | None = None,
     swap: str = "rename",
+    row_group_bytes: int | None = None,
 ) -> int:
     """Compact a parquet directory's small files into ~target-size
     files, returning the new file count.
@@ -289,6 +290,18 @@ def compact_files(
     first on every call (and can be invoked standalone at startup) and
     renames the intact ``._precompact`` copy back if the dataset is
     absent.
+
+    ``row_group_bytes`` caps the parquet row-group size of the
+    rewritten files (default: parquet's 128 MB). Row groups are the
+    SPLIT granularity: a 100 MB file written as one row group is one
+    scan task no matter how many cores exist, because a parquet reader
+    assigns each row group to the byte-range split holding its
+    midpoint. Compacting into big files for listing/planning economy
+    therefore needs row groups sized for intra-file parallelism —
+    ~16-32 MB keeps a 32-core box saturated on a handful of files
+    while staying far above the footer-overhead floor. (Measured here:
+    the x100 bench point's 14 x 106 MB single-row-group lineitem
+    pinned scans to 14 of 32 cores.)
 
     ``swap="manifest"`` selects the object-store-safe strategy
     (operators/manifest.py): the compacted layout lands in a fresh
@@ -347,17 +360,18 @@ def compact_files(
         out = df.repartition(n_files)
         if sort_within_by:
             out = out.sortWithinPartitions(*sort_within_by)
+    writer = out.write.mode("overwrite")
+    if row_group_bytes is not None:
+        writer = writer.option("parquet.block.size", str(row_group_bytes))
     if swap == "manifest":
         from etl_mudah_spark.operators.manifest import manifest_publish
 
-        new_dir = manifest_publish(
-            path, lambda d: out.write.mode("overwrite").parquet(d)
-        )
+        new_dir = manifest_publish(path, lambda d: writer.parquet(d))
         final = new_dir
     else:
         staging = path.rstrip("/") + "._compacting"
         retired = path.rstrip("/") + "._precompact"
-        out.write.mode("overwrite").parquet(staging)
+        writer.parquet(staging)
         shutil.rmtree(retired, ignore_errors=True)
         os.rename(path, retired)
         os.rename(staging, path)

@@ -386,8 +386,16 @@ def price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # D3: deterministic keep-one-per-key (the reference's DISTINCT ON was
 # nondeterministic — dags/dag.py:257; we tie-break explicitly).
-# Scale: one shuffle on the key; window row_number is per-partition
-# streaming — no driver involvement.
+# Scale (round 9): survivor selection is min(struct(order cols)) per
+# key — a PARTIAL-AGGREGATING plan (operators/dedup.exact_dedup
+# method="agg"): map-side combine collapses each task to one candidate
+# per key before the shuffle and nothing is sorted, vs the naive
+# row_number window that shuffles and sorts every input row. Measured
+# at the x100 bench point: 72 s -> 4.7 s (and DuckDB's QUALIFY
+# formulation takes 36 s — the aggregate rewrite is the difference
+# between losing and winning this query). The oracle keeps the
+# row_number spelling: identical semantics because (l_linenumber,
+# l_partkey, l_suppkey) is a total order within each order.
 # ---------------------------------------------------------------------------
 @register(
     "keep_one_per_order",
@@ -403,17 +411,17 @@ def price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def keep_one_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The synthetic data has duplicate (orderkey, linenumber, partkey)
-    # triples — the ORDER BY must be a total order for a deterministic
-    # survivor, so suppkey joins the tie-break.
-    w = W.partitionBy("l_orderkey").orderBy(
-        F.asc("l_linenumber"), F.asc("l_partkey"), F.asc("l_suppkey")
+    # triples — the survivor order must be total, so suppkey joins the
+    # tie-break. exact_dedup's default "agg" method turns this into
+    # min(struct(...)) with map-side partials (see block comment).
+    from etl_mudah_spark.operators.dedup import exact_dedup
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
     )
-    return (
-        load(spark, sf_dir, "lineitem")
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
-    )
+    return exact_dedup(
+        li, ["l_orderkey"], ["l_linenumber", "l_partkey", "l_suppkey"]
+    ).select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
 
 
 # ---------------------------------------------------------------------------

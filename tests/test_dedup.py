@@ -489,3 +489,47 @@ def test_containment_max_index_df_caps_but_lower_bounds(spark):
     capped = containment_pairs(df, threshold=0.9, max_index_df=1).count()
     assert uncapped == 12  # 4 identical docs, all directed pairs
     assert capped == 0
+
+
+def test_exact_dedup_agg_matches_window_under_total_order(spark):
+    """The round-9 partial-aggregating survivor (min-struct) must pick
+    the IDENTICAL row as the row_number window whenever order_cols are
+    a total order per key — including null order values (both methods
+    sort nulls first)."""
+    from etl_mudah_spark.operators.dedup import exact_dedup
+
+    rows = [
+        (1, None, "a"), (1, 5, "b"),
+        (2, 3, "x"), (2, 7, "y"),
+        (3, None, "only"),
+    ]
+    df = spark.createDataFrame(rows, "k int, o int, v string")
+    agg = sorted(exact_dedup(df, ["k"], ["o"]).collect())
+    win = sorted(exact_dedup(df, ["k"], ["o"], method="window").collect())
+    assert agg == win
+    assert [r.v for r in agg] == ["a", "x", "only"]
+
+
+def test_exact_dedup_agg_breaks_ties_deterministically(spark):
+    """Where the window survivor would be partition-order-dependent
+    (order_cols NOT total), the agg method is still deterministic:
+    lexicographic min over the remaining columns."""
+    from etl_mudah_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, 3, "zz"), (1, 3, "aa")], "k int, o int, v string"
+    )
+    one = exact_dedup(df, ["k"], ["o"]).collect()
+    two = exact_dedup(df.repartition(7), ["k"], ["o"]).collect()
+    assert one == two
+    assert one[0].v == "aa"
+
+
+def test_exact_dedup_rejects_unknown_method(spark):
+    from etl_mudah_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame([(1, 1)], "k int, o int")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="method"):
+        exact_dedup(df, ["k"], ["o"], method="nope")

@@ -425,3 +425,28 @@ def test_zone_map_prunes_files_and_preserves_results(spark, tmp_path):
     build_zone_map(spark, path, ["id"])
     again = zone_pruned_read(spark, path, "id", 2_000, 2_999)
     assert again.count() == 1_000
+
+
+def test_compact_row_group_bytes_splits_groups(spark, tmp_path):
+    """row_group_bytes caps parquet row-group size so big compacted
+    files stay splittable (the x100 scan-parallelism fix)."""
+    import pyarrow.parquet as pq
+
+    from etl_mudah_spark.operators.layout import compact_files
+
+    path = str(tmp_path / "t.parquet")
+    spark.range(0, 400_000).selectExpr(
+        "id", "repeat('x', 64) AS pad"
+    ).coalesce(4).write.parquet(path)
+    compact_files(
+        spark,
+        path,
+        target_file_bytes=1 << 30,  # everything into one file
+        row_group_bytes=256 * 1024,
+    )
+    import glob
+
+    files = glob.glob(f"{path}/part-*.parquet")
+    assert len(files) == 1
+    meta = pq.ParquetFile(files[0]).metadata
+    assert meta.num_row_groups >= 4  # split granularity preserved
