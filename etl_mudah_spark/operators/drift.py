@@ -67,24 +67,30 @@ def psi_bins(
         )
 
     r, c = side(ref, "ref"), side(cur, "cur")
-    rt = r.agg(F.sum("ref_cnt").alias("ref_n"))
-    ct = c.agg(F.sum("cur_cnt").alias("cur_n"))
-    joined = (
-        r.join(c, "bin", "full_outer")
-        .select(
-            "bin",
-            F.coalesce("ref_cnt", F.lit(0)).alias("ref_cnt"),
-            F.coalesce("cur_cnt", F.lit(0)).alias("cur_cnt"),
-        )
-        .join(F.broadcast(rt))
-        .join(F.broadcast(ct))
+    joined = r.join(c, "bin", "full_outer").select(
+        "bin",
+        F.coalesce("ref_cnt", F.lit(0)).alias("ref_cnt"),
+        F.coalesce("cur_cnt", F.lit(0)).alias("cur_cnt"),
     )
+    return psi_from_counts(joined, n_bins)
+
+
+def psi_from_counts(bin_counts: DataFrame, n_bins: int) -> DataFrame:
+    """The drift arithmetic over pre-binned counts: input ``(bin,
+    ref_cnt, cur_cnt)``, output the :func:`psi_bins` table. Split out
+    so ANY counting front end — the batch scan, a Structured
+    Streaming aggregation, a sketch merge — feeds the same exact
+    smoothing/term formulas (both totals fold in as 1-row
+    broadcasts)."""
+    rt = bin_counts.agg(F.sum("ref_cnt").alias("ref_n"))
+    ct = bin_counts.agg(F.sum("cur_cnt").alias("cur_n"))
+    joined = bin_counts.join(F.broadcast(rt)).join(F.broadcast(ct))
     p_ref = (F.col("ref_cnt") + 1) / (F.col("ref_n") + n_bins)
     p_cur = (F.col("cur_cnt") + 1) / (F.col("cur_n") + n_bins)
     return joined.select(
         "bin",
-        "ref_cnt",
-        "cur_cnt",
+        F.col("ref_cnt").cast("bigint").alias("ref_cnt"),
+        F.col("cur_cnt").cast("bigint").alias("cur_cnt"),
         p_ref.alias("p_ref"),
         p_cur.alias("p_cur"),
         ((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("psi_term"),

@@ -1089,11 +1089,9 @@ def doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     here "best" is the longest document (whitespace token count,
     deterministic doc_id tiebreak; any quality score slots into the
     same argmax). Exact cluster edges (the SQL-reproducible twin) ->
-    distributed CC -> per-cluster top-1 via a cluster-partitioned
-    window — keyed parallelism end to end, never a per-cluster
-    array."""
-    from pyspark.sql import Window as W
-
+    distributed CC -> per-cluster top-1 via a partial-aggregating
+    min(struct) on the cluster key — keyed parallelism end to end,
+    never a per-cluster array and never a sort."""
     docs = load(spark, sf_dir, "documents")
     pairs = dd.ngram_jaccard_pairs(
         docs, threshold=0.2, max_shingle_df=_NGRAM_MAX_SHINGLE_DF
@@ -1106,11 +1104,23 @@ def doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "node",
     )
-    w = W.partitionBy("cluster_id").orderBy(
-        F.desc("n_tokens"), F.asc("node")
-    )
-    best = scored.withColumn("rn", F.row_number().over(w)).where(
-        F.col("rn") == 1
+    # keep-best = min(struct(-n_tokens, node)) per cluster: the same
+    # survivor as the (n_tokens DESC, node ASC) row_number window but
+    # as a partial-aggregating groupBy (exact_dedup "agg" rationale).
+    best = (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n_tokens")).alias("_neg_tokens"), F.col("node")
+                )
+            ).alias("_m")
+        )
+        .select(
+            "cluster_id",
+            F.col("_m.node").alias("node"),
+            (-F.col("_m._neg_tokens")).alias("n_tokens"),
+        )
     )
     total = best.agg(F.count("*").alias("n_clusters"))
     return best.crossJoin(F.broadcast(total)).select(
@@ -2182,3 +2192,162 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.containment_pairs(
         load(spark, sf_dir, "documents"), shingle_n=3, threshold=0.6
     ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "doc_lang_kappa",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, lang, {_WORDS_SQL} AS words FROM documents
+    ), s AS (
+        SELECT doc_id, lang,
+               len(list_filter(words, x -> list_contains(['der','die','das','und','ist','nicht','ein'], lower(x)))) * 1.0 / len(words) AS s_de,
+               len(list_filter(words, x -> list_contains(['the','a','of','and','to','in','is','it'], lower(x)))) * 1.0 / len(words) AS s_en,
+               len(list_filter(words, x -> list_contains(['el','la','los','y','es','un','una'], lower(x)))) * 1.0 / len(words) AS s_es,
+               len(list_filter(words, x -> list_contains(['le','la','les','et','est','un','une'], lower(x)))) * 1.0 / len(words) AS s_fr
+        FROM w
+    ), g AS (
+        SELECT lang,
+               CASE
+                 WHEN greatest(s_de, s_en, s_es, s_fr) < 0.05 THEN 'unknown'
+                 WHEN s_fr >= s_de AND s_fr >= s_en AND s_fr >= s_es THEN 'fr'
+                 WHEN s_es >= s_de AND s_es >= s_en THEN 'es'
+                 WHEN s_en >= s_de THEN 'en'
+                 ELSE 'de'
+               END AS guess
+        FROM s
+    ), conf AS (
+        SELECT lang, guess, COUNT(*) AS c FROM g GROUP BY 1, 2
+    ), tot AS (
+        SELECT SUM(c) AS n FROM conf
+    ), po AS (
+        SELECT SUM(CASE WHEN lang = guess THEN c ELSE 0 END) AS agree
+        FROM conf
+    ), marg AS (
+        SELECT COALESCE(r.lang, cm.guess) AS cat,
+               COALESCE(r.rc, 0) AS rc, COALESCE(cm.cc, 0) AS cc
+        FROM (SELECT lang, SUM(c) AS rc FROM conf GROUP BY 1) r
+        FULL OUTER JOIN
+             (SELECT guess, SUM(c) AS cc FROM conf GROUP BY 1) cm
+          ON r.lang = cm.guess
+    ), pe AS (
+        SELECT SUM(rc * cc) AS cross_sum FROM marg
+    )
+    SELECT CAST(tot.n AS BIGINT) AS n_docs,
+           po.agree * 1.0 / tot.n AS po,
+           pe.cross_sum * 1.0 / (tot.n * tot.n) AS pe,
+           (po.agree * 1.0 / tot.n - pe.cross_sum * 1.0 / (tot.n * tot.n))
+             / (1.0 - pe.cross_sum * 1.0 / (tot.n * tot.n)) AS kappa
+    FROM tot, po, pe
+    """,
+    doc=(
+        "Cohen's kappa between the labeled lang and the heuristic "
+        "lang-id guess: chance-corrected agreement from the confusion "
+        "matrix — exact count-ratio arithmetic end to end."
+    ),
+)
+def doc_lang_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much better than chance is the language-ID heuristic?
+    Cohen's κ = (p_o − p_e)/(1 − p_e) over the (lang, guess)
+    confusion counts: p_o the diagonal share, p_e the chance
+    agreement Σ row_c·col_c / n². The corpus reduces to the confusion
+    matrix in one map-side-combined aggregation (|langs|·|guesses|
+    cells, bounded domain); marginals and the three scalars are
+    re-aggregations of that tiny relation — the A13 shape. Every
+    number is an exact bigint ratio; both engines agree digit for
+    digit without rounding."""
+    docs = load(spark, sf_dir, "documents")
+    conf = (
+        tx.lang_id(docs, "text")
+        .groupBy("lang", F.col("lang_guess").alias("guess"))
+        .agg(F.count("*").alias("c"))
+    )
+    tot = conf.agg(F.sum("c").alias("n"))
+    po = conf.agg(
+        F.sum(F.when(F.col("lang") == F.col("guess"), F.col("c")).otherwise(0)).alias(
+            "agree"
+        )
+    )
+    r = conf.groupBy("lang").agg(F.sum("c").alias("rc"))
+    cm = conf.groupBy("guess").agg(F.sum("c").alias("cc"))
+    marg = (
+        r.join(cm, r.lang == cm.guess, "full_outer")
+        .select(
+            F.coalesce("rc", F.lit(0)).alias("rc"),
+            F.coalesce("cc", F.lit(0)).alias("cc"),
+        )
+    )
+    pe = marg.agg(F.sum(F.col("rc") * F.col("cc")).alias("cross_sum"))
+    po_e = F.col("agree") * 1.0 / F.col("n")
+    pe_e = F.col("cross_sum") * 1.0 / (F.col("n") * F.col("n"))
+    return (
+        tot.join(F.broadcast(po))
+        .join(F.broadcast(pe))
+        .select(
+            F.col("n").cast("bigint").alias("n_docs"),
+            po_e.alias("po"),
+            pe_e.alias("pe"),
+            ((po_e - pe_e) / (1.0 - pe_e)).alias("kappa"),
+        )
+    )
+
+
+@register(
+    "doc_novelty_scores",
+    oracle=rf"""
+    WITH words AS (
+        SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+    ), shingles AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+        FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+        WHERE len(w) >= 3
+    ), dfc AS (
+        SELECT sh, COUNT(*) AS df FROM shingles GROUP BY sh
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN dfc.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique,
+           SUM(CASE WHEN dfc.df = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+               AS novelty
+    FROM shingles s JOIN dfc USING (sh)
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """,
+    doc=(
+        "Per-document novelty: the fraction of a doc's 3-gram "
+        "shingles that appear NOWHERE else in the corpus — the "
+        "curation signal between exact dedup (novelty 0 twins) and "
+        "fully original text (novelty 1)."
+    ),
+)
+def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-uniqueness scoring for data curation: a doc whose
+    shingles all occur elsewhere adds nothing to a training set even
+    if no single pair-dedup fires. One shingle-partitioned window
+    count gives each posting its corpus df (same exchange discipline
+    as prefix_filtered_jaccard), then one doc-key aggregation — two
+    shuffles total, int/int ratios, no UDF."""
+    from pyspark.sql import Window as W
+
+    sh = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(dd.word_shingles(F.col("text"), 3)).alias("sh"),
+    )
+    with_df = sh.withColumn("df", F.count("*").over(W.partitionBy("sh")))
+    return (
+        with_df.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_unique",
+            (F.col("n_unique") * 1.0 / F.col("n_shingles")).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

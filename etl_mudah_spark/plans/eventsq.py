@@ -1270,9 +1270,7 @@ def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_value_drift_psi",
-    oracle="""
+_DRIFT_PSI_ORACLE = """
     WITH binned AS (
         SELECT CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
                     THEN 'ref' ELSE 'cur' END AS side,
@@ -1300,7 +1298,12 @@ def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
                   / ((ref_cnt + 1) * 1.0 / (ref_n + 11))) AS kl_term
     FROM g CROSS JOIN tot
     ORDER BY bin
-    """,
+    """
+
+
+@register(
+    "events_value_drift_psi",
+    oracle=_DRIFT_PSI_ORACLE,
     doc=(
         "Population-stability drift of event value, first half of "
         "January (ref) vs the rest (cur): fixed 25-wide bins, "
@@ -1385,3 +1388,26 @@ def events_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), "path")
         .limit(10)
     )
+
+
+@register(
+    "events_stream_drift_psi",
+    oracle=_DRIFT_PSI_ORACLE,
+    doc=(
+        "The same PSI drift table maintained by a Structured "
+        "Streaming aggregation: constant-size (side, bin) state, "
+        "finished through the identical batch arithmetic."
+    ),
+)
+def events_stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_value_drift_psi
+    (streaming/pipeline.stream_value_drift_bins): the stream keeps
+    2·n_bins running counts — state is the BIN DOMAIN, constant no
+    matter how long the stream runs, which is exactly why the drift
+    operator uses fixed literal bins — and the drained counts finish
+    through operators/drift.psi_from_counts, the same formulas the
+    batch query and the oracle compute. Streaming == batch, pinned by
+    the shared oracle hash."""
+    from etl_mudah_spark.streaming.pipeline import stream_value_drift_bins
+
+    return stream_value_drift_bins(spark, sf_dir)

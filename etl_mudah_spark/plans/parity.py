@@ -1248,3 +1248,77 @@ def part_er_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "id_a", "id_b")
         .limit(25)
     )
+
+
+@register(
+    "customer_revenue_gini",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS x
+        FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i FROM rev
+    ), s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(i * x AS DECIMAL(38,6))) AS DOUBLE) AS six
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           sx AS total_revenue,
+           (2.0 * six) / (n * sx) - (n + 1.0) / n AS gini
+    FROM s
+    """,
+    doc=(
+        "Gini coefficient of per-customer order revenue via the "
+        "rank-weighted sum identity — inequality/concentration in one "
+        "exact scalar."
+    ),
+)
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration as a Gini coefficient: G =
+    (2·Σ iᐧxᵢ)/(n·Σx) − (n+1)/n with xᵢ ascending and i the global
+    rank. The rank comes from operators/sampling.bucketed_global_rank
+    (floor(x) buckets — order-preserving, non-null): per-bucket
+    counts, a cumsum over the bucket-count relation, and a parallel
+    per-bucket ranking window — the whole customer vector is never
+    sorted in one task. Revenue sums and the rank-weighted products
+    ride the decimal lattice, so the scalar is partition-order-exact
+    in both engines."""
+    from etl_mudah_spark.operators.sampling import bucketed_global_rank
+
+    rev = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("x")
+        )
+    )
+    # Bucket = floor(x/10k): per-customer revenue MAGNITUDE is scale-
+    # stable (orders per customer stay ~constant as the corpus grows),
+    # so the bucket domain is a few hundred values at any sf — the
+    # phase-2 cumsum task sees O(domain) rows, never O(customers).
+    # (floor(x) would be ~one bucket per customer: an unbounded
+    # single-task relation at scale.)
+    ranked = bucketed_global_rank(
+        rev,
+        F.floor(F.col("x") / 10_000).cast("bigint"),
+        ["x", "o_custkey"],
+        rn_col="i",
+    )
+    s = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum((F.col("i") * F.col("x")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("six"),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("sx").alias("total_revenue"),
+        ((2.0 * F.col("six")) / (F.col("n") * F.col("sx"))
+         - (F.col("n") + 1.0) / F.col("n")).alias("gini"),
+    )

@@ -192,10 +192,20 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit = li.groupBy("l_partkey", "l_suppkey").agg(
         (dsum("l_extendedprice") / dsum("l_quantity")).alias("avg_unit_price")
     )
-    w = W.partitionBy("l_partkey").orderBy(F.asc("avg_unit_price"), F.asc("l_suppkey"))
+    # min(struct) replaces the row_number window (round 9, the
+    # exact_dedup "agg" rationale): the re-aggregation rides map-side
+    # partials on the partkey shuffle instead of sorting every unit
+    # row; (avg_unit_price, l_suppkey) is the same total order the
+    # window used, so the survivor is identical.
+    best = unit.groupBy("l_partkey").agg(
+        F.min(F.struct("avg_unit_price", "l_suppkey")).alias("_m")
+    )
     return (
-        unit.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        best.select(
+            "l_partkey",
+            F.col("_m.l_suppkey").alias("l_suppkey"),
+            F.col("_m.avg_unit_price").alias("avg_unit_price"),
+        )
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("l_partkey", "l_suppkey", "avg_unit_price", "s_name")
     )

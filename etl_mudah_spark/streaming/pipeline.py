@@ -336,3 +336,54 @@ def stream_cms_counters(
         ]
         return spark.createDataFrame([], StructType(fields))
     return spark.read.parquet(latest["path"])
+
+
+def stream_value_drift_bins(
+    spark: SparkSession,
+    sf_dir: str,
+    split_ts: str = "2024-01-15 00:00:00",
+    lo: float = 0.0,
+    width: float = 25.0,
+    n_bins: int = 11,
+) -> DataFrame:
+    """Streaming drift monitor: the PSI bin counts maintained BY THE
+    STREAM, finished through the exact batch arithmetic.
+
+    The stream groups every event into (side, bin) — reference window
+    before ``split_ts``, current after — and keeps the 2·n_bins
+    running counts in complete-mode state (state size is the BIN
+    DOMAIN, constant regardless of stream length — this is the whole
+    reason drift uses fixed bins rather than raw quantiles in a
+    streaming setting). The drained counts then feed
+    operators/drift.psi_from_counts, the same formulas the batch
+    query and the DuckDB oracle compute — streaming == batch, the
+    Structured Streaming contract the other stream twins pin.
+    """
+    from etl_mudah_spark.operators.drift import fixed_bin, psi_from_counts
+
+    split = F.lit(split_ts).cast("timestamp")
+    binned = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("value").isNotNull())
+        .groupBy(
+            F.when(F.col("ts") < split, F.lit("ref"))
+            .otherwise(F.lit("cur"))
+            .alias("side"),
+            fixed_bin(F.col("value"), lo, width, n_bins).alias("bin"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    counts = drain_to_parquet(binned, spark, "complete")
+    wide = (
+        counts.groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("side") == "ref", F.col("cnt"))).alias("ref_raw"),
+            F.sum(F.when(F.col("side") == "cur", F.col("cnt"))).alias("cur_raw"),
+        )
+        .select(
+            "bin",
+            F.coalesce("ref_raw", F.lit(0)).alias("ref_cnt"),
+            F.coalesce("cur_raw", F.lit(0)).alias("cur_cnt"),
+        )
+    )
+    return psi_from_counts(wide, n_bins)

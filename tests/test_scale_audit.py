@@ -89,6 +89,8 @@ _BNLJ_ALLOWED = {
     "orders_benford_audit",  # 1-row total broadcast onto the <=9 digit counts (A13)
     "events_daily_acf",  # 1-row mean + 1-row denominator broadcasts onto the O(days) spine
     "part_er_match_scores",  # three 1-row u-probability broadcasts into the pair scorer
+    "doc_lang_kappa",  # 1-row po/pe/total broadcasts over the bounded confusion matrix
+    "events_stream_drift_psi",  # psi_from_counts 1-row side-total broadcasts over the <=11-bin state
 }
 
 # Windows that legitimately run over ONE partition: their input is
@@ -115,6 +117,7 @@ _GLOBAL_WINDOW_ALLOWED = {
     "part_price_size_frontier",  # skyline phase-2 prefix max over the ~1.2k floor(price) bucket MAXIMA (operators/skyline.py)
     "daily_revenue_changepoint",  # CUSUM over the O(calendar days) post-aggregation daily spine, like daily_revenue_moving_avg
     "doc_quality_auc",  # phase-2 cumsum over the <=64 score-bucket TOTALS of the two-phase AUC prefix sum (ml/metrics.py)
+    "customer_revenue_gini",  # phase-2 cumsum over the O(hundreds) floor(revenue/10k) bucket COUNTS of the two-phase rank
 }
 
 _EXCHANGE = re.compile(r"Exchange (SinglePartition|hashpartitioning|rangepartitioning)")
