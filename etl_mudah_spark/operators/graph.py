@@ -624,3 +624,109 @@ def bfs_hops(
         visited = visited.unionByName(nxt)
         frontier = nxt.select(node_col)
     return visited
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src: str = "a",
+    dst: str = "b",
+    total_mass: float = 1.0,
+    exact_contrib_decimal: str | None = None,
+) -> DataFrame:
+    """Personalized PageRank: importance RELATIVE TO a seed set — the
+    teleport vector is uniform over ``seeds`` instead of all nodes, so
+    rank mass concentrates in the seeds' neighborhood. The standard
+    similarity/recommendation primitive ("which entities matter from
+    HERE"), and the weighted cousin of :func:`bfs_hops`' 0/1
+    reachability.
+
+    Semantics: mass starts uniform on the seeds; each round a node
+    receives ``d`` times its in-neighbors' pushed mass, and the
+    teleport share ``(1−d)·M`` plus ALL dangling mass returns to the
+    seeds uniformly (the standard PPR dangling rule — sending it to
+    every node would leak mass out of the personalization). Ranks sum
+    to ``total_mass`` every round (property-pinned with dangling
+    nodes in tests/test_graph.py).
+
+    Scale shape per round is :func:`pagerank`'s (one src-keyed push
+    join, one dst-keyed partial-sum aggregate, a 1-row dangling
+    aggregate, checkpointed lineage); the seed membership flag rides
+    the rank vector as a column, so the per-round plan adds no join.
+    ``exact_contrib_decimal`` + large ``total_mass`` give the same
+    cross-engine bit-exactness as the global variant.
+    """
+    if not 0 < damping < 1:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    e = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst")
+    ).localCheckpoint(eager=True)
+    seed_nodes = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("_seed", F.lit(1))
+    )
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .union(seed_nodes.select("node"))
+        .distinct()
+        .join(seed_nodes, "node", "left")
+        .select("node", F.coalesce("_seed", F.lit(0)).alias("_seed"))
+        .localCheckpoint(eager=True)
+    )
+    k = nodes.agg(F.sum("_seed")).first()[0]
+    if not k:
+        raise ValueError("seed set is empty (or disjoint from itself?)")
+    out_deg = (
+        e.groupBy("_src")
+        .agg(F.count("*").alias("_deg"))
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.withColumn(
+        "rank", F.when(F.col("_seed") == 1, total_mass / k).otherwise(0.0)
+    )
+    contrib = F.col("rank") / F.col("_deg")
+    push_sum = (
+        F.sum(contrib.cast(exact_contrib_decimal)).cast("double")
+        if exact_contrib_decimal
+        else F.sum(contrib)
+    )
+    for _ in range(iterations):
+        with_deg = ranks.join(
+            out_deg, ranks.node == out_deg._src, "left"
+        ).select("node", "_seed", "rank", "_deg")
+        dangling_sum = (
+            F.sum(F.col("rank").cast(exact_contrib_decimal)).cast("double")
+            if exact_contrib_decimal
+            else F.sum("rank")
+        )
+        dangling = (
+            with_deg.where(F.col("_deg").isNull())
+            .agg(F.coalesce(dangling_sum, F.lit(0.0)).alias("_dm"))
+            .first()["_dm"]
+        )
+        pushed = (
+            with_deg.where(F.col("_deg").isNotNull())
+            .join(e, F.col("node") == F.col("_src"))
+            .groupBy(F.col("_dst").alias("node"))
+            .agg(push_sum.alias("_in"))
+        )
+        seed_base = ((1.0 - damping) * total_mass + damping * dangling) / k
+        prev = ranks
+        ranks = (
+            nodes.join(pushed, "node", "left")
+            .select(
+                "node",
+                "_seed",
+                (
+                    F.when(F.col("_seed") == 1, F.lit(seed_base)).otherwise(0.0)
+                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        prev.unpersist()
+    return ranks.select("node", "rank")

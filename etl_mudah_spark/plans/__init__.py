@@ -18,12 +18,13 @@ Importing this package registers every declared query into
 # the r8 freeze (never driver-rowed), (b) the 10 round-9 additions,
 # and (c) the 19 alphabetically-first r6-stale names. All registered
 # queries are additionally sim-checked at sf0.01 AND sf0.1 every
-# round regardless (scripts/driver_sim.py; round-9 final: 185
-# registered, 185 with oracles — zero rows-only; the five late
-# round-9 additions — events_stream_drift_psi, doc_lang_kappa,
-# doc_novelty_scores, customer_revenue_gini, and the exact_dedup agg
-# rewrite's queries — stay OUT of the frozen window and lead the
-# round-10 never-rowed list).
+# round regardless (scripts/driver_sim.py; round-9 final: 188
+# registered, 188 with oracles — zero rows-only; the late round-9
+# additions — events_stream_drift_psi, doc_lang_kappa,
+# doc_novelty_scores, customer_revenue_gini, daily_revenue_theilsen,
+# supplier_ppr_topk, events_seasonal_backtest, plus the exact_dedup
+# agg rewrite — stay OUT of the frozen window and lead the round-10
+# never-rowed list).
 from etl_mudah_spark.plans import registry  # noqa: F401
 from etl_mudah_spark.plans import parity  # noqa: F401
 from etl_mudah_spark.plans import datapipe  # noqa: F401

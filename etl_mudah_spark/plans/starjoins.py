@@ -1575,3 +1575,156 @@ def supplier_reach_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hops", "node_type", "entity_key")
     )
+
+
+@register(
+    "supplier_ppr_topk",
+    oracle="""
+    WITH pair AS MATERIALIZED (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), e AS MATERIALIZED (
+        SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pair
+        UNION ALL
+        SELECT s * 2 + 1, c * 2 FROM pair
+    ), seed AS MATERIALIZED (
+        SELECT s_suppkey * 2 + 1 AS node FROM supplier WHERE s_suppkey <= 3
+    ), nodes AS MATERIALIZED (
+        SELECT node, MAX(is_seed) AS is_seed FROM (
+            SELECT src AS node, 0 AS is_seed FROM e
+            UNION ALL SELECT dst, 0 FROM e
+            UNION ALL SELECT node, 1 FROM seed
+        ) GROUP BY node
+    ), kk AS MATERIALIZED (
+        SELECT SUM(is_seed) AS k FROM nodes
+    ), deg AS MATERIALIZED (
+        SELECT src, COUNT(*) AS d FROM e GROUP BY src
+    ), r0 AS MATERIALIZED (
+        SELECT n.node, n.is_seed,
+               CASE WHEN n.is_seed = 1 THEN 1000000000.0 / kk.k
+                    ELSE 0.0 END AS r
+        FROM nodes n CROSS JOIN kk
+    ), d0 AS (
+        SELECT COALESCE(CAST(SUM(CAST(r AS DECIMAL(18,6))) AS DOUBLE), 0.0) AS dm
+        FROM r0 WHERE node NOT IN (SELECT src FROM deg)
+    ), r1 AS MATERIALIZED (
+        SELECT n.node, n.is_seed,
+               CASE WHEN n.is_seed = 1
+                    THEN ((CAST(1.0 AS DOUBLE) - 0.85) * 1000000000.0
+                          + 0.85 * d0.dm) / kk.k
+                    ELSE 0.0 END
+               + 0.85 * COALESCE(p.pushed, 0.0) AS r
+        FROM nodes n CROSS JOIN kk CROSS JOIN d0
+        LEFT JOIN (
+            SELECT e.dst AS node,
+                   CAST(SUM(CAST(r0.r / deg.d AS DECIMAL(18,6))) AS DOUBLE)
+                       AS pushed
+            FROM e JOIN r0 ON r0.node = e.src JOIN deg ON deg.src = e.src
+            GROUP BY e.dst
+        ) p ON p.node = n.node
+    ), d1 AS (
+        SELECT COALESCE(CAST(SUM(CAST(r AS DECIMAL(18,6))) AS DOUBLE), 0.0) AS dm
+        FROM r1 WHERE node NOT IN (SELECT src FROM deg)
+    ), r2 AS MATERIALIZED (
+        SELECT n.node, n.is_seed,
+               CASE WHEN n.is_seed = 1
+                    THEN ((CAST(1.0 AS DOUBLE) - 0.85) * 1000000000.0
+                          + 0.85 * d1.dm) / kk.k
+                    ELSE 0.0 END
+               + 0.85 * COALESCE(p.pushed, 0.0) AS r
+        FROM nodes n CROSS JOIN kk CROSS JOIN d1
+        LEFT JOIN (
+            SELECT e.dst AS node,
+                   CAST(SUM(CAST(r1.r / deg.d AS DECIMAL(18,6))) AS DOUBLE)
+                       AS pushed
+            FROM e JOIN r1 ON r1.node = e.src JOIN deg ON deg.src = e.src
+            GROUP BY e.dst
+        ) p ON p.node = n.node
+    ), d2 AS (
+        SELECT COALESCE(CAST(SUM(CAST(r AS DECIMAL(18,6))) AS DOUBLE), 0.0) AS dm
+        FROM r2 WHERE node NOT IN (SELECT src FROM deg)
+    ), r3 AS MATERIALIZED (
+        SELECT n.node, n.is_seed,
+               CASE WHEN n.is_seed = 1
+                    THEN ((CAST(1.0 AS DOUBLE) - 0.85) * 1000000000.0
+                          + 0.85 * d2.dm) / kk.k
+                    ELSE 0.0 END
+               + 0.85 * COALESCE(p.pushed, 0.0) AS r
+        FROM nodes n CROSS JOIN kk CROSS JOIN d2
+        LEFT JOIN (
+            SELECT e.dst AS node,
+                   CAST(SUM(CAST(r2.r / deg.d AS DECIMAL(18,6))) AS DOUBLE)
+                       AS pushed
+            FROM e JOIN r2 ON r2.node = e.src JOIN deg ON deg.src = e.src
+            GROUP BY e.dst
+        ) p ON p.node = n.node
+    )
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+               AS node_type,
+           CAST(node // 2 AS BIGINT) AS entity_key,
+           ROUND(r, 4) AS ppr_scaled
+    FROM r3
+    WHERE ROUND(r, 4) > 0
+    ORDER BY ROUND(r, 4) DESC, node
+    LIMIT 25
+    """,
+    doc=(
+        "3-round personalized PageRank from the seed suppliers "
+        "(s_suppkey <= 3) over the bipartite trade graph: teleport + "
+        "dangling mass return to the seeds; top-25 by rank (the SQL "
+        "oracle unrolls the seeded power method)."
+    ),
+)
+def supplier_ppr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood importance relative to the seed suppliers
+    (operators/graph.personalized_pagerank): the weighted complement
+    of supplier_reach_khop's 0/1 reachability — who matters from
+    here, not merely who is reachable. Same per-round plan budget as
+    the global PageRank (src-keyed push join + dst-keyed partial-sum
+    agg + 1-row dangling aggregate, checkpointed lineage); the seed
+    flag rides the rank vector, adding no join. Exact decimal
+    contribution sums at mass 1e9 land both engines on identical
+    doubles (the supplier_customer_pagerank determinism recipe)."""
+    from etl_mudah_spark.operators import graph as gr
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pair = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_suppkey") * 2 + 1).alias("snode"),
+        )
+        .distinct()
+    )
+    edges = pair.select(
+        F.col("cnode").alias("a"), F.col("snode").alias("b")
+    ).unionByName(
+        pair.select(F.col("snode").alias("a"), F.col("cnode").alias("b"))
+    )
+    seeds = (
+        load(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") <= 3)
+        .select((F.col("s_suppkey") * 2 + 1).alias("node"))
+    )
+    ranks = gr.personalized_pagerank(
+        edges,
+        seeds,
+        iterations=3,
+        total_mass=1e9,
+        exact_contrib_decimal="decimal(18,6)",
+    )
+    return (
+        ranks.select(
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            F.expr("node DIV 2").cast("bigint").alias("entity_key"),
+            F.round("rank", 4).alias("ppr_scaled"),
+            "node",
+        )
+        .where(F.col("ppr_scaled") > 0)
+        .orderBy(F.desc("ppr_scaled"), "node")
+        .limit(25)
+        .drop("node")
+    )

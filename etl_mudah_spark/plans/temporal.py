@@ -815,3 +815,129 @@ def events_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+@register(
+    "daily_revenue_theilsen",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               {oracle_dsum('value')} AS x
+        FROM events GROUP BY 1
+    ), keyed AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY day) AS t, day, x FROM daily
+    ), slopes AS (
+        SELECT (b.x - a.x) / (b.t - a.t) AS slope
+        FROM keyed a JOIN keyed b ON b.t > a.t
+    )
+    SELECT CAST((SELECT COUNT(*) FROM keyed) AS BIGINT) AS n_days,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           MEDIAN(slope) AS theil_sen_slope
+    FROM slopes
+    """,
+    doc=(
+        "Theil-Sen robust trend of daily event value: the median of "
+        "all pairwise slopes over the calendar spine — outlier-proof "
+        "where the OLS line is one bad day away from nonsense."
+    ),
+)
+def daily_revenue_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust trend estimation: the median pairwise slope is
+    insensitive to up to ~29% outliers (breakdown point), unlike the
+    least-squares slope one promo spike drags around. The pair space
+    is O(days²) — a property of the CALENDAR, not the corpus (30 days
+    → 435 pairs at any sf), so the all-pairs join is over the
+    post-aggregation spine and is bounded forever; the corpus itself
+    reduces to the daily sums in one map-side-combined aggregation.
+    Day index t comes from a rank over the tiny spine; slopes are
+    exact-decimal differences divided by int gaps; the median
+    (exact percentile, both engines average the two middles on even
+    counts) is the only order statistic."""
+    ev = load(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "value"
+    )
+    daily = ev.groupBy("day").agg(dsum("value").alias("x"))
+    # rank over the O(days) spine via the two-phase bucketed rank:
+    # month-of-year buckets keep the cumsum task at O(12) rows.
+    from etl_mudah_spark.operators.sampling import bucketed_global_rank
+
+    keyed = bucketed_global_rank(
+        daily, F.month("day").cast("int"), ["day"], rn_col="t"
+    )
+    a = keyed.select(F.col("t").alias("ta"), F.col("x").alias("xa"))
+    b = keyed.select(F.col("t").alias("tb"), F.col("x").alias("xb"))
+    slopes = a.join(b, F.col("tb") > F.col("ta")).select(
+        ((F.col("xb") - F.col("xa")) / (F.col("tb") - F.col("ta"))).alias(
+            "slope"
+        )
+    )
+    n_days = keyed.agg(F.count("*").cast("bigint").alias("n_days"))
+    return (
+        slopes.agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.median("slope").alias("theil_sen_slope"),
+        )
+        .join(F.broadcast(n_days))
+        .select("n_days", "n_pairs", "theil_sen_slope")
+    )
+
+
+@register(
+    "events_seasonal_backtest",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               {oracle_dsum('value')} AS x
+        FROM events GROUP BY 1
+    ), paired AS (
+        SELECT a.day, a.x AS actual, b.x AS forecast
+        FROM daily a JOIN daily b ON a.day = b.day + INTERVAL 7 DAY
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(CAST(abs(actual - forecast) AS DECIMAL(18,6)))
+                AS DOUBLE) / COUNT(*) AS mae,
+           CAST(SUM(CAST(abs(actual - forecast) / actual AS DECIMAL(18,6)))
+                AS DOUBLE) * 100.0 / COUNT(*) AS mape_pct,
+           CAST(SUM(CAST(2.0 * abs(actual - forecast)
+                         / (abs(actual) + abs(forecast)) AS DECIMAL(18,6)))
+                AS DOUBLE) * 100.0 / COUNT(*) AS smape_pct
+    FROM paired
+    """,
+    doc=(
+        "Seasonal-naive backtest: forecast each day with the value "
+        "seven days earlier and score MAE / MAPE / sMAPE — the "
+        "baseline every fancier forecaster must beat."
+    ),
+)
+def events_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The forecasting floor: f(d) = x(d−7). Any model that cannot
+    beat this on the backtest window is noise — which is why the
+    pipeline ships the baseline as a first-class query next to the
+    EWMA/changepoint/seasonality family. The corpus reduces to the
+    daily spine in one map-side-combined aggregation; the forecast
+    pairing is one self-join on the shifted DAY KEY (calendar-bounded
+    relation, no window); error sums ride the decimal lattice so the
+    three scores are partition-order-exact in both engines."""
+    ev = load(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "value"
+    )
+    daily = ev.groupBy("day").agg(dsum("value").alias("x"))
+    a = daily.select(F.col("day"), F.col("x").alias("actual"))
+    b = daily.select(
+        F.date_add(F.col("day"), 7).alias("fday"), F.col("x").alias("forecast")
+    )
+    paired = a.join(b, a.day == b.fday)
+    err = F.abs(F.col("actual") - F.col("forecast"))
+    dsum6 = lambda c: F.sum(c.cast("decimal(18,6)")).cast("double")  # noqa: E731
+    return paired.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        (dsum6(err) / F.count("*")).alias("mae"),
+        (dsum6(err / F.col("actual")) * 100.0 / F.count("*")).alias("mape_pct"),
+        (
+            dsum6(
+                2.0 * err / (F.abs(F.col("actual")) + F.abs(F.col("forecast")))
+            )
+            * 100.0
+            / F.count("*")
+        ).alias("smape_pct"),
+    )

@@ -321,3 +321,53 @@ def test_bfs_hops_multiple_seeds_take_nearest(spark):
     seeds = spark.createDataFrame([(0,), (5,)], "node bigint")
     got = {r.node: r.hops for r in bfs_hops(edges, seeds, max_hops=3).collect()}
     assert got == {0: 0, 5: 0, 1: 1, 2: 1}
+
+
+def test_personalized_pagerank_mass_and_locality(spark):
+    from etl_mudah_spark.operators.graph import personalized_pagerank
+
+    # Two disconnected cliques; seeds only in the first. All mass must
+    # stay on the seed component (locality) and sum to total_mass.
+    edges = [(i, j) for i in range(4) for j in range(4) if i != j] + [
+        (i, j) for i in range(10, 14) for j in range(10, 14) if i != j
+    ]
+    df = spark.createDataFrame(edges, "a bigint, b bigint")
+    seeds = spark.createDataFrame([(0,), (1,)], "node bigint")
+    r = {x["node"]: x["rank"] for x in personalized_pagerank(
+        df, seeds, iterations=5
+    ).collect()}
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+    assert all(r[n] == 0.0 for n in range(10, 14))
+    assert r[0] > r[2]  # seeds outrank non-seed clique members
+
+
+def test_personalized_pagerank_exact_mode_partition_invariant(spark):
+    from etl_mudah_spark.operators.graph import personalized_pagerank
+
+    # Seed 99 has no out-edges: its mass is dangling every round and
+    # must return to the seeds, not leak.
+    edges = [(i, (i * 3) % 7) for i in range(7)]
+    df = spark.createDataFrame(edges, "a bigint, b bigint")
+    seeds = spark.createDataFrame([(0,), (99,)], "node bigint")
+    kw = dict(
+        iterations=4, total_mass=1e9, exact_contrib_decimal="decimal(18,6)"
+    )
+    one = {x["node"]: x["rank"] for x in personalized_pagerank(df, seeds, **kw).collect()}
+    two = {
+        x["node"]: x["rank"]
+        for x in personalized_pagerank(df.repartition(13), seeds, **kw).collect()
+    }
+    assert one == two
+    assert abs(sum(one.values()) - 1e9) / 1e9 < 1e-6
+    assert 99 in one and one[99] > 0  # isolated seed keeps teleport mass
+
+
+def test_personalized_pagerank_empty_seeds_rejected(spark):
+    import pytest as _pt
+
+    from etl_mudah_spark.operators.graph import personalized_pagerank
+
+    df = spark.createDataFrame([(1, 2)], "a bigint, b bigint")
+    empty = spark.createDataFrame([], "node bigint")
+    with _pt.raises(ValueError, match="seed set is empty"):
+        personalized_pagerank(df, empty)

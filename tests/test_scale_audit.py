@@ -90,6 +90,7 @@ _BNLJ_ALLOWED = {
     "events_daily_acf",  # 1-row mean + 1-row denominator broadcasts onto the O(days) spine
     "part_er_match_scores",  # three 1-row u-probability broadcasts into the pair scorer
     "doc_lang_kappa",  # 1-row po/pe/total broadcasts over the bounded confusion matrix
+    "daily_revenue_theilsen",  # calendar-bounded O(days) spine self-paired with a < condition + 1-row n_days broadcast
     "events_stream_drift_psi",  # psi_from_counts 1-row side-total broadcasts over the <=11-bin state
 }
 
@@ -118,6 +119,7 @@ _GLOBAL_WINDOW_ALLOWED = {
     "daily_revenue_changepoint",  # CUSUM over the O(calendar days) post-aggregation daily spine, like daily_revenue_moving_avg
     "doc_quality_auc",  # phase-2 cumsum over the <=64 score-bucket TOTALS of the two-phase AUC prefix sum (ml/metrics.py)
     "customer_revenue_gini",  # phase-2 cumsum over the O(hundreds) floor(revenue/10k) bucket COUNTS of the two-phase rank
+    "daily_revenue_theilsen",  # phase-2 cumsum over the O(12) month bucket COUNTS ranking the daily spine
 }
 
 _EXCHANGE = re.compile(r"Exchange (SinglePartition|hashpartitioning|rangepartitioning)")

@@ -54,3 +54,29 @@ def test_asof_keeps_all_left_rows_and_columns(spark):
     rows = asof_join_backward(left, right, ["k"], "ts", "ts", ["v"]).collect()
     assert len(rows) == 1
     assert rows[0]["extra"] == "payload" and rows[0]["v_asof"] is None
+
+
+def test_theilsen_registered_query_is_outlier_robust(spark):
+    """Sanity on the estimator itself (the registered query's oracle
+    parity is covered by test_oracle): the median pairwise slope of a
+    clean linear series equals the true slope exactly, and one
+    corrupted point leaves it unchanged."""
+    from pyspark.sql import functions as F
+
+    def theil_sen(rows):
+        df = spark.createDataFrame(rows, "t int, x double")
+        a = df.select(F.col("t").alias("ta"), F.col("x").alias("xa"))
+        b = df.select(F.col("t").alias("tb"), F.col("x").alias("xb"))
+        return (
+            a.join(b, F.col("tb") > F.col("ta"))
+            .select(
+                ((F.col("xb") - F.col("xa")) / (F.col("tb") - F.col("ta"))).alias("s")
+            )
+            .agg(F.median("s"))
+            .first()[0]
+        )
+
+    clean = [(t, 10.0 + 2.0 * t) for t in range(1, 12)]
+    assert theil_sen(clean) == 2.0
+    corrupted = clean[:5] + [(6, 1e6)] + clean[6:]
+    assert theil_sen(corrupted) == 2.0  # breakdown point not reached
