@@ -33,6 +33,19 @@ no crossJoin.
 Reference analog: none — the reference's dashboards stop at R²
 (streamlit/pages/price_prediction.py); exact AUC is the evaluation
 primitive a classifier-based corpus filter needs at scale.
+
+:func:`pr_curve_exact` / :func:`average_precision_exact` are the
+precision-recall companions (the right lens when positives are rare —
+a near-dup or toxicity filter at 0.1% prevalence can post 0.99 ROC-AUC
+while its precision is garbage), built on the same
+distinct-score-group machinery ordered DESCENDING.
+:func:`brier_decomposition_exact` is the probability-quality metric
+(Murphy's uncertainty − resolution + reliability split over the
+distinct forecast values). All three follow the repo determinism
+policy: per-term doubles are single-division count-ratio arithmetic on
+exact bigints (identical in any engine), and every SUM of such terms
+rides the decimal(18,6) lattice so aggregation order cannot move the
+result.
 """
 
 from __future__ import annotations
@@ -104,4 +117,171 @@ def binary_auc_exact(
                 F.col("num_pairs2"), 2.0 * F.col("n_pos") * F.col("n_neg")
             ).alias("auc"),
         )
+    )
+
+
+def _score_groups(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
+    """``(_s, _pos, _neg)`` — one hash aggregation with map-side
+    partials; the corpus reduces to |distinct scores| rows. NULL label
+    or score rows are excluded (mirror the filter in oracle twins)."""
+    y = F.col(label_col).cast("int")
+    s = F.col(score_col)
+    return (
+        df.where(y.isNotNull() & s.isNotNull())
+        .select(s.alias("_s"), y.alias("_y"))
+        .groupBy("_s")
+        .agg(
+            F.sum("_y").cast("bigint").alias("_pos"),
+            F.sum(1 - F.col("_y")).cast("bigint").alias("_neg"),
+        )
+    )
+
+
+def pr_curve_exact(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    score_bucket: Column | None = None,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Exact precision-recall curve: one row per distinct score
+    (threshold), DESCENDING — ``(score, pos, neg, cum_pos, cum_neg,
+    precision, recall)`` where ``cum_*`` count rows scoring >= the
+    threshold.
+
+    ``precision``/``recall`` are each ONE division of exact bigints,
+    so every emitted double is engine-identical. ``score_bucket``
+    must be a non-null coarsening of the score aligned with the
+    DESCENDING order (lower bucket = higher score; the default
+    ``-floor(score·n_buckets)`` is correct for scores in [0, 1]).
+
+    Scale shape (100 TB): the score aggregation collapses the corpus;
+    the two global prefix sums use the two-phase bucketed running sum
+    (no single-task window over data); ``n_pos`` folds in as a 1-row
+    broadcast. The curve itself is |distinct scores| rows.
+    """
+    g = _score_groups(df, label_col, score_col)
+    if score_bucket is None:
+        bucket = -F.least(
+            F.floor(F.col("_s") * n_buckets).cast("int"), F.lit(n_buckets - 1)
+        )
+    else:
+        bucket = score_bucket
+    cum = bucketed_running_sum(
+        g,
+        bucket=bucket,
+        order_cols=[F.col("_s").desc()],
+        val=F.col("_pos").cast("decimal(38,6)"),
+        sum_col="_cum_pos",
+    )
+    cum = bucketed_running_sum(
+        cum,
+        bucket=bucket,
+        order_cols=[F.col("_s").desc()],
+        val=F.col("_neg").cast("decimal(38,6)"),
+        sum_col="_cum_neg",
+    )
+    tot = g.agg(F.sum("_pos").cast("bigint").alias("_n_pos"))
+    cp = F.col("cum_pos")
+    cn = F.col("cum_neg")
+    return (
+        cum.select(
+            F.col("_s").alias("score"),
+            F.col("_pos").alias("pos"),
+            F.col("_neg").alias("neg"),
+            F.col("_cum_pos").cast("bigint").alias("cum_pos"),
+            F.col("_cum_neg").cast("bigint").alias("cum_neg"),
+        )
+        .join(F.broadcast(tot))
+        .select(
+            "score",
+            "pos",
+            "neg",
+            "cum_pos",
+            "cum_neg",
+            (cp * 1.0 / (cp + cn)).alias("precision"),
+            F.try_divide(cp, F.col("_n_pos")).alias("recall"),
+        )
+    )
+
+
+def average_precision_exact(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    score_bucket: Column | None = None,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """1-row ``(n_pos, n_neg, avg_precision)`` — tie-blocked average
+    precision, AP = (1/n_pos)·Σ_g pos_g · precision_g over distinct
+    scores descending (sklearn's step-interpolation rule, which ties
+    collapse into blocks naturally).
+
+    Each term is ``(pos_g·cum_pos_g) / (cum_pos_g+cum_neg_g)`` — an
+    exact bigint product with ONE division — and the term sum rides
+    the decimal(18,6) lattice, so aggregation order cannot move the
+    double. The final ``/ n_pos`` is the only other division.
+    """
+    curve = pr_curve_exact(df, label_col, score_col, score_bucket, n_buckets)
+    term = (F.col("pos") * F.col("cum_pos")) * 1.0 / (
+        F.col("cum_pos") + F.col("cum_neg")
+    )
+    return (
+        curve.agg(
+            F.max("cum_pos").cast("bigint").alias("n_pos"),
+            F.max("cum_neg").cast("bigint").alias("n_neg"),
+            F.sum(term.cast("decimal(18,6)")).cast("double").alias("_ap_sum"),
+        )
+        .select(
+            "n_pos",
+            "n_neg",
+            F.try_divide(F.col("_ap_sum"), F.col("n_pos")).alias(
+                "avg_precision"
+            ),
+        )
+    )
+
+
+def brier_decomposition_exact(
+    df: DataFrame, label_col: str, score_col: str
+) -> DataFrame:
+    """1-row ``(n, n_pos, brier, uncertainty, resolution,
+    reliability)`` — the Brier score and its Murphy decomposition with
+    forecast bins = the distinct score values (the exact, unbinned
+    decomposition: brier = uncertainty − resolution + reliability up
+    to the documented decimal-lattice quantization).
+
+    Per score group g: brier contribution ``n_g·s² − 2·s·pos_g +
+    pos_g`` (y² = y), reliability ``n_g·(s − pos_g/n_g)²``, resolution
+    ``n_g·(pos_g/n_g − ybar)²`` — every factor a bigint or a single
+    division of bigints, summed on the decimal lattice, divided by n
+    once. One score-group aggregation + 1-row broadcast of the base
+    rate; no window at all.
+    """
+    g = _score_groups(df, label_col, score_col)
+    tot = g.agg(
+        F.sum(F.col("_pos") + F.col("_neg")).cast("bigint").alias("_n"),
+        F.sum("_pos").cast("bigint").alias("_np"),
+    )
+    j = g.join(F.broadcast(tot))
+    s = F.col("_s")
+    n_g = F.col("_pos") + F.col("_neg")
+    obar = F.col("_pos") * 1.0 / n_g
+    ybar = F.col("_np") * 1.0 / F.col("_n")
+    dsum6 = lambda c: F.sum(c.cast("decimal(18,6)")).cast("double")  # noqa: E731
+    agg = j.agg(
+        F.max("_n").alias("n"),
+        F.max("_np").alias("n_pos"),
+        F.max(ybar).alias("_ybar"),
+        dsum6(n_g * s * s - 2 * s * F.col("_pos") + F.col("_pos")).alias("_b"),
+        dsum6(n_g * (obar - ybar) * (obar - ybar)).alias("_res"),
+        dsum6(n_g * (s - obar) * (s - obar)).alias("_rel"),
+    )
+    return agg.select(
+        "n",
+        "n_pos",
+        (F.col("_b") / F.col("n")).alias("brier"),
+        (F.col("_ybar") * (1 - F.col("_ybar"))).alias("uncertainty"),
+        (F.col("_res") / F.col("n")).alias("resolution"),
+        (F.col("_rel") / F.col("n")).alias("reliability"),
     )

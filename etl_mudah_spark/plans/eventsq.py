@@ -1411,3 +1411,66 @@ def events_stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_mudah_spark.streaming.pipeline import stream_value_drift_bins
 
     return stream_value_drift_bins(spark, sf_dir)
+
+
+@register(
+    "events_value_ks_drift",
+    oracle="""
+    WITH u AS (
+        SELECT value AS v,
+               CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                    THEN 1 ELSE 0 END AS ia,
+               CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                    THEN 0 ELSE 1 END AS ib
+        FROM events WHERE value IS NOT NULL
+    ), g AS (
+        SELECT v, SUM(ia) AS ca, SUM(ib) AS cb FROM u GROUP BY v
+    ), c AS (
+        SELECT v,
+               SUM(ca) OVER (ORDER BY v) AS cuma,
+               SUM(cb) OVER (ORDER BY v) AS cumb
+        FROM g
+    ), t AS (
+        SELECT SUM(ca) AS na, SUM(cb) AS nb FROM g
+    ), d AS (
+        SELECT v, abs(cuma * nb - cumb * na) AS diff FROM c CROSS JOIN t
+    ), m AS (
+        SELECT diff AS ks_num, v AS at_value FROM d
+        ORDER BY diff DESC, v ASC LIMIT 1
+    )
+    SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+           CAST(m.ks_num AS BIGINT) AS ks_num,
+           CAST(m.ks_num AS DOUBLE)
+               / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)) AS ks_d,
+           m.at_value
+    FROM t CROSS JOIN m
+    """,
+    doc=(
+        "Exact two-sample Kolmogorov-Smirnov drift of event value, "
+        "first half of January vs the rest: max CDF gap as an exact "
+        "integer numerator, the value where it occurs, and D."
+    ),
+)
+def events_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The binning-free companion to events_value_drift_psi
+    (operators/drift.ks_2samp_exact): PSI reports mass moved between
+    FIXED bins (and so inherits the bin choice); KS reports the worst
+    pointwise CDF gap over the pooled distinct values with no binning
+    decision at all. The maximized quantity |cum_a·n_b − cum_b·n_a|
+    is an exact integer, so the argmax — and the lexicographic
+    (diff, −value) tie-break — is deterministic at any partition
+    order; D is the one float division. Same split literal as the PSI
+    gate, so the two queries read identical windows. Plan: one pooled
+    value aggregation, two two-phase bucketed prefix sums (floor(v)
+    buckets — value spans [0, ~300], a bounded bucket domain), a
+    1-row totals broadcast, one aggregate. No global window, no
+    collect."""
+    from etl_mudah_spark.operators.drift import ks_2samp_exact
+
+    ev = load(spark, sf_dir, "events").select("ts", "value")
+    split = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    return ks_2samp_exact(
+        ev.where(F.col("ts") < split),
+        ev.where(F.col("ts") >= split),
+        "value",
+    )

@@ -551,3 +551,169 @@ def doc_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+_EN_SCORE_CTE = r"""
+    WITH f AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               len(list_filter(string_split_regex(trim(text), '\s+'),
+                   x -> list_contains(['the','a','of','and','to','in','is','it'],
+                                      lower(x)))) * 1.0
+                   / len(string_split_regex(trim(text), '\s+')) AS s
+        FROM documents
+    )"""
+
+
+def _en_quality_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(y, s) — the lang='en' label and the English stopword-ratio
+    score, shared by the AUC / calibration / PR / Brier evaluation
+    queries. The score is an int/int ratio (stop_hits / n_tokens):
+    deterministic doubles with no rounding step."""
+    from pyspark.sql import functions as F
+
+    from etl_mudah_spark.operators import text as tx
+
+    docs = load(spark, sf_dir, "documents").select("lang", "text")
+    w = tx.words("text")
+    en = F.array([F.lit(s) for s in tx.STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(w, lambda x: F.array_contains(en, F.lower(x))))
+    return docs.select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        (stop_hits / F.size(w)).alias("s"),
+    )
+
+
+@register(
+    "doc_quality_pr_curve",
+    oracle=_EN_SCORE_CTE
+    + r""", g AS (
+        SELECT s, SUM(y) AS pos, SUM(1 - y) AS neg FROM f GROUP BY s
+    ), c AS (
+        SELECT s, pos, neg,
+               SUM(pos) OVER (ORDER BY s DESC) AS cum_pos,
+               SUM(neg) OVER (ORDER BY s DESC) AS cum_neg
+        FROM g
+    ), t AS (
+        SELECT SUM(pos) AS np FROM g
+    )
+    SELECT s AS score, CAST(pos AS BIGINT) AS pos,
+           CAST(neg AS BIGINT) AS neg,
+           CAST(cum_pos AS BIGINT) AS cum_pos,
+           CAST(cum_neg AS BIGINT) AS cum_neg,
+           cum_pos * 1.0 / (cum_pos + cum_neg) AS prec,
+           cum_pos * 1.0 / t.np AS rec
+    FROM c CROSS JOIN t ORDER BY score DESC
+    """,
+    doc=(
+        "Exact precision-recall curve of the stopword-ratio English "
+        "classifier: one row per distinct score threshold "
+        "(descending), cumulative tp/fp, precision and recall — each "
+        "a single division of exact bigints."
+    ),
+)
+def doc_quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rare-positive evaluation lens (ml/metrics.pr_curve_exact):
+    ROC-AUC is blind to prevalence, so a corpus filter gating on it
+    alone can ship garbage precision; this emits the full exact PR
+    curve at every distinct threshold. One score aggregation collapses
+    the corpus, the two cumulative counts ride the two-phase bucketed
+    prefix sum DESCENDING (bucket = −floor(s·64), order-aligned), and
+    n_pos folds in as a 1-row broadcast — no global window, no
+    collect, |distinct scores| output rows at any corpus size."""
+    from pyspark.sql import functions as F
+
+    from etl_mudah_spark.ml.metrics import pr_curve_exact
+
+    scored = _en_quality_scored(spark, sf_dir)
+    curve = pr_curve_exact(scored, label_col="y", score_col="s")
+    return curve.select(
+        "score",
+        "pos",
+        "neg",
+        "cum_pos",
+        "cum_neg",
+        F.col("precision").alias("prec"),
+        F.col("recall").alias("rec"),
+    ).orderBy(F.desc("score"))
+
+
+@register(
+    "doc_quality_avg_precision",
+    oracle=_EN_SCORE_CTE
+    + r""", g AS (
+        SELECT s, SUM(y) AS pos, SUM(1 - y) AS neg FROM f GROUP BY s
+    ), c AS (
+        SELECT pos,
+               SUM(pos) OVER (ORDER BY s DESC) AS cum_pos,
+               SUM(neg) OVER (ORDER BY s DESC) AS cum_neg
+        FROM g
+    ), t AS (
+        SELECT SUM(pos) AS np, SUM(neg) AS nn FROM g
+    )
+    SELECT CAST(t.np AS BIGINT) AS n_pos, CAST(t.nn AS BIGINT) AS n_neg,
+           CAST(SUM(CAST((pos * cum_pos) * 1.0 / (cum_pos + cum_neg)
+                         AS DECIMAL(18,6))) AS DOUBLE) / t.np
+               AS avg_precision
+    FROM c CROSS JOIN t GROUP BY t.np, t.nn
+    """,
+    doc=(
+        "Tie-blocked average precision (area under the step PR curve) "
+        "of the stopword-ratio English classifier — exact bigint "
+        "terms, decimal-lattice sum, one final division."
+    ),
+)
+def doc_quality_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PR curve reduced to its headline scalar
+    (ml/metrics.average_precision_exact): AP = (1/n_pos)·Σ_g pos_g ·
+    precision@g over distinct scores descending — sklearn's
+    step-interpolation rule, where ties collapse into blocks exactly.
+    Each term is a bigint product with ONE division; the sum rides
+    the decimal(18,6) lattice so partition order cannot move the
+    double. Same plan skeleton as the curve query: no global window,
+    1-row totals broadcast, single final reduction."""
+    from etl_mudah_spark.ml.metrics import average_precision_exact
+
+    scored = _en_quality_scored(spark, sf_dir)
+    return average_precision_exact(scored, label_col="y", score_col="s")
+
+
+@register(
+    "doc_quality_brier",
+    oracle=_EN_SCORE_CTE
+    + r""", g AS (
+        SELECT s, COUNT(*) AS n_g, SUM(y) AS pos FROM f GROUP BY s
+    ), t AS (
+        SELECT SUM(n_g) AS n, SUM(pos) AS np FROM g
+    )
+    SELECT CAST(t.n AS BIGINT) AS n, CAST(t.np AS BIGINT) AS n_pos,
+           CAST(SUM(CAST(n_g * s * s - 2 * s * pos + pos
+                         AS DECIMAL(18,6))) AS DOUBLE) / t.n AS brier,
+           (t.np * 1.0 / t.n) * (1 - t.np * 1.0 / t.n) AS uncertainty,
+           CAST(SUM(CAST(n_g * (pos * 1.0 / n_g - t.np * 1.0 / t.n)
+                             * (pos * 1.0 / n_g - t.np * 1.0 / t.n)
+                         AS DECIMAL(18,6))) AS DOUBLE) / t.n AS resolution,
+           CAST(SUM(CAST(n_g * (s - pos * 1.0 / n_g)
+                             * (s - pos * 1.0 / n_g)
+                         AS DECIMAL(18,6))) AS DOUBLE) / t.n AS reliability
+    FROM g CROSS JOIN t GROUP BY t.n, t.np
+    """,
+    doc=(
+        "Brier score of the stopword-ratio score as an English "
+        "probability, with Murphy's uncertainty/resolution/"
+        "reliability decomposition over the distinct forecast values."
+    ),
+)
+def doc_quality_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC measures ranking, calibration tables eyeball magnitude —
+    the Brier decomposition (ml/metrics.brier_decomposition_exact)
+    QUANTIFIES magnitude quality: uncertainty (irreducible base-rate
+    variance) − resolution (how much the forecast separates outcomes)
+    + reliability (miscalibration penalty). Forecast bins are the
+    distinct score values, so the decomposition is exact (no binning
+    choice); every term is count-ratio arithmetic on exact bigints
+    summed on the decimal lattice. One score-group aggregation + a
+    1-row base-rate broadcast; no window."""
+    from etl_mudah_spark.ml.metrics import brier_decomposition_exact
+
+    scored = _en_quality_scored(spark, sf_dir)
+    return brier_decomposition_exact(scored, label_col="y", score_col="s")

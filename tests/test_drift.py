@@ -66,3 +66,43 @@ def test_nulls_excluded(spark):
     cur = spark.createDataFrame([(0.5,), (None,), (None,)], "x double")
     rep = psi_report(ref, cur, "x", 0.0, 1.0, 2).first()
     assert (rep.ref_n, rep.cur_n) == (1, 1)
+
+
+# --- exact two-sample KS ---
+
+from etl_mudah_spark.operators.drift import ks_2samp_exact  # noqa: E402
+
+
+def _ks(spark, a_vals, b_vals):
+    a = spark.createDataFrame([(v,) for v in a_vals], "v double")
+    b = spark.createDataFrame([(v,) for v in b_vals], "v double")
+    return ks_2samp_exact(a, b, "v").first()
+
+
+def test_ks_identical_samples_zero(spark):
+    r = _ks(spark, [1.0, 2.0, 3.0], [1.0, 2.0, 3.0])
+    assert r.ks_num == 0 and r.ks_d == 0.0
+
+
+def test_ks_disjoint_samples_one(spark):
+    r = _ks(spark, [1.0, 2.0], [3.0, 4.0])
+    assert (r.n_a, r.n_b) == (2, 2)
+    assert r.ks_num == 4 and r.ks_d == 1.0
+    assert r.at_value == 2.0  # the gap peaks at a's max
+
+
+def test_ks_overlap_and_argmin_tiebreak(spark):
+    # diffs tie at 3 for v in {1, 2, 3}; smallest value wins.
+    r = _ks(spark, [1.0, 2.0, 3.0], [2.0, 3.0, 4.0])
+    assert r.ks_num == 3
+    assert r.ks_d == pytest.approx(1 / 3)
+    assert r.at_value == 1.0
+
+
+def test_ks_negative_values_and_nulls(spark):
+    a = spark.createDataFrame([(-1.5,), (0.5,), (None,)], "v double")
+    b = spark.createDataFrame([(0.5,)], "v double")
+    r = ks_2samp_exact(a, b, "v").first()
+    assert (r.n_a, r.n_b) == (2, 1)
+    assert r.ks_num == 1 and r.ks_d == 0.5
+    assert r.at_value == -1.5

@@ -72,3 +72,77 @@ def test_custom_bucket_for_unbounded_scores(spark):
     )
     assert r.num_pairs2 == exp_num2
     assert r.auc == pytest.approx(exp_num2 / (2.0 * 100 * 100))
+
+
+# --- PR curve / average precision / Brier decomposition ---
+
+from etl_mudah_spark.ml.metrics import (  # noqa: E402
+    average_precision_exact,
+    brier_decomposition_exact,
+    pr_curve_exact,
+)
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(rows, "y int, s double")
+
+
+def test_pr_curve_blocks_and_divisions(spark):
+    df = _frame(spark, [(1, 0.9), (0, 0.8), (1, 0.7), (0, 0.6)])
+    rows = {r.score: r for r in pr_curve_exact(df, "y", "s").collect()}
+    assert rows[0.9].cum_pos == 1 and rows[0.9].cum_neg == 0
+    assert rows[0.9].precision == 1.0 and rows[0.9].recall == 0.5
+    assert rows[0.7].cum_pos == 2 and rows[0.7].cum_neg == 1
+    assert rows[0.7].precision == pytest.approx(2 / 3)
+    assert rows[0.7].recall == 1.0
+    assert rows[0.6].precision == 0.5 and rows[0.6].recall == 1.0
+
+
+def test_pr_curve_ties_collapse_into_one_block(spark):
+    df = _frame(spark, [(1, 0.5), (0, 0.5), (1, 0.5), (0, 0.5)])
+    rows = pr_curve_exact(df, "y", "s").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.pos, r.neg, r.precision, r.recall) == (2, 2, 0.5, 1.0)
+
+
+def test_average_precision_step_rule(spark):
+    df = _frame(spark, [(1, 0.9), (0, 0.8), (1, 0.7), (0, 0.6)])
+    r = average_precision_exact(df, "y", "s").first()
+    assert (r.n_pos, r.n_neg) == (2, 2)
+    # (1*1 + 1*(2/3))/2, with the 2/3 term on the decimal(18,6) lattice.
+    assert r.avg_precision == pytest.approx((1.0 + 0.666667) / 2, abs=1e-9)
+
+
+def test_average_precision_perfect_ranking_is_one(spark):
+    df = _frame(spark, [(1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1)])
+    r = average_precision_exact(df, "y", "s").first()
+    assert r.avg_precision == pytest.approx(1.0, abs=1e-6)
+
+
+def test_average_precision_single_class_null(spark):
+    df = _frame(spark, [(0, 0.9), (0, 0.1)])
+    r = average_precision_exact(df, "y", "s").first()
+    assert r.n_pos == 0 and r.avg_precision is None
+
+
+def test_brier_decomposition_identity(spark):
+    df = _frame(spark, [(1, 0.8), (0, 0.8), (1, 0.6), (0, 0.2)])
+    r = brier_decomposition_exact(df, "y", "s").first()
+    assert (r.n, r.n_pos) == (4, 2)
+    assert r.brier == pytest.approx(0.22, abs=1e-6)
+    assert r.uncertainty == pytest.approx(0.25)
+    assert r.resolution == pytest.approx(0.125, abs=1e-6)
+    assert r.reliability == pytest.approx(0.095, abs=1e-6)
+    # Murphy identity (exact up to the documented lattice quantization).
+    assert r.brier == pytest.approx(
+        r.uncertainty - r.resolution + r.reliability, abs=1e-5
+    )
+
+
+def test_brier_perfect_sharp_forecast(spark):
+    df = _frame(spark, [(1, 1.0), (0, 0.0), (1, 1.0)])
+    r = brier_decomposition_exact(df, "y", "s").first()
+    assert r.brier == 0.0 and r.reliability == 0.0
+    # resolution rides the decimal(18,6) lattice; uncertainty does not.
+    assert r.resolution == pytest.approx(r.uncertainty, abs=1e-5)

@@ -92,6 +92,10 @@ _BNLJ_ALLOWED = {
     "doc_lang_kappa",  # 1-row po/pe/total broadcasts over the bounded confusion matrix
     "daily_revenue_theilsen",  # calendar-bounded O(days) spine self-paired with a < condition + 1-row n_days broadcast
     "events_stream_drift_psi",  # psi_from_counts 1-row side-total broadcasts over the <=11-bin state
+    "events_value_ks_drift",  # 1-row (n_a, n_b) totals broadcast onto the distinct-value diff frame
+    "doc_quality_pr_curve",  # 1-row n_pos broadcast onto the |distinct scores| curve
+    "doc_quality_avg_precision",  # same 1-row n_pos broadcast inside the AP reduction
+    "doc_quality_brier",  # 1-row (n, n_pos) base-rate broadcast onto the score groups
 }
 
 # Windows that legitimately run over ONE partition: their input is
@@ -120,6 +124,9 @@ _GLOBAL_WINDOW_ALLOWED = {
     "doc_quality_auc",  # phase-2 cumsum over the <=64 score-bucket TOTALS of the two-phase AUC prefix sum (ml/metrics.py)
     "customer_revenue_gini",  # phase-2 cumsum over the O(hundreds) floor(revenue/10k) bucket COUNTS of the two-phase rank
     "daily_revenue_theilsen",  # phase-2 cumsum over the O(12) month bucket COUNTS ranking the daily spine
+    "events_value_ks_drift",  # phase-2 cumsum over the ~300 floor(value) bucket TOTALS of the two KS prefix sums (operators/drift.py)
+    "doc_quality_pr_curve",  # phase-2 cumsum over the <=64 score-bucket TOTALS of the descending PR prefix sums (ml/metrics.py)
+    "doc_quality_avg_precision",  # same <=64-bucket phase-2 cumsum via pr_curve_exact
 }
 
 _EXCHANGE = re.compile(r"Exchange (SinglePartition|hashpartitioning|rangepartitioning)")
