@@ -285,3 +285,51 @@ def brier_decomposition_exact(
         (F.col("_res") / F.col("n")).alias("resolution"),
         (F.col("_rel") / F.col("n")).alias("reliability"),
     )
+
+
+def ols_fit_grouped(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group closed-form OLS of y on x: ``(group_cols..., n,
+    slope, intercept, r2)``.
+
+    ``x_col``/``y_col`` must be bigint-exact (cast integer-valued
+    columns first): the normal-equation sums (Σx, Σy, Σxy, Σx², Σy²)
+    are then exact integers at any partition order, and
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        r²    = slope · (n·Σxy − Σx·Σy) / (n·Σy² − (Σy)²)
+
+    are one/two divisions of exact bigints — identical doubles in any
+    engine, no lattice needed. Degenerate groups (single x, constant
+    y) yield NULL slope/r² via try_divide rather than a crash. ONE
+    hash aggregation per group; no window, no broadcast.
+
+    Keep x compact (an index from a fixed epoch, not a raw year·10⁴
+    date) so n·Σx² stays far from the 2⁶³ bigint edge — with
+    |x| ≤ 10³ and n ≤ 10⁶ the products are ≤ 10¹⁵.
+    """
+    x = F.col(x_col).cast("bigint")
+    y = F.col(y_col).cast("bigint")
+    g = df.groupBy(*group_cols).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+    )
+    num = g["n"] * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    denx = g["n"] * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    deny = g["n"] * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    slope = F.try_divide(num, denx)
+    return g.select(
+        *group_cols,
+        "n",
+        slope.alias("slope"),
+        ((F.col("_sy") - slope * F.col("_sx")) / g["n"]).alias("intercept"),
+        (slope * F.try_divide(num, deny)).alias("r2"),
+    )

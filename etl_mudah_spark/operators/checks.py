@@ -259,3 +259,71 @@ def fk_check_report(
         F.col("_total").alias("total_rows"),
         (F.col("violations") == 0).alias("passed"),
     )
+
+
+def fd_audit(
+    df: DataFrame,
+    fds: Sequence[tuple[str, str]],
+) -> DataFrame:
+    """Functional-dependency audit: one row per candidate FD lhs→rhs —
+    ``(fd, n_rows, n_lhs_groups, violating_groups, max_distinct_rhs,
+    repair_rows, g3_error)``.
+
+    ``repair_rows`` is the g3 measure numerator: the minimum number of
+    rows to delete so the FD holds exactly (per lhs group, everything
+    outside the largest rhs class); ``g3_error`` is its share of all
+    rows — 0.0 means the dependency holds, small values mean "holds
+    modulo dirty rows", large values mean there is no dependency. The
+    schema-discovery primitive a warehouse runs before trusting a
+    column as a lookup key, and the quantitative version of the
+    row-level checks above. NULL is a regular value on both sides
+    (two NULL rhs agree); pre-filter if not wanted.
+
+    Scale shape (100 TB): per FD exactly two hash aggregations with
+    map-side partials — (lhs, rhs) counts, then per-lhs stats — and a
+    final 1-row reduction; the union across FDs is a union of 1-row
+    frames. No window, no join, no collect; skew-proof because the
+    second aggregation's input is already |distinct lhs| rows.
+
+    Reference analog: none — the reference trusts its schema
+    (dags/dag.py DDL); FD discovery is what replaces that trust when
+    the data arrives from a crawl instead of your own scraper.
+    """
+    if not fds:
+        raise ValueError("fds must name at least one lhs->rhs pair")
+    outs = []
+    for lhs, rhs in fds:
+        pairs = df.groupBy(lhs, rhs).agg(F.count("*").alias("_c"))
+        per_lhs = pairs.groupBy(lhs).agg(
+            F.count("*").alias("_nd"),
+            F.sum("_c").alias("_n"),
+            F.max("_c").alias("_mx"),
+        )
+        stats = per_lhs.agg(
+            F.sum("_n").cast("bigint").alias("n_rows"),
+            F.count("*").cast("bigint").alias("n_lhs_groups"),
+            F.sum(F.when(F.col("_nd") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("violating_groups"),
+            F.max("_nd").cast("bigint").alias("max_distinct_rhs"),
+            F.sum(F.col("_n") - F.col("_mx")).cast("bigint").alias(
+                "repair_rows"
+            ),
+        )
+        outs.append(
+            stats.select(
+                F.lit(f"{lhs}->{rhs}").alias("fd"),
+                "n_rows",
+                "n_lhs_groups",
+                "violating_groups",
+                "max_distinct_rhs",
+                "repair_rows",
+                (F.col("repair_rows") * 1.0 / F.col("n_rows")).alias(
+                    "g3_error"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -35,6 +35,8 @@ Reference analog: none — beyond-reference entity resolution
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -107,3 +109,52 @@ def fs_score_pairs(
         out_cols.append(agree.alias(f"agree_{c}"))
     out_cols.append(score.alias("score"))
     return pairs.select(*out_cols)
+
+
+def golden_records(
+    members: DataFrame,
+    cluster_col: str,
+    fields: Sequence[str],
+) -> DataFrame:
+    """Survivorship: collapse each entity cluster to one golden row —
+    ``(cluster_col, n_members, golden_<f>, n_distinct_<f> ...)``.
+
+    ``members`` is the (cluster, attributes...) relation produced by
+    joining a cluster mapping (operators/graph.duplicate_clusters)
+    back onto the source records. Per field the golden value is the
+    MODE with a deterministic tie-break (max count, then MIN value) —
+    never ``first()`` — so the same cluster always collapses to the
+    same row at any partition order. ``n_distinct_<f>`` is the
+    conflict signal: 1 means the cluster agrees, >1 means the field
+    genuinely disagreed and a human rule (recency, source trust) may
+    belong upstream.
+
+    Scale shape (100 TB): per field one (cluster, value) hash
+    aggregation with map-side partials, one bounded per-cluster max,
+    and equi-joins on the cluster key — no window, no per-cluster
+    arrays (a million-member boilerplate cluster stays distributed;
+    collect_list survivorship would OOM on it).
+    """
+    base = members.groupBy(cluster_col).agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+    out = base
+    for f in fields:
+        counts = members.groupBy(cluster_col, f).agg(
+            F.count("*").alias("_cnt")
+        )
+        mx = counts.groupBy(cluster_col).agg(
+            F.max("_cnt").alias("_mx"),
+            F.count("*").cast("bigint").alias("_nd"),
+        )
+        mode = (
+            counts.join(mx, cluster_col)
+            .where(F.col("_cnt") == F.col("_mx"))
+            .groupBy(cluster_col)
+            .agg(
+                F.min(f).alias(f"golden_{f}"),
+                F.max("_nd").alias(f"n_distinct_{f}"),
+            )
+        )
+        out = out.join(mode, cluster_col)
+    return out

@@ -121,21 +121,21 @@ def weighted_quantiles_exact(
         sum_col="_cum",
     )
     totals = g.groupBy(*gc).agg(
-        F.sum("_w").cast("decimal(38,0)").alias("_W"),
+        F.sum("_w").cast("decimal(38,0)").alias("_tw"),
         F.sum("_cnt").cast("bigint").alias("_n"),
     )
     j = cum.join(totals, gc)
     c = F.col("_cum").cast("decimal(38,0)")
     aggs = [
         F.max("_n").alias("n_rows"),
-        F.max("_W").cast("bigint").alias("total_weight"),
+        F.max("_tw").cast("bigint").alias("total_weight"),
     ]
     for num, den in quantiles:
         if not 0 < num <= den:
             raise ValueError(f"quantile {num}/{den} outside (0, 1]")
         aggs.append(
             F.min(
-                F.when(c * den >= F.col("_W") * num, F.col("_v"))
+                F.when(c * den >= F.col("_tw") * num, F.col("_v"))
             ).alias(f"q_{num}_{den}")
         )
     return j.groupBy(*gc).agg(*aggs)

@@ -1322,3 +1322,162 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((2.0 * F.col("six")) / (F.col("n") * F.col("sx"))
          - (F.col("n") + 1.0) / F.col("n")).alias("gini"),
     )
+
+
+# Fellegi-Sunter decision threshold for the linkage demo: above this
+# summed log-likelihood ratio a pair is declared a match (at the data's
+# u-probabilities only all-three-field agreements clear it).
+ER_MATCH_THRESHOLD = 8.0
+
+
+@register(
+    "part_golden_records",
+    oracle=f"""
+    WITH RECURSIVE p0 AS (
+        SELECT p_partkey, p_brand, p_type, p_size,
+               string_split(p_name, ' ')[2] AS noun
+        FROM part
+    ), keyed AS (
+        SELECT * FROM p0
+        WHERE noun IN (
+            SELECT noun FROM p0 GROUP BY noun
+            HAVING COUNT(*) <= {FUZZY_MAX_BLOCK}
+        )
+    ), ub AS (
+        SELECT SUM(f * (f - 1)) * 1.0 / (SUM(f) * (SUM(f) - 1)) AS u
+        FROM (SELECT COUNT(*) AS f FROM part GROUP BY p_brand)
+    ), ut AS (
+        SELECT SUM(f * (f - 1)) * 1.0 / (SUM(f) * (SUM(f) - 1)) AS u
+        FROM (SELECT COUNT(*) AS f FROM part GROUP BY p_type)
+    ), uc AS (
+        SELECT SUM(f * (f - 1)) * 1.0 / (SUM(f) * (SUM(f) - 1)) AS u
+        FROM (SELECT COUNT(*) AS f FROM part GROUP BY p_size)
+    ), pairs AS (
+        SELECT a.p_partkey AS s, b.p_partkey AS d
+        FROM keyed a
+        JOIN keyed b ON a.noun = b.noun AND a.p_partkey < b.p_partkey
+        CROSS JOIN ub CROSS JOIN ut CROSS JOIN uc
+        WHERE (CASE WHEN a.p_brand = b.p_brand
+                    THEN ln({ER_M_BRAND} / ub.u)
+                    ELSE ln((1.0 - {ER_M_BRAND}) / (1.0 - ub.u)) END
+               + CASE WHEN a.p_type = b.p_type
+                      THEN ln({ER_M_TYPE} / ut.u)
+                      ELSE ln((1.0 - {ER_M_TYPE}) / (1.0 - ut.u)) END
+               + CASE WHEN a.p_size = b.p_size
+                      THEN ln({ER_M_SIZE} / uc.u)
+                      ELSE ln((1.0 - {ER_M_SIZE}) / (1.0 - uc.u)) END
+              ) >= {ER_MATCH_THRESHOLD}
+    ), edges AS (
+        SELECT s, d FROM pairs UNION SELECT d, s FROM pairs
+    ), nodes AS (
+        SELECT DISTINCT s AS node FROM edges
+    ), reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node
+    ), comp AS (
+        SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+    ), mem AS (
+        SELECT comp.cluster_id, p.p_brand, p.p_type, p.p_size
+        FROM comp JOIN part p ON p.p_partkey = comp.node
+    ), base AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM mem GROUP BY 1
+    ), cb AS (
+        SELECT cluster_id, p_brand AS v, COUNT(*) AS cnt
+        FROM mem GROUP BY 1, 2
+    ), mb AS (
+        SELECT cluster_id, MAX(cnt) AS mx,
+               CAST(COUNT(*) AS BIGINT) AS nd FROM cb GROUP BY 1
+    ), gb AS (
+        SELECT cb.cluster_id, MIN(v) AS golden_p_brand,
+               MAX(mb.nd) AS n_distinct_p_brand
+        FROM cb JOIN mb USING (cluster_id) WHERE cb.cnt = mb.mx GROUP BY 1
+    ), ct AS (
+        SELECT cluster_id, p_type AS v, COUNT(*) AS cnt
+        FROM mem GROUP BY 1, 2
+    ), mt AS (
+        SELECT cluster_id, MAX(cnt) AS mx,
+               CAST(COUNT(*) AS BIGINT) AS nd FROM ct GROUP BY 1
+    ), gt AS (
+        SELECT ct.cluster_id, MIN(v) AS golden_p_type,
+               MAX(mt.nd) AS n_distinct_p_type
+        FROM ct JOIN mt USING (cluster_id) WHERE ct.cnt = mt.mx GROUP BY 1
+    ), cs AS (
+        SELECT cluster_id, p_size AS v, COUNT(*) AS cnt
+        FROM mem GROUP BY 1, 2
+    ), ms AS (
+        SELECT cluster_id, MAX(cnt) AS mx,
+               CAST(COUNT(*) AS BIGINT) AS nd FROM cs GROUP BY 1
+    ), gs AS (
+        SELECT cs.cluster_id, MIN(v) AS golden_p_size,
+               MAX(ms.nd) AS n_distinct_p_size
+        FROM cs JOIN ms USING (cluster_id) WHERE cs.cnt = ms.mx GROUP BY 1
+    )
+    SELECT base.cluster_id, base.n_members,
+           gb.golden_p_brand, gb.n_distinct_p_brand,
+           gt.golden_p_type, gt.n_distinct_p_type,
+           gs.golden_p_size, gs.n_distinct_p_size
+    FROM base
+    JOIN gb USING (cluster_id) JOIN gt USING (cluster_id)
+    JOIN gs USING (cluster_id)
+    ORDER BY cluster_id
+    """,
+    doc=(
+        "ER pipeline closure: Fellegi-Sunter matches above the "
+        "decision threshold -> connected components -> one golden "
+        "record per entity cluster (modal value per field, "
+        "deterministic tie-break, conflict counts)."
+    ),
+)
+def part_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step the reference's upsert hints at but never does
+    (dags/dag.py:250-266 refreshes by exact listing_id only): block ->
+    score (operators/er.fs_score_pairs) -> threshold -> transitive
+    closure (operators/graph.duplicate_clusters, the large/small-star
+    CC) -> survivorship (operators/er.golden_records: per-field MODE
+    with max-count-then-min-value tie-break — never first()). The
+    n_distinct_* columns are the conflict provenance a steward reads
+    before trusting the merge. Everything is exact: the score
+    threshold compares engine-identical doubles (fixed-shape ln
+    sums), clusters are min-id canonical, modes are count arithmetic.
+    Scale: blocked Σ|block|² pair work with the hot-block cap, O(log n)
+    CC rounds, and per-field (cluster, value) aggregations — no
+    per-cluster arrays, so a giant cluster stays distributed."""
+    from etl_mudah_spark.operators.er import fs_score_pairs, golden_records
+    from etl_mudah_spark.operators import graph as gr
+
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_type", "p_size"
+    )
+    scored = fs_score_pairs(
+        part,
+        id_col="p_partkey",
+        block_col=F.split("p_name", " ").getItem(1),
+        fields={
+            "p_brand": ER_M_BRAND,
+            "p_type": ER_M_TYPE,
+            "p_size": ER_M_SIZE,
+        },
+        max_block=FUZZY_MAX_BLOCK,
+    )
+    matched = scored.where(F.col("score") >= ER_MATCH_THRESHOLD).select(
+        "id_a", "id_b"
+    )
+    clusters = gr.duplicate_clusters(matched, src="id_a", dst="id_b")
+    members = clusters.select(
+        F.col("node").alias("p_partkey"), "cluster_id"
+    ).join(part, "p_partkey")
+    golden = golden_records(
+        members, "cluster_id", ["p_brand", "p_type", "p_size"]
+    )
+    return golden.select(
+        "cluster_id",
+        "n_members",
+        "golden_p_brand",
+        "n_distinct_p_brand",
+        "golden_p_type",
+        "n_distinct_p_type",
+        "golden_p_size",
+        "n_distinct_p_size",
+    ).orderBy("cluster_id")

@@ -1118,3 +1118,141 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@register(
+    "flag_weighted_price_quartiles",
+    oracle="""
+    WITH g AS (
+        SELECT l_returnflag AS f, l_extendedprice AS v,
+               SUM(CAST(l_quantity AS BIGINT)) AS w,
+               COUNT(*) AS cnt
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        GROUP BY 1, 2
+    ), c AS (
+        SELECT f, v, w,
+               SUM(w) OVER (PARTITION BY f ORDER BY v) AS cum
+        FROM g
+    ), t AS (
+        SELECT f, SUM(w) AS tw, SUM(cnt) AS n FROM g GROUP BY f
+    )
+    SELECT t.f AS l_returnflag,
+           CAST(t.n AS BIGINT) AS n_rows,
+           CAST(t.tw AS BIGINT) AS total_weight,
+           MIN(v) FILTER (WHERE 4 * cum >= 1 * t.tw) AS q_1_4,
+           MIN(v) FILTER (WHERE 2 * cum >= 1 * t.tw) AS q_1_2,
+           MIN(v) FILTER (WHERE 4 * cum >= 3 * t.tw) AS q_3_4
+    FROM c JOIN t USING (f)
+    GROUP BY t.f, t.n, t.tw
+    ORDER BY l_returnflag
+    """,
+    doc=(
+        "Quantity-weighted price quartiles per return flag: the exact "
+        "lower weighted quantile (smallest price whose cumulative "
+        "quantity reaches the target share of total quantity)."
+    ),
+)
+def flag_weighted_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted distribution profiling (operators/quantiles.py):
+    'median price' weighted by units moved, not by line count — the
+    difference between what a row says and what the business shipped.
+    Exactness: weights are bigint quantities, the threshold test
+    den·cum ≥ num·W is integer arithmetic (no float rank), so the
+    selected prices are deterministic. Scale: the grouped two-phase
+    prefix sum — (flag, price) hash aggregation collapses the corpus,
+    per-(flag, bucket) offsets ride a window over the bounded
+    bucket-count relation, selection is a conditional MIN — so no
+    task ever sorts a whole flag's rows (a 3-group corpus would
+    otherwise funnel a third of the data through one task; TPC-H
+    l_quantity is integer-valued 1..50, so the bigint cast is exact:
+    reference analog none, the pandas median at
+    streamlit/pages/price_analysis.py:43-47 is unweighted)."""
+    from etl_mudah_spark.operators.quantiles import weighted_quantiles_exact
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    wq = weighted_quantiles_exact(
+        li,
+        ["l_returnflag"],
+        value_col="l_extendedprice",
+        weight_col="l_quantity",
+        quantiles=((1, 4), (1, 2), (3, 4)),
+        bucket=F.floor(F.col("_v") / 1000).cast("bigint"),
+    )
+    return wq.orderBy("l_returnflag")
+
+
+@register(
+    "part_fd_audit",
+    oracle="""
+    WITH g1 AS (
+        SELECT p_partkey AS l, p_brand AS r, COUNT(*) AS c
+        FROM part GROUP BY 1, 2
+    ), s1 AS (
+        SELECT l, COUNT(*) AS nd, SUM(c) AS n, MAX(c) AS mx FROM g1 GROUP BY l
+    ), g2 AS (
+        SELECT p_brand AS l, p_type AS r, COUNT(*) AS c
+        FROM part GROUP BY 1, 2
+    ), s2 AS (
+        SELECT l, COUNT(*) AS nd, SUM(c) AS n, MAX(c) AS mx FROM g2 GROUP BY l
+    ), g3 AS (
+        SELECT p_type AS l, p_size AS r, COUNT(*) AS c
+        FROM part GROUP BY 1, 2
+    ), s3 AS (
+        SELECT l, COUNT(*) AS nd, SUM(c) AS n, MAX(c) AS mx FROM g3 GROUP BY l
+    )
+    SELECT 'p_partkey->p_brand' AS fd,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_lhs_groups,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS violating_groups,
+           CAST(MAX(nd) AS BIGINT) AS max_distinct_rhs,
+           CAST(SUM(n - mx) AS BIGINT) AS repair_rows,
+           SUM(n - mx) * 1.0 / SUM(n) AS g3_error
+    FROM s1
+    UNION ALL
+    SELECT 'p_brand->p_type',
+           CAST(SUM(n) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(MAX(nd) AS BIGINT), CAST(SUM(n - mx) AS BIGINT),
+           SUM(n - mx) * 1.0 / SUM(n)
+    FROM s2
+    UNION ALL
+    SELECT 'p_type->p_size',
+           CAST(SUM(n) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(MAX(nd) AS BIGINT), CAST(SUM(n - mx) AS BIGINT),
+           SUM(n - mx) * 1.0 / SUM(n)
+    FROM s3
+    ORDER BY fd
+    """,
+    doc=(
+        "Functional-dependency audit over part: key FD (holds), "
+        "brand->type and type->size (violated) — per-FD violating "
+        "groups and the exact g3 repair cost."
+    ),
+)
+def part_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema discovery as a query (operators/checks.fd_audit): does
+    column A determine column B, and if not, how many rows would have
+    to go for it to? g3_error = (rows outside each lhs group's
+    largest rhs class) / n — 0 for the key FD sanity row, large for
+    the genuinely independent pairs. All integer count arithmetic
+    with one final division per FD; two map-side-combined
+    aggregations per FD and a union of 1-row frames — no join, no
+    window, skew-irrelevant."""
+    from etl_mudah_spark.operators.checks import fd_audit
+
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    return fd_audit(
+        part,
+        [
+            ("p_partkey", "p_brand"),
+            ("p_brand", "p_type"),
+            ("p_type", "p_size"),
+        ],
+    ).orderBy("fd")

@@ -941,3 +941,165 @@ def events_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("smape_pct"),
     )
+
+
+@register(
+    "priority_monthly_trend_ols",
+    oracle="""
+    WITH cells AS (
+        SELECT o_orderpriority AS pr,
+               (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS x,
+               COUNT(*) AS y
+        FROM orders GROUP BY 1, 2
+    ), s AS (
+        SELECT pr, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM cells GROUP BY pr
+    )
+    SELECT pr AS o_orderpriority, n,
+           (n * sxy - sx * sy) * 1.0 / NULLIF(n * sxx - sx * sx, 0)
+               AS slope,
+           (sy - ((n * sxy - sx * sy) * 1.0 / NULLIF(n * sxx - sx * sx, 0))
+                 * sx) / n AS intercept,
+           ((n * sxy - sx * sy) * 1.0 / NULLIF(n * sxx - sx * sx, 0))
+             * ((n * sxy - sx * sy) * 1.0 / NULLIF(n * syy - sy * sy, 0))
+               AS r2
+    FROM s ORDER BY o_orderpriority
+    """,
+    doc=(
+        "Per-priority OLS trend of monthly order volume: closed-form "
+        "slope/intercept/R2 from exact integer normal-equation sums — "
+        "is each priority class growing, and how linearly?"
+    ),
+)
+def priority_monthly_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped linear regression without mllib and without a solver
+    (ml/metrics.ols_fit_grouped): the monthly count spine is exact
+    integers, so Σx/Σy/Σxy/Σx²/Σy² are partition-order-exact bigints
+    and slope/R² are one-or-two divisions — identical doubles in any
+    engine, no iteration, no lattice. Two hash aggregations total
+    (orders → bounded (priority, month) cells → 5 priority rows); x is
+    the compact month index from the 1995 epoch, keeping every product
+    far from the bigint edge. The Theil-Sen query is the robust twin;
+    this is the classical fit with the variance-explained diagnostic."""
+    from etl_mudah_spark.ml.metrics import ols_fit_grouped
+
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority"),
+        (
+            (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+        ).alias("x"),
+    )
+    cells = orders.groupBy("o_orderpriority", "x").agg(
+        F.count("*").alias("y")
+    )
+    return ols_fit_grouped(
+        cells, ["o_orderpriority"], "x", "y"
+    ).orderBy("o_orderpriority")
+
+
+@register(
+    "events_conformal_interval",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, {oracle_dsum('value')} AS x
+        FROM events GROUP BY 1
+    ), paired AS (
+        SELECT a.day AS day, abs(a.x - b.x) AS err
+        FROM daily a JOIN daily b ON a.day = b.day + INTERVAL 7 DAY
+    ), cal AS (
+        SELECT * FROM paired WHERE day < DATE '2024-01-22'
+    ), tst AS (
+        SELECT * FROM paired WHERE day >= DATE '2024-01-22'
+    ), nc AS (
+        SELECT COUNT(*) AS n_cal,
+               ((COUNT(*) + 1) * 4 + 4) // 5 AS k FROM cal
+    ), r AS (
+        SELECT err, ROW_NUMBER() OVER (ORDER BY err, day) AS rn FROM cal
+    ), q AS (
+        SELECT nc.n_cal, nc.k, r.err AS q_alpha
+        FROM r JOIN nc ON r.rn = nc.k
+    )
+    SELECT CAST(q.n_cal AS BIGINT) AS n_cal,
+           CAST(q.k AS BIGINT) AS k_rank,
+           q.q_alpha,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN tst.err <= q.q_alpha THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_covered,
+           SUM(CASE WHEN tst.err <= q.q_alpha THEN 1 ELSE 0 END) * 100.0
+               / COUNT(*) AS coverage_pct
+    FROM tst CROSS JOIN q
+    GROUP BY 1, 2, 3
+    """,
+    doc=(
+        "Split-conformal interval for the seasonal-naive forecaster: "
+        "the ceil(0.8*(n+1))-th smallest calibration residual becomes "
+        "the +/- band; empirical coverage is scored on the held-out "
+        "final week."
+    ),
+)
+def events_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free uncertainty for the forecasting family: take
+    the seasonal-naive residuals |x(d) − x(d−7)| on a calibration
+    window (Jan 8–21), pick the ⌈(n+1)(1−α)⌉-th smallest (α = 0.2 —
+    the split-conformal quantile, computed with INTEGER arithmetic
+    ((n+1)·4+4) div 5, never ceil(0.8·(n+1)) whose float product can
+    land on 12.000000000000002), then measure what fraction of the
+    held-out week's residuals the band actually covers — conformal
+    guarantees ≥ 80% on exchangeable data, and the query emits the
+    observed rate next to the promise. All arithmetic is exact:
+    residuals come off decimal-lattice daily sums, rank ties break on
+    the day key, coverage is a count ratio. The ranking window runs
+    over the O(calendar-days) post-aggregation spine (like
+    daily_revenue_moving_avg); the quantile and totals fold in as
+    1-row broadcasts."""
+    ev = load(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "value"
+    )
+    daily = ev.groupBy("day").agg(dsum("value").alias("x"))
+    a = daily.select("day", F.col("x").alias("actual"))
+    b = daily.select(
+        F.date_add(F.col("day"), 7).alias("fday"), F.col("x").alias("forecast")
+    )
+    paired = a.join(b, a.day == b.fday).select(
+        a.day.alias("day"),
+        F.abs(F.col("actual") - F.col("forecast")).alias("err"),
+    )
+    split = F.lit("2024-01-22").cast("date")
+    cal = paired.where(F.col("day") < split)
+    tst = paired.where(F.col("day") >= split)
+    nc = cal.agg(
+        F.count("*").cast("bigint").alias("n_cal"),
+        F.expr("((count(*) + 1) * 4 + 4) div 5").cast("bigint").alias("k"),
+    )
+    ranked = cal.withColumn(
+        "rn",
+        F.row_number().over(W.orderBy("err", "day")).cast("bigint"),
+    )
+    q = (
+        ranked.join(F.broadcast(nc))
+        .where(F.col("rn") == F.col("k"))
+        .select("n_cal", F.col("k").alias("k_rank"), F.col("err").alias("q_alpha"))
+    )
+    covered = F.sum(
+        F.when(F.col("err") <= F.col("q_alpha"), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        tst.join(F.broadcast(q))
+        .groupBy("n_cal", "k_rank", "q_alpha")
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            covered.alias("n_covered"),
+        )
+        .select(
+            "n_cal",
+            "k_rank",
+            "q_alpha",
+            "n_test",
+            "n_covered",
+            (F.col("n_covered") * 100.0 / F.col("n_test")).alias(
+                "coverage_pct"
+            ),
+        )
+    )

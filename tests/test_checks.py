@@ -151,3 +151,39 @@ def test_fk_violations_and_report(spark):
     # composes with the row/uniqueness report into one suite
     combined = check_table(child, row_checks=[not_null("fk")]).unionByName(rep)
     assert combined.count() == 2
+
+
+# --- functional-dependency audit ---
+
+from etl_mudah_spark.operators.checks import fd_audit  # noqa: E402
+
+
+def test_fd_audit_holds_and_violations(spark):
+    rows = [
+        # a -> b holds; b -> c violated in group b=1 (c in {x,x,y}).
+        (1, 1, "x"), (2, 1, "x"), (3, 1, "y"), (4, 2, "z"),
+    ]
+    df = spark.createDataFrame(rows, "a long, b long, c string")
+    out = {r.fd: r for r in fd_audit(df, [("a", "b"), ("b", "c")]).collect()}
+    holds = out["a->b"]
+    assert holds.violating_groups == 0
+    assert holds.repair_rows == 0 and holds.g3_error == 0.0
+    assert holds.n_lhs_groups == 4 and holds.max_distinct_rhs == 1
+    viol = out["b->c"]
+    assert viol.n_rows == 4 and viol.n_lhs_groups == 2
+    assert viol.violating_groups == 1 and viol.max_distinct_rhs == 2
+    # delete the single y-row and b -> c holds.
+    assert viol.repair_rows == 1 and viol.g3_error == 0.25
+
+
+def test_fd_audit_nulls_are_values_and_empty_fds_rejected(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, None), (1, None), (2, "x"), (2, None)], "a long, b string"
+    )
+    r = fd_audit(df, [("a", "b")]).first()
+    # group a=1 agrees on NULL; a=2 splits {x, NULL}.
+    assert r.violating_groups == 1 and r.repair_rows == 1
+    with pytest.raises(ValueError):
+        fd_audit(df, [])

@@ -70,3 +70,40 @@ def test_bad_m_rejected(spark):
     df = spark.createDataFrame([(1, "x")], "id bigint, f string")
     with pytest.raises(ValueError, match="m for 'f'"):
         fs_score_pairs(df, "id", F.lit(1), {"f": 1.0})
+
+
+# --- survivorship / golden records ---
+
+from etl_mudah_spark.operators.er import golden_records  # noqa: E402
+
+
+def test_golden_records_mode_and_tiebreak(spark):
+    rows = [
+        # cluster 1: brand mode B (2 of 3); size ties {5, 7} -> min 5.
+        (1, "B", 5), (1, "B", 7), (1, "A", 5),
+        # cluster 2: unanimous.
+        (2, "C", 9), (2, "C", 9),
+    ]
+    df = spark.createDataFrame(rows, "cluster_id long, brand string, size long")
+    out = {
+        r.cluster_id: r
+        for r in golden_records(df, "cluster_id", ["brand", "size"]).collect()
+    }
+    c1 = out[1]
+    assert c1.n_members == 3
+    assert c1.golden_brand == "B" and c1.n_distinct_brand == 2
+    assert c1.golden_size == 5 and c1.n_distinct_size == 2
+    c2 = out[2]
+    assert c2.n_members == 2
+    assert c2.golden_brand == "C" and c2.n_distinct_brand == 1
+    assert c2.golden_size == 9 and c2.n_distinct_size == 1
+
+
+def test_golden_records_string_tiebreak_is_min(spark):
+    # counts tie 1-1: the golden value must be the lexicographic min,
+    # never a partition-order accident.
+    df = spark.createDataFrame(
+        [(1, "zeta"), (1, "alpha")], "cluster_id long, v string"
+    )
+    r = golden_records(df, "cluster_id", ["v"]).first()
+    assert r.golden_v == "alpha" and r.n_distinct_v == 2

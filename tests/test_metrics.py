@@ -146,3 +146,41 @@ def test_brier_perfect_sharp_forecast(spark):
     assert r.brier == 0.0 and r.reliability == 0.0
     # resolution rides the decimal(18,6) lattice; uncertainty does not.
     assert r.resolution == pytest.approx(r.uncertainty, abs=1e-5)
+
+
+# --- grouped closed-form OLS ---
+
+from etl_mudah_spark.ml.metrics import ols_fit_grouped  # noqa: E402
+
+
+def test_ols_exact_line_and_degenerates(spark):
+    rows = [
+        # perfect line y = 2x + 1
+        ("a", 0, 1), ("a", 1, 3), ("a", 2, 5),
+        # constant y: slope 0, r2 NULL (zero y-variance)
+        ("b", 0, 7), ("b", 1, 7), ("b", 2, 7),
+        # single point: everything but n NULL
+        ("c", 4, 9),
+    ]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {r.g: r for r in ols_fit_grouped(df, ["g"], "x", "y").collect()}
+    a = out["a"]
+    assert (a.n, a.slope, a.intercept, a.r2) == (3, 2.0, 1.0, 1.0)
+    b = out["b"]
+    assert (b.slope, b.intercept) == (0.0, 7.0) and b.r2 is None
+    c = out["c"]
+    assert c.n == 1 and c.slope is None and c.r2 is None
+
+
+def test_ols_r2_matches_correlation_squared(spark):
+    rows = [("g", x, y) for x, y in [(0, 1), (1, 1), (2, 4), (3, 5), (4, 5)]]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    r = ols_fit_grouped(df, ["g"], "x", "y").first()
+    import statistics
+
+    xs, ys = [p[1] for p in rows], [p[2] for p in rows]
+    corr = statistics.correlation(xs, ys)
+    assert r.r2 == pytest.approx(corr * corr)
+    assert r.slope == pytest.approx(
+        statistics.covariance(xs, ys) / statistics.variance(xs)
+    )

@@ -96,6 +96,12 @@ _BNLJ_ALLOWED = {
     "doc_quality_pr_curve",  # 1-row n_pos broadcast onto the |distinct scores| curve
     "doc_quality_avg_precision",  # same 1-row n_pos broadcast inside the AP reduction
     "doc_quality_brier",  # 1-row (n, n_pos) base-rate broadcast onto the score groups
+    "events_conformal_interval",  # 1-row calibration-count and 1-row conformal-quantile broadcasts onto the O(days) spine
+    # (part_golden_records carries the same three 1-row u-probability
+    # broadcasts as part_er_match_scores, but its connected-components
+    # localCheckpoint truncates the inspected plan before them, so the
+    # detector cannot see the BNLJ — same caveat as
+    # customer_balance_neighbors in the window list below.)
 }
 
 # Windows that legitimately run over ONE partition: their input is
@@ -127,6 +133,7 @@ _GLOBAL_WINDOW_ALLOWED = {
     "events_value_ks_drift",  # phase-2 cumsum over the ~300 floor(value) bucket TOTALS of the two KS prefix sums (operators/drift.py)
     "doc_quality_pr_curve",  # phase-2 cumsum over the <=64 score-bucket TOTALS of the descending PR prefix sums (ml/metrics.py)
     "doc_quality_avg_precision",  # same <=64-bucket phase-2 cumsum via pr_curve_exact
+    "events_conformal_interval",  # residual-rank window over the O(calendar-days) calibration spine, like daily_revenue_moving_avg
 }
 
 _EXCHANGE = re.compile(r"Exchange (SinglePartition|hashpartitioning|rangepartitioning)")
