@@ -29,7 +29,7 @@ what replaces "eyeball the new histogram" at scale.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -217,4 +217,52 @@ def ks_2samp_exact(
             / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
         ).alias("ks_d"),
         (-F.col("_m.nv")).alias("at_value"),
+    )
+
+
+def ks_binned_from_counts(bin_counts: DataFrame, n_bins: int) -> DataFrame:
+    """Binned-ECDF KS over pre-binned counts: input ``(bin, ref_cnt,
+    cur_cnt)`` (the same relation :func:`psi_from_counts` takes),
+    output 1 row ``(n_ref, n_cur, ks_num, ks_binned, at_bin)``.
+
+    The statistic is the max CDF gap evaluated at the n_bins fixed bin
+    boundaries — a LOWER bound on the exact :func:`ks_2samp_exact` D
+    (coarsening can only hide gaps, never invent them), which is the
+    right trade for a STREAMING monitor: the (side, bin) counts are
+    constant-size state, where exact KS would need the full
+    distinct-value distribution. Arithmetic is the same integer
+    |cum_ref·n_cur − cum_cur·n_ref| maximization (deterministic argmax,
+    smallest bin on ties via the (diff, −bin) struct max); the cumsum
+    window runs over the ≤ n_bins count rows, never data.
+    """
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bin_counts.select(
+        "bin",
+        F.sum("ref_cnt").over(wcum).cast("bigint").alias("_cr"),
+        F.sum("cur_cnt").over(wcum).cast("bigint").alias("_cc"),
+    )
+    tot = bin_counts.agg(
+        F.sum("ref_cnt").cast("bigint").alias("_nr"),
+        F.sum("cur_cnt").cast("bigint").alias("_nc"),
+    )
+    diff = F.abs(
+        F.col("_cr").cast("decimal(38,0)") * F.col("_nc")
+        - F.col("_cc").cast("decimal(38,0)") * F.col("_nr")
+    )
+    best = cum.join(F.broadcast(tot)).agg(
+        F.max("_nr").alias("n_ref"),
+        F.max("_nc").alias("n_cur"),
+        F.max(F.struct(diff.alias("d"), (-F.col("bin")).alias("nb"))).alias(
+            "_m"
+        ),
+    )
+    return best.select(
+        "n_ref",
+        "n_cur",
+        F.col("_m.d").cast("bigint").alias("ks_num"),
+        (
+            F.col("_m.d").cast("double")
+            / (F.col("n_ref").cast("double") * F.col("n_cur").cast("double"))
+        ).alias("ks_binned"),
+        (-F.col("_m.nb")).cast("int").alias("at_bin"),
     )

@@ -124,7 +124,10 @@ def weighted_quantiles_exact(
         F.sum("_w").cast("decimal(38,0)").alias("_tw"),
         F.sum("_cnt").cast("bigint").alias("_n"),
     )
-    j = cum.join(totals, gc)
+    # Empty group list = one global quantile: totals is a single row,
+    # so fold it in as a 1-row broadcast (a keyless join would plan a
+    # CartesianProduct, which the scale audit rightly bans).
+    j = cum.join(F.broadcast(totals)) if not gc else cum.join(totals, gc)
     c = F.col("_cum").cast("decimal(38,0)")
     aggs = [
         F.max("_n").alias("n_rows"),

@@ -1474,3 +1474,148 @@ def events_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.where(F.col("ts") >= split),
         "value",
     )
+
+
+@register(
+    "events_stream_ks_binned",
+    oracle="""
+    WITH binned AS (
+        SELECT CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                    THEN 'ref' ELSE 'cur' END AS side,
+               greatest(0, least(10, CAST(floor(value / 25.0) AS INT))) AS bin
+        FROM events WHERE value IS NOT NULL
+    ), g AS (
+        SELECT bin,
+               SUM(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS ref_cnt,
+               SUM(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS cur_cnt
+        FROM binned GROUP BY bin
+    ), c AS (
+        SELECT bin,
+               SUM(ref_cnt) OVER (ORDER BY bin) AS cr,
+               SUM(cur_cnt) OVER (ORDER BY bin) AS cc
+        FROM g
+    ), t AS (
+        SELECT SUM(ref_cnt) AS nr, SUM(cur_cnt) AS nc FROM g
+    ), d AS (
+        SELECT bin, abs(cr * nc - cc * nr) AS diff FROM c CROSS JOIN t
+    ), m AS (
+        SELECT diff AS ks_num, bin AS at_bin FROM d
+        ORDER BY diff DESC, bin ASC LIMIT 1
+    )
+    SELECT CAST(t.nr AS BIGINT) AS n_ref, CAST(t.nc AS BIGINT) AS n_cur,
+           CAST(m.ks_num AS BIGINT) AS ks_num,
+           CAST(m.ks_num AS DOUBLE)
+               / (CAST(t.nr AS DOUBLE) * CAST(t.nc AS DOUBLE)) AS ks_binned,
+           CAST(m.at_bin AS INT) AS at_bin
+    FROM t CROSS JOIN m
+    """,
+    doc=(
+        "Streaming binned-KS drift: the (side, bin) stream state of "
+        "the PSI monitor finished as the max CDF gap at the fixed bin "
+        "boundaries — the constant-state lower bound of the exact KS."
+    ),
+)
+def events_stream_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third leg of the drift family: PSI (mass moved per bin),
+    exact KS (worst CDF gap, needs distinct values), and this — the
+    KS shape of the question under STREAMING constraints, where state
+    must stay constant-size, so the gap is evaluated only at the
+    n_bins fixed boundaries and is a certified lower bound of the
+    exact D (coarsening hides gaps, never invents them; compare
+    events_value_ks_drift at the same split). Same integer
+    |cum_ref·n_cur − cum_cur·n_ref| maximization with the (diff,
+    −bin) tie-break; the cumsum window touches ≤ 11 count rows. The
+    stream and the batch oracle compute identical arithmetic — the
+    same streaming == batch contract the PSI twin pins."""
+    from etl_mudah_spark.streaming.pipeline import stream_value_ks_binned
+
+    return stream_value_ks_binned(spark, sf_dir)
+
+
+@register(
+    "events_value_mad_outliers",
+    oracle="""
+    WITH v AS (
+        SELECT value AS x FROM events WHERE value IS NOT NULL
+    ), t AS (
+        SELECT COUNT(*) AS n FROM v
+    ), g AS (
+        SELECT x, COUNT(*) AS c FROM v GROUP BY x
+    ), c1 AS (
+        SELECT x, SUM(c) OVER (ORDER BY x) AS cum FROM g
+    ), m AS (
+        SELECT MIN(x) AS med FROM c1 CROSS JOIN t WHERE 2 * cum >= n
+    ), a AS (
+        SELECT abs(v.x - m.med) AS d FROM v CROSS JOIN m
+    ), g2 AS (
+        SELECT d, COUNT(*) AS c FROM a GROUP BY d
+    ), c2 AS (
+        SELECT d, SUM(c) OVER (ORDER BY d) AS cum FROM g2
+    ), t2 AS (
+        SELECT COUNT(*) AS n FROM a
+    ), m2 AS (
+        SELECT MIN(d) AS mad FROM c2 CROSS JOIN t2 WHERE 2 * cum >= n
+    )
+    SELECT CAST(t.n AS BIGINT) AS n,
+           m.med AS median,
+           m2.mad AS mad,
+           CAST(SUM(CASE WHEN a.d > (m2.mad * 3.5) / 0.6745
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           SUM(CASE WHEN a.d > (m2.mad * 3.5) / 0.6745
+                    THEN 1 ELSE 0 END) * 100.0 / t.n AS outlier_pct
+    FROM a CROSS JOIN m CROSS JOIN m2 CROSS JOIN t
+    GROUP BY t.n, m.med, m2.mad
+    """,
+    doc=(
+        "Robust outlier gate on event value: exact lower median, exact "
+        "MAD, and the count of |x - med| > 3.5 MAD / 0.6745 (the "
+        "modified z-score rule) — mean/stddev-free, so the outliers "
+        "cannot mask themselves."
+    ),
+)
+def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The robust twin of z-score outlier filters: mean and stddev are
+    themselves dragged by the outliers they hunt; median and MAD have
+    a 50% breakdown point. Both centers are EXACT lower medians via
+    operators/quantiles.weighted_quantiles_exact with unit weights and
+    an empty group list (the grouped two-phase prefix sum degenerates
+    to the global one; the selection threshold 2·cum ≥ n is integer
+    arithmetic, so both engines pick the identical value — no
+    percentile_approx). Three scans by necessity (median, then MAD of
+    deviations from it, then the count against the threshold), each a
+    map-side-combined value aggregation with the two 1-row centers
+    folding in as broadcasts. The 3.5/0.6745 modified z-score rule is
+    Iglewicz-Hoaglin; the threshold arithmetic is fixed-shape double
+    math on the engine-identical med/mad."""
+    from etl_mudah_spark.operators.quantiles import weighted_quantiles_exact
+
+    v = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(F.col("value").alias("x"), F.lit(1).alias("w"))
+    )
+    med = weighted_quantiles_exact(
+        v, [], value_col="x", weight_col="w", quantiles=((1, 2),)
+    ).select(
+        F.col("n_rows").alias("n"), F.col("q_1_2").alias("median")
+    )
+    a = v.join(F.broadcast(med)).select(
+        "n", "median", F.abs(F.col("x") - F.col("median")).alias("d"), "w"
+    )
+    mad = weighted_quantiles_exact(
+        a, [], value_col="d", weight_col="w", quantiles=((1, 2),)
+    ).select(F.col("q_1_2").alias("mad"))
+    thr = (F.col("mad") * 3.5) / 0.6745
+    flagged = F.sum(F.when(F.col("d") > thr, 1).otherwise(0)).cast("bigint")
+    return (
+        a.join(F.broadcast(mad))
+        .groupBy("n", "median", "mad")
+        .agg(flagged.alias("n_outliers"))
+        .select(
+            "n",
+            "median",
+            "mad",
+            "n_outliers",
+            (F.col("n_outliers") * 100.0 / F.col("n")).alias("outlier_pct"),
+        )
+    )

@@ -1481,3 +1481,61 @@ def part_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         "golden_p_size",
         "n_distinct_p_size",
     ).orderBy("cluster_id")
+
+
+@register(
+    "customer_k_anonymity",
+    oracle="""
+    WITH cls AS (
+        SELECT c_nationkey, c_mktsegment,
+               COUNT(*) AS sz,
+               COUNT(DISTINCT COALESCE(
+                   CAST(CAST(floor(c_acctbal / 1000) AS BIGINT) AS VARCHAR),
+                   '<null>')) AS l
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT 5 AS k,
+           CAST(SUM(sz) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(sz) AS BIGINT) AS min_class_size,
+           CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS classes_below_k,
+           CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+               AS rows_below_k,
+           SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) * 100.0 / SUM(sz)
+               AS pct_below_k,
+           CAST(MIN(l) AS BIGINT) AS min_l_diversity
+    FROM cls
+    """,
+    doc=(
+        "k-anonymity / l-diversity audit of customer under the "
+        "(nation, market segment) quasi-identifier: class-size floor, "
+        "rows needing suppression at k=5, and the sensitive-attribute "
+        "diversity floor."
+    ),
+)
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The release gate the PII family was missing
+    (operators/pii.k_anonymity_report): scrubbing text removes direct
+    identifiers, but the SCHEMA can still re-identify — any
+    (nation, segment) class smaller than k pins a person to <= k-1
+    candidates, and a class whose account-balance band (the sensitive
+    attribute, bucketed to thousands) is uniform leaks it outright
+    (that is the l-diversity floor). One quasi-identifier aggregation
+    with map-side partials and a 1-row reduction — integer counts,
+    one percentage division; complements customer_erasure_audit
+    (delete one person) with the aggregate question (publish them
+    all?)."""
+    from etl_mudah_spark.operators.pii import k_anonymity_report
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+    )
+    return k_anonymity_report(
+        cust,
+        quasi_cols=["c_nationkey", "c_mktsegment"],
+        sensitive_col="bal_band",
+        k=5,
+    )

@@ -359,7 +359,25 @@ def stream_value_drift_bins(
     query and the DuckDB oracle compute — streaming == batch, the
     Structured Streaming contract the other stream twins pin.
     """
-    from etl_mudah_spark.operators.drift import fixed_bin, psi_from_counts
+    from etl_mudah_spark.operators.drift import psi_from_counts
+
+    wide = _stream_side_bin_counts(spark, sf_dir, split_ts, lo, width, n_bins)
+    return psi_from_counts(wide, n_bins)
+
+
+def _stream_side_bin_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    split_ts: str,
+    lo: float,
+    width: float,
+    n_bins: int,
+) -> DataFrame:
+    """The shared streaming drift front end: run the event stream into
+    (side, bin) running counts — constant-size complete-mode state —
+    and drain them to the wide ``(bin, ref_cnt, cur_cnt)`` relation
+    both drift finishers (PSI terms, binned KS) consume."""
+    from etl_mudah_spark.operators.drift import fixed_bin
 
     split = F.lit(split_ts).cast("timestamp")
     binned = (
@@ -374,7 +392,7 @@ def stream_value_drift_bins(
         .agg(F.count("*").alias("cnt"))
     )
     counts = drain_to_parquet(binned, spark, "complete")
-    wide = (
+    return (
         counts.groupBy("bin")
         .agg(
             F.sum(F.when(F.col("side") == "ref", F.col("cnt"))).alias("ref_raw"),
@@ -386,4 +404,23 @@ def stream_value_drift_bins(
             F.coalesce("cur_raw", F.lit(0)).alias("cur_cnt"),
         )
     )
-    return psi_from_counts(wide, n_bins)
+
+
+def stream_value_ks_binned(
+    spark: SparkSession,
+    sf_dir: str,
+    split_ts: str = "2024-01-15 00:00:00",
+    lo: float = 0.0,
+    width: float = 25.0,
+    n_bins: int = 11,
+) -> DataFrame:
+    """Streaming binned-KS drift monitor: the same constant-size
+    (side, bin) stream state as :func:`stream_value_drift_bins`,
+    finished through operators/drift.ks_binned_from_counts — the max
+    CDF gap at the fixed bin boundaries (a lower bound on the exact
+    KS D, which is the price of constant state; the batch query
+    events_value_ks_drift reports the unbinned exact statistic)."""
+    from etl_mudah_spark.operators.drift import ks_binned_from_counts
+
+    wide = _stream_side_bin_counts(spark, sf_dir, split_ts, lo, width, n_bins)
+    return ks_binned_from_counts(wide, n_bins)

@@ -106,3 +106,58 @@ def test_ks_negative_values_and_nulls(spark):
     assert (r.n_a, r.n_b) == (2, 1)
     assert r.ks_num == 1 and r.ks_d == 0.5
     assert r.at_value == -1.5
+
+
+# --- binned KS from pre-binned counts ---
+
+from etl_mudah_spark.operators.drift import ks_binned_from_counts  # noqa: E402
+
+
+def test_ks_binned_matches_hand_computation(spark):
+    # bins: ref [4,0,0], cur [0,0,4]; nr=nc=4.
+    # cum_r: 4,4,4; cum_c: 0,0,4 -> diffs |16-0|,|16-0|,|16-16| = 16,16,0.
+    df = spark.createDataFrame(
+        [(0, 4, 0), (1, 0, 0), (2, 0, 4)],
+        "bin int, ref_cnt long, cur_cnt long",
+    )
+    r = ks_binned_from_counts(df, 3).first()
+    assert (r.n_ref, r.n_cur) == (4, 4)
+    assert r.ks_num == 16 and r.ks_binned == 1.0
+    assert r.at_bin == 0  # ties at bins 0 and 1 break to the smallest
+
+
+def test_ks_binned_identical_sides_zero(spark):
+    df = spark.createDataFrame(
+        [(0, 2, 2), (1, 3, 3)], "bin int, ref_cnt long, cur_cnt long"
+    )
+    r = ks_binned_from_counts(df, 2).first()
+    assert r.ks_num == 0 and r.ks_binned == 0.0
+
+
+def test_ks_binned_is_lower_bound_of_exact(spark):
+    # Exact KS on the raw values vs binned KS on a 2-bin coarsening.
+    a_vals = [1.0, 2.0, 3.0, 4.0]
+    b_vals = [2.5, 3.5, 4.5, 5.5]
+    a = spark.createDataFrame([(v,) for v in a_vals], "v double")
+    b = spark.createDataFrame([(v,) for v in b_vals], "v double")
+    exact = ks_2samp_exact(a, b, "v").first()
+    from etl_mudah_spark.operators.drift import fixed_bin
+
+    def side(df, name):
+        return (
+            df.select(fixed_bin(F.col("v"), 0.0, 3.0, 2).alias("bin"))
+            .groupBy("bin")
+            .agg(F.count("*").alias(name))
+        )
+
+    wide = (
+        side(a, "ref_cnt")
+        .join(side(b, "cur_cnt"), "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("ref_cnt", F.lit(0)).alias("ref_cnt"),
+            F.coalesce("cur_cnt", F.lit(0)).alias("cur_cnt"),
+        )
+    )
+    binned = ks_binned_from_counts(wide, 2).first()
+    assert binned.ks_binned <= exact.ks_d + 1e-12

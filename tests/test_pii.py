@@ -65,3 +65,40 @@ def test_scrub_is_pure_expression(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+# --- k-anonymity / l-diversity report ---
+
+import pytest
+from etl_mudah_spark.operators.pii import k_anonymity_report  # noqa: E402
+
+
+def test_k_anonymity_counts_and_l_diversity(spark):
+    rows = [
+        # class (A, x): 3 members, sensitive {1, 1, 2} -> l = 2
+        ("A", "x", 1), ("A", "x", 1), ("A", "x", 2),
+        # class (B, y): 1 member (below k=2), sensitive {7} -> l = 1
+        ("B", "y", 7),
+    ]
+    df = spark.createDataFrame(rows, "qa string, qb string, s long")
+    r = k_anonymity_report(df, ["qa", "qb"], "s", k=2).first()
+    assert (r.k, r.n_rows, r.n_classes) == (2, 4, 2)
+    assert r.min_class_size == 1
+    assert r.classes_below_k == 1 and r.rows_below_k == 1
+    assert r.pct_below_k == 25.0
+    assert r.min_l_diversity == 1
+
+
+def test_k_anonymity_null_sensitive_counts_as_value(spark):
+    df = spark.createDataFrame(
+        [("A", "1"), ("A", None), ("A", None)], "q string, s string"
+    )
+    r = k_anonymity_report(df, ["q"], "s", k=2).first()
+    # distinct sensitive values: {"1", NULL-sentinel} -> 2.
+    assert r.min_l_diversity == 2 and r.classes_below_k == 0
+
+
+def test_k_anonymity_rejects_trivial_k(spark):
+    df = spark.createDataFrame([("A", "1")], "q string, s string")
+    with pytest.raises(ValueError):
+        k_anonymity_report(df, ["q"], "s", k=1)

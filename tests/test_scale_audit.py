@@ -97,6 +97,8 @@ _BNLJ_ALLOWED = {
     "doc_quality_avg_precision",  # same 1-row n_pos broadcast inside the AP reduction
     "doc_quality_brier",  # 1-row (n, n_pos) base-rate broadcast onto the score groups
     "events_conformal_interval",  # 1-row calibration-count and 1-row conformal-quantile broadcasts onto the O(days) spine
+    "events_stream_ks_binned",  # 1-row side-totals broadcast onto the <=11-bin drained state
+    "events_value_mad_outliers",  # 1-row median and 1-row MAD broadcasts onto the value scan
     # (part_golden_records carries the same three 1-row u-probability
     # broadcasts as part_er_match_scores, but its connected-components
     # localCheckpoint truncates the inspected plan before them, so the
@@ -131,6 +133,8 @@ _GLOBAL_WINDOW_ALLOWED = {
     "customer_revenue_gini",  # phase-2 cumsum over the O(hundreds) floor(revenue/10k) bucket COUNTS of the two-phase rank
     "daily_revenue_theilsen",  # phase-2 cumsum over the O(12) month bucket COUNTS ranking the daily spine
     "events_value_ks_drift",  # phase-2 cumsum over the ~300 floor(value) bucket TOTALS of the two KS prefix sums (operators/drift.py)
+    "events_stream_ks_binned",  # cumulative-count window over the <=11-bin drained state (ks_binned_from_counts)
+    "events_value_mad_outliers",  # phase-2 cumsum over the ~300 floor(value) bucket TOTALS of the two global median selections
     "doc_quality_pr_curve",  # phase-2 cumsum over the <=64 score-bucket TOTALS of the descending PR prefix sums (ml/metrics.py)
     "doc_quality_avg_precision",  # same <=64-bucket phase-2 cumsum via pr_curve_exact
     "events_conformal_interval",  # residual-rank window over the O(calendar-days) calibration spine, like daily_revenue_moving_avg
