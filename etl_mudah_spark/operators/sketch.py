@@ -296,3 +296,106 @@ def cms_estimate(
         .groupBy(*group_cols, key_col)
         .agg(F.min("cnt").alias(out_col))
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram sketch: mergeable quantiles
+# ---------------------------------------------------------------------------
+#
+# The third mergeable summary next to HLL (distinct) and CMS
+# (frequency): a fixed-boundary histogram whose counts add under union,
+# answering quantile queries with a certified error bound of one bin
+# WIDTH. Unlike t-digest/KLL (whose centroids depend on merge order and
+# are not bit-reproducible across engines), fixed bins make the sketch
+# integer-exact: build it per day/partition/stream-batch, SUM the
+# counts to any coarser grain, interpolate — every number is
+# count-ratio arithmetic any engine reproduces exactly, which is why
+# the registered rollup query hash-matches its DuckDB oracle instead
+# of needing an invariant band. The trade is a data-independent value
+# range (lo, width, n_bins) chosen up front — the same fixed-edge
+# discipline the drift operators use, for the same determinism reason.
+
+
+def histogram_counters(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    width: float,
+    n_bins: int,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Build the sketch: ``(group_cols..., bin, cnt)`` — one map-side-
+    combined aggregation; out-of-range values clamp into the edge bins
+    (mass is never dropped), NULLs are excluded. Merge = union the
+    counter tables and SUM cnt by (group, bin); no special merge
+    function is needed because addition is the merge."""
+    from etl_mudah_spark.operators.drift import fixed_bin
+
+    v = F.col(value_col)
+    return (
+        df.where(v.isNotNull())
+        .groupBy(*group_cols, fixed_bin(v, lo, width, n_bins).alias("bin"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    counters: DataFrame,
+    lo: float,
+    width: float,
+    quantiles: Sequence[tuple[int, int]],
+) -> DataFrame:
+    """Answer quantiles from a (merged) sketch: 1 row with
+    ``n`` and one ``est_<num>_<den>`` per requested quantile.
+
+    The estimate is linear interpolation inside the first bin whose
+    cumulative count reaches the target rank t = num·N/den:
+    ``lo + width·bin + width·(num·N − den·cum_below)/(den·cnt_bin)``
+    — bin selection is integer arithmetic (den·cum ≥ num·N, no float
+    rank), the within-bin position is one division of exact bigints,
+    so the estimate is engine-identical. Guarantee: the true quantile
+    lies in the same bin, so |est − exact| < width always.
+
+    The cumulative window runs over the ≤ n_bins counter rows, never
+    data; the totals fold in as a 1-row broadcast.
+    """
+    from pyspark.sql import Window
+
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counters.select(
+        "bin", "cnt", F.sum("cnt").over(wcum).cast("bigint").alias("cum")
+    )
+    tot = counters.agg(F.sum("cnt").cast("bigint").alias("n"))
+    j = cum.join(F.broadcast(tot))
+    hits = []
+    for num, den in quantiles:
+        if not 0 < num <= den:
+            raise ValueError(f"quantile {num}/{den} outside (0, 1]")
+        hits.append(
+            F.min(
+                F.when(
+                    F.col("cum") * den >= F.col("n") * num,
+                    F.struct("bin", "cum", "cnt"),
+                )
+            ).alias(f"_h_{num}_{den}")
+        )
+    one = j.groupBy("n").agg(*hits)
+    ests = []
+    for num, den in quantiles:
+        h = f"_h_{num}_{den}"
+        ests.append(
+            (
+                F.lit(lo)
+                + F.lit(width) * F.col(f"{h}.bin")
+                + F.lit(width)
+                * (
+                    (
+                        F.col("n") * num
+                        - (F.col(f"{h}.cum") - F.col(f"{h}.cnt")) * den
+                    )
+                    * 1.0
+                    / (F.col(f"{h}.cnt") * den)
+                )
+            ).alias(f"est_{num}_{den}")
+        )
+    return one.select("n", *ests)

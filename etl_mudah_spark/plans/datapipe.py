@@ -2351,3 +2351,98 @@ def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "doc_cluster_modularity",
+    oracle=f"""
+    WITH RECURSIVE {_jaccard_pairs_ctes(0.2)}, edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ), nodes AS (
+        SELECT DISTINCT s AS node FROM edges
+    ), reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node
+    ), comp AS (
+        SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+    ), m AS (
+        SELECT COUNT(*) AS m FROM pairs
+    ), ec AS (
+        SELECT comp.cluster_id, COUNT(*) AS e_c
+        FROM pairs JOIN comp ON comp.node = pairs.doc_a GROUP BY 1
+    ), deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT doc_a AS node FROM pairs
+            UNION ALL SELECT doc_b FROM pairs
+        ) GROUP BY 1
+    ), dc AS (
+        SELECT comp.cluster_id, SUM(deg.d) AS dsum
+        FROM deg JOIN comp USING (node) GROUP BY 1
+    ), terms AS (
+        SELECT ec.e_c * 1.0 / m.m
+               - (dc.dsum * 1.0 / (2 * m.m)) * (dc.dsum * 1.0 / (2 * m.m))
+                   AS q
+        FROM ec JOIN dc USING (cluster_id) CROSS JOIN m
+    )
+    SELECT CAST(m.m AS BIGINT) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ec) AS n_clusters,
+           (SELECT CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE)
+            FROM terms) AS modularity
+    FROM m
+    """,
+    doc=(
+        "Newman modularity of the near-dup connected-component "
+        "partition: per-cluster internal-edge share minus squared "
+        "degree share — how block-structured the duplicate graph is."
+    ),
+)
+def doc_cluster_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-quality diagnostic for the dedup clustering: Q =
+    Σ_c [e_c/m − (d_c/2m)²]. For a connected-component partition
+    every edge is internal, so Q = 1 − Σ(d_c/2m)² — it measures how
+    evenly the pair mass spreads across components: Q near its
+    maximum means many comparable near-dup islands, Q near 0 means
+    one boilerplate blob owns the graph (the signal to escalate from
+    pair-dedup to template excision, operators/decontam.py). All
+    exact count arithmetic on the same df-capped exact-Jaccard edges
+    and CC the cluster queries use (transitive closure included);
+    per-cluster terms are two divisions, the sum rides the decimal
+    lattice. Plan: the pair join, one CC fixpoint, two bounded
+    aggregations, a 1-row m broadcast."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(
+        docs, threshold=0.2, max_shingle_df=_NGRAM_MAX_SHINGLE_DF
+    ).select("doc_a", "doc_b")
+    clusters = gr.duplicate_clusters(pairs).select("node", "cluster_id")
+    m = pairs.agg(F.count("*").cast("bigint").alias("m"))
+    ec = (
+        pairs.join(
+            clusters.withColumnRenamed("node", "doc_a"), "doc_a"
+        )
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("e_c"))
+    )
+    deg = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .unionAll(pairs.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    dc = (
+        deg.join(clusters, "node")
+        .groupBy("cluster_id")
+        .agg(F.sum("d").alias("dsum"))
+    )
+    q = (
+        F.col("e_c") * 1.0 / F.col("m")
+        - (F.col("dsum") * 1.0 / (2 * F.col("m")))
+        * (F.col("dsum") * 1.0 / (2 * F.col("m")))
+    )
+    terms = ec.join(dc, "cluster_id").join(F.broadcast(m))
+    return terms.agg(
+        F.max("m").alias("n_edges"),
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum(q.cast("decimal(18,6)")).cast("double").alias("modularity"),
+    )

@@ -1619,3 +1619,138 @@ def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_outliers") * 100.0 / F.col("n")).alias("outlier_pct"),
         )
     )
+
+
+@register(
+    "events_value_quantile_rollup",
+    oracle="""
+    WITH v AS (
+        SELECT value AS x FROM events WHERE value IS NOT NULL
+    ), g AS (
+        SELECT greatest(0, least(39, CAST(floor(x / 25.0) AS INT))) AS bin,
+               COUNT(*) AS cnt
+        FROM v GROUP BY 1
+    ), c AS (
+        SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum FROM g
+    ), t AS (
+        SELECT SUM(cnt) AS n FROM g
+    ), h50 AS (
+        SELECT bin, cum, cnt FROM c CROSS JOIN t
+        WHERE cum * 2 >= n * 1 ORDER BY bin LIMIT 1
+    ), h95 AS (
+        SELECT bin, cum, cnt FROM c CROSS JOIN t
+        WHERE cum * 20 >= n * 19 ORDER BY bin LIMIT 1
+    ), h99 AS (
+        SELECT bin, cum, cnt FROM c CROSS JOIN t
+        WHERE cum * 100 >= n * 99 ORDER BY bin LIMIT 1
+    ), e AS (
+        SELECT
+            0.0 + 25.0 * h50.bin
+                + 25.0 * ((t.n * 1 - (h50.cum - h50.cnt) * 2) * 1.0
+                          / (h50.cnt * 2)) AS est_p50,
+            0.0 + 25.0 * h95.bin
+                + 25.0 * ((t.n * 19 - (h95.cum - h95.cnt) * 20) * 1.0
+                          / (h95.cnt * 20)) AS est_p95,
+            0.0 + 25.0 * h99.bin
+                + 25.0 * ((t.n * 99 - (h99.cum - h99.cnt) * 100) * 1.0
+                          / (h99.cnt * 100)) AS est_p99
+        FROM h50 CROSS JOIN h95 CROSS JOIN h99 CROSS JOIN t
+    ), gv AS (
+        SELECT x, COUNT(*) AS c FROM v GROUP BY x
+    ), cv AS (
+        SELECT x, SUM(c) OVER (ORDER BY x) AS cum FROM gv
+    ), x50 AS (
+        SELECT MIN(x) AS ex FROM cv CROSS JOIN t WHERE 2 * cum >= 1 * n
+    ), x95 AS (
+        SELECT MIN(x) AS ex FROM cv CROSS JOIN t WHERE 20 * cum >= 19 * n
+    ), x99 AS (
+        SELECT MIN(x) AS ex FROM cv CROSS JOIN t WHERE 100 * cum >= 99 * n
+    )
+    SELECT CAST(t.n AS BIGINT) AS n,
+           e.est_p50, x50.ex AS exact_p50,
+           e.est_p95, x95.ex AS exact_p95,
+           e.est_p99, x99.ex AS exact_p99,
+           greatest(abs(e.est_p50 - x50.ex), abs(e.est_p95 - x95.ex),
+                    abs(e.est_p99 - x99.ex)) AS max_abs_err,
+           greatest(abs(e.est_p50 - x50.ex), abs(e.est_p95 - x95.ex),
+                    abs(e.est_p99 - x99.ex)) < 25.0 AS within_width
+    FROM t CROSS JOIN e CROSS JOIN x50 CROSS JOIN x95 CROSS JOIN x99
+    """,
+    doc=(
+        "Mergeable quantile sketch rollup: per-day fixed-bin "
+        "histograms summed to a corpus sketch, p50/p95/p99 "
+        "interpolated from it next to their exact twins and the "
+        "certified one-bin-width error bound."
+    ),
+)
+def events_value_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third mergeable summary beside the HLL rollup (distinct)
+    and the CMS (frequency): operators/sketch.histogram_counters
+    builds per-DAY fixed-bin counters in one O(fact) pass; any grain's
+    quantiles are then answered from the summed counter table alone —
+    the same continuous-aggregate cost model, and unlike
+    t-digest/KLL the merge is bit-reproducible (addition of exact
+    bigints, no centroid drift), which is why the estimates
+    hash-match a DuckDB oracle instead of needing an invariant band.
+    histogram_quantiles interpolates inside the integer-selected bin
+    (one division of bigints per quantile); the exact twins come from
+    the weighted-quantile machinery with unit weights and the
+    |est − exact| < width guarantee is emitted as a checked boolean,
+    not prose. The cumulative window touches the ≤ 40 counter rows,
+    never data."""
+    from etl_mudah_spark.operators.quantiles import weighted_quantiles_exact
+    from etl_mudah_spark.operators.sketch import (
+        histogram_counters,
+        histogram_quantiles,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "value"
+    )
+    daily = histogram_counters(
+        ev, "value", lo=0.0, width=25.0, n_bins=40, group_cols=["day"]
+    )
+    merged = daily.groupBy("bin").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+    ests = histogram_quantiles(
+        merged, lo=0.0, width=25.0, quantiles=((1, 2), (19, 20), (99, 100))
+    )
+    exact = weighted_quantiles_exact(
+        ev.where(F.col("value").isNotNull()).select(
+            F.col("value").alias("x"), F.lit(1).alias("w")
+        ),
+        [],
+        value_col="x",
+        weight_col="w",
+        quantiles=((1, 2), (19, 20), (99, 100)),
+    ).select(
+        F.col("q_1_2").alias("exact_p50"),
+        F.col("q_19_20").alias("exact_p95"),
+        F.col("q_99_100").alias("exact_p99"),
+    )
+    err = F.greatest(
+        F.abs(F.col("est_p50") - F.col("exact_p50")),
+        F.abs(F.col("est_p95") - F.col("exact_p95")),
+        F.abs(F.col("est_p99") - F.col("exact_p99")),
+    )
+    return (
+        ests.select(
+            "n",
+            F.col("est_1_2").alias("est_p50"),
+            F.col("est_19_20").alias("est_p95"),
+            F.col("est_99_100").alias("est_p99"),
+        )
+        .join(F.broadcast(exact))
+        .select(
+            "n",
+            "est_p50",
+            "exact_p50",
+            "est_p95",
+            "exact_p95",
+            "est_p99",
+            "exact_p99",
+            err.alias("max_abs_err"),
+            (err < 25.0).alias("within_width"),
+        )
+    )

@@ -1291,3 +1291,72 @@ def doc_keyness_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("g2"), "term")
         .limit(20)
     )
+
+
+@register(
+    "doc_readability",
+    oracle=r"""
+    WITH f AS (
+        SELECT lang,
+               len(string_split_regex(trim(text), '\s+')) AS nw,
+               len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syl,
+               greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS sent
+        FROM documents
+    ), scored AS (
+        SELECT lang, nw,
+               206.835 - 1.015 * (nw * 1.0 / sent)
+                       - 84.6 * (syl * 1.0 / nw) AS flesch
+        FROM f
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(nw AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+               AS mean_words,
+           CAST(SUM(CAST(flesch AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+               AS mean_flesch,
+           CAST(SUM(CASE WHEN flesch < 30 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hard
+    FROM scored GROUP BY lang ORDER BY lang
+    """,
+    doc=(
+        "Flesch reading-ease profile per language: vowel-run syllable "
+        "heuristic, sentence-terminator counting, per-lang mean score "
+        "and the count of very-hard (<30) documents."
+    ),
+)
+def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability as a corpus-quality dimension next to doc_quality's
+    length/punct ratios: Flesch = 206.835 − 1.015·(words/sentence) −
+    84.6·(syllables/word), with syllables approximated by vowel-group
+    runs ([aeiouy]+ on the lowercased text) and sentences by
+    terminator runs clamped to ≥1 — both pure regex COUNTS, so the
+    per-doc score is engine-identical arithmetic on exact ints (the
+    heuristic is crude for non-English, which is exactly why the
+    profile groups by lang — compare within a language, not across).
+    One map-side-combined aggregation; score sums ride the decimal
+    lattice; the n_hard (<30) count is the actionable gate (filter or
+    route to simplification). No UDF — regexp_count is JVM-side
+    codegen."""
+    docs = load(spark, sf_dir, "documents").select("lang", "text")
+    nw = F.size(tx.words("text"))
+    syl = F.regexp_count(F.lower("text"), F.lit("[aeiouy]+"))
+    sent = F.greatest(F.lit(1), F.regexp_count("text", F.lit("[.!?]+")))
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (nw * 1.0 / sent)
+        - F.lit(84.6) * (syl * 1.0 / nw)
+    )
+    scored = docs.select("lang", nw.alias("nw"), flesch.alias("flesch"))
+    dsum6 = lambda c: F.sum(c.cast("decimal(18,6)")).cast("double")  # noqa: E731
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            (dsum6(F.col("nw")) / F.count("*")).alias("mean_words"),
+            (dsum6(F.col("flesch")) / F.count("*")).alias("mean_flesch"),
+            F.sum(F.when(F.col("flesch") < 30, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hard"),
+        )
+        .orderBy("lang")
+    )

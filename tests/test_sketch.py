@@ -158,3 +158,73 @@ def test_hll_inclusion_exclusion_intersection(spark):
     inter = ea + eb - eu
     assert abs(eu - 5000) / 5000 < 0.2
     assert abs(inter - 1000) < 0.2 * 5000  # envelope scales with the union
+
+
+# --- fixed-bin histogram sketch: mergeable quantiles ---
+
+import pytest
+from etl_mudah_spark.operators.sketch import (  # noqa: E402
+    histogram_counters,
+    histogram_quantiles,
+)
+
+
+def test_histogram_quantiles_uniform_interpolation(spark):
+    # 100 values 0.5, 1.5, ..., 99.5 in 10 bins of width 10: each bin
+    # holds 10. Median target t = 50 -> bin 4 (cum 50), position
+    # (50-40)/10 = 1.0 -> est = 40 + 10*1 = 50. p90 -> bin 8 (cum 90),
+    # est = 90.
+    df = spark.createDataFrame([(i + 0.5,) for i in range(100)], "v double")
+    ctr = histogram_counters(df, "v", lo=0.0, width=10.0, n_bins=10)
+    r = histogram_quantiles(
+        ctr, lo=0.0, width=10.0, quantiles=((1, 2), (9, 10))
+    ).first()
+    assert r.n == 100
+    assert r.est_1_2 == pytest.approx(50.0)
+    assert r.est_9_10 == pytest.approx(90.0)
+
+
+def test_histogram_merge_is_addition(spark):
+    a = spark.createDataFrame([(float(i),) for i in range(0, 50)], "v double")
+    b = spark.createDataFrame([(float(i),) for i in range(50, 100)], "v double")
+    both = a.unionByName(b)
+    build = lambda df: histogram_counters(df, "v", 0.0, 10.0, 10)  # noqa: E731
+    merged = (
+        build(a)
+        .unionByName(build(b))
+        .groupBy("bin")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    direct = {(r.bin, r.cnt) for r in build(both).collect()}
+    rolled = {(r.bin, r.cnt) for r in merged.collect()}
+    assert direct == rolled
+    qa = histogram_quantiles(merged, 0.0, 10.0, ((1, 2),)).first()
+    qb = histogram_quantiles(build(both), 0.0, 10.0, ((1, 2),)).first()
+    assert qa.est_1_2 == qb.est_1_2
+
+
+def test_histogram_error_bound_one_width(spark):
+    import random
+
+    rng = random.Random(7)
+    vals = [rng.uniform(0, 100) for _ in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    ctr = histogram_counters(df, "v", 0.0, 10.0, 10)
+    r = histogram_quantiles(
+        ctr, 0.0, 10.0, ((1, 2), (19, 20))
+    ).first()
+    s = sorted(vals)
+    # exact lower quantiles
+    exact_p50 = s[next(i for i in range(len(s)) if 2 * (i + 1) >= len(s))]
+    exact_p95 = s[next(i for i in range(len(s)) if 20 * (i + 1) >= 19 * len(s))]
+    assert abs(r.est_1_2 - exact_p50) < 10.0
+    assert abs(r.est_19_20 - exact_p95) < 10.0
+
+
+def test_histogram_clamps_out_of_range_and_rejects_bad_q(spark):
+    df = spark.createDataFrame([(-5.0,), (1000.0,), (5.0,)], "v double")
+    ctr = histogram_counters(df, "v", 0.0, 10.0, 10)
+    rows = {r.bin: r.cnt for r in ctr.collect()}
+    assert rows[0] == 2 and rows[9] == 1  # -5 clamps low, 1000 clamps high
+    with pytest.raises(ValueError):
+        histogram_quantiles(ctr, 0.0, 10.0, ((0, 2),))
