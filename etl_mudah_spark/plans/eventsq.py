@@ -1754,3 +1754,159 @@ def events_value_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (err < 25.0).alias("within_width"),
         )
     )
+
+
+@register(
+    "events_stream_quantile_sketch",
+    oracle="""
+    WITH v AS (
+        SELECT value AS x FROM events WHERE value IS NOT NULL
+    ), g AS (
+        SELECT greatest(0, least(39, CAST(floor(x / 25.0) AS INT))) AS bin,
+               COUNT(*) AS cnt
+        FROM v GROUP BY 1
+    ), c AS (
+        SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum FROM g
+    ), t AS (
+        SELECT SUM(cnt) AS n FROM g
+    ), h50 AS (
+        SELECT bin, cum, cnt FROM c CROSS JOIN t
+        WHERE cum * 2 >= n * 1 ORDER BY bin LIMIT 1
+    ), h95 AS (
+        SELECT bin, cum, cnt FROM c CROSS JOIN t
+        WHERE cum * 20 >= n * 19 ORDER BY bin LIMIT 1
+    ), h99 AS (
+        SELECT bin, cum, cnt FROM c CROSS JOIN t
+        WHERE cum * 100 >= n * 99 ORDER BY bin LIMIT 1
+    )
+    SELECT CAST(t.n AS BIGINT) AS n,
+           0.0 + 25.0 * h50.bin
+               + 25.0 * ((t.n * 1 - (h50.cum - h50.cnt) * 2) * 1.0
+                         / (h50.cnt * 2)) AS est_1_2,
+           0.0 + 25.0 * h95.bin
+               + 25.0 * ((t.n * 19 - (h95.cum - h95.cnt) * 20) * 1.0
+                         / (h95.cnt * 20)) AS est_19_20,
+           0.0 + 25.0 * h99.bin
+               + 25.0 * ((t.n * 99 - (h99.cum - h99.cnt) * 100) * 1.0
+                         / (h99.cnt * 100)) AS est_99_100
+    FROM t CROSS JOIN h50 CROSS JOIN h95 CROSS JOIN h99
+    """,
+    doc=(
+        "Streaming p50/p95/p99 from constant-size histogram state: "
+        "the stream maintains fixed-bin counters, the drained sketch "
+        "interpolates — identical arithmetic to the batch rollup."
+    ),
+)
+def events_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming leg of the quantile-sketch family
+    (streaming/pipeline.stream_value_quantile_sketch): latency
+    dashboards want live percentiles, and exact streaming quantiles
+    would grow state with distinct values — fixed-bin counters keep
+    state at the BIN DOMAIN forever, and the estimates carry the same
+    certified one-bin-width bound the batch rollup checks against its
+    exact twins (events_value_quantile_rollup). The oracle recomputes
+    the identical integer bin selection + interpolation from the batch
+    data — streaming == batch, the same contract every stream twin in
+    this engine pins."""
+    from etl_mudah_spark.streaming.pipeline import stream_value_quantile_sketch
+
+    return stream_value_quantile_sketch(spark, sf_dir)
+
+
+@register(
+    "events_sliding_5min_peak",
+    oracle="""
+    WITH w AS (
+        SELECT date_trunc('minute', ts) - to_minutes(CAST(t.k AS BIGINT))
+                   AS window_start
+        FROM events, UNNEST(range(5)) AS t(k)
+        WHERE ts IS NOT NULL
+    ), g AS (
+        SELECT window_start, COUNT(*) AS n_events FROM w GROUP BY 1
+    )
+    SELECT window_start,
+           window_start + INTERVAL 5 MINUTE AS window_end,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM g
+    ORDER BY n_events DESC, window_start
+    LIMIT 5
+    """,
+    doc=(
+        "Peak 5-minute sliding load (1-minute hop): the five busiest "
+        "overlapping windows — burst detection that tumbling hourly "
+        "buckets smear away."
+    ),
+)
+def events_sliding_5min_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows via the native F.window(ts, '5
+    minutes', '1 minute') — each event lands in exactly five
+    epoch-aligned windows, computed JVM-side as a generated expansion
+    feeding one hash aggregation with map-side partials (the oracle
+    replays the same alignment arithmetic: start =
+    minute_floor(ts) − k minutes, k = 0..4). Top-5 is TakeOrdered
+    with the window start as the deterministic tie-break. The
+    tumbling events_hourly answers 'how much per hour'; this answers
+    'when did it BURST' — the 5× row expansion is the standard
+    sliding-window cost and stays linear in the slide ratio at any
+    corpus size."""
+    ev = load(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    return (
+        ev.groupBy(F.window("ts", "5 minutes", "1 minute").alias("w"))
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+        )
+        .orderBy(F.desc("n_events"), "window_start")
+        .limit(5)
+    )
+
+
+@register(
+    "events_stream_sliding_peak",
+    oracle="""
+    WITH w AS (
+        SELECT date_trunc('minute', ts) - to_minutes(CAST(t.k AS BIGINT))
+                   AS window_start
+        FROM events, UNNEST(range(5)) AS t(k)
+        WHERE ts IS NOT NULL
+    ), g AS (
+        SELECT window_start, COUNT(*) AS n_events FROM w GROUP BY 1
+    )
+    SELECT window_start,
+           window_start + INTERVAL 5 MINUTE AS window_end,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM g
+    ORDER BY n_events DESC, window_start
+    LIMIT 5
+    """,
+    doc=(
+        "Streaming twin of the sliding-window peak: watermarked "
+        "append-mode hopping windows, each emitted exactly once when "
+        "complete — same top-5 as the batch query, same oracle."
+    ),
+)
+def events_stream_sliding_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection as a stream
+    (streaming/pipeline.stream_sliding_5min_counts): the hopping
+    windows are finalized by watermark passage and emitted once —
+    append mode, the only mode whose sink cost is O(new windows) per
+    micro-batch rather than O(all windows) — with the sessionizers'
+    late-sentinel staging advancing event time past the tail so the
+    last real windows actually flush (a finite file stream would
+    otherwise hold them in state forever). Sentinel rows live 10+
+    days beyond the data and are excluded by a literal cutoff BEFORE
+    the top-5, so the result — and the oracle — are identical to the
+    batch events_sliding_5min_peak. streaming == batch, pinned by the
+    shared oracle hash."""
+    from etl_mudah_spark.streaming.pipeline import stream_sliding_5min_counts
+
+    wins = stream_sliding_5min_counts(spark, sf_dir)
+    return (
+        wins.where(
+            F.col("window_start") < F.lit("2024-02-05 00:00:00").cast("timestamp")
+        )
+        .orderBy(F.desc("n_events"), "window_start")
+        .limit(5)
+    )

@@ -424,3 +424,85 @@ def stream_value_ks_binned(
 
     wide = _stream_side_bin_counts(spark, sf_dir, split_ts, lo, width, n_bins)
     return ks_binned_from_counts(wide, n_bins)
+
+
+def stream_value_quantile_sketch(
+    spark: SparkSession,
+    sf_dir: str,
+    lo: float = 0.0,
+    width: float = 25.0,
+    n_bins: int = 40,
+) -> DataFrame:
+    """Streaming quantile estimation with CONSTANT state: the stream
+    maintains the fixed-bin histogram counters
+    (operators/sketch.histogram_counters semantics as a streaming
+    aggregation — state is the bin domain, never the data), and the
+    drained counters answer p50/p95/p99 through
+    operators/sketch.histogram_quantiles — the identical interpolation
+    the batch rollup computes, so streaming == batch is pinned by the
+    shared arithmetic. Exact streaming quantiles would need unbounded
+    distinct-value state; the one-bin-width error bound is the price
+    of boundedness (same trade as the binned-KS monitor)."""
+    from etl_mudah_spark.operators.drift import fixed_bin
+    from etl_mudah_spark.operators.sketch import histogram_quantiles
+
+    binned = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("value").isNotNull())
+        .groupBy(
+            fixed_bin(F.col("value"), lo, width, n_bins).alias("bin")
+        )
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    counters = drain_to_parquet(binned, spark, "complete")
+    return histogram_quantiles(
+        counters, lo=lo, width=width, quantiles=((1, 2), (19, 20), (99, 100))
+    )
+
+
+def stream_sliding_5min_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 5-minute / 1-minute-hop window counts maintained by the
+    stream: watermarked APPEND mode, so each window's count is emitted
+    exactly once, when the watermark proves it complete — the
+    streaming form of burst detection, with state bounded by the
+    watermark horizon (finalized windows are evicted).
+
+    Append-mode windows only flush when event time PASSES them, and a
+    single-file stream's watermark update takes effect one micro-batch
+    too late — so the source is staged with the sessionizers' late
+    sentinel files (streaming/stateful._stage_with_sentinels): two
+    far-future rows arrive in follow-up micro-batches, advance the
+    watermark past every real window, and land in windows 10+ days
+    away from the data, which the caller filters by a literal cutoff.
+    """
+    import shutil
+    import tempfile
+
+    from etl_mudah_spark.streaming.stateful import _stage_with_sentinels
+
+    ddl, ts_dtype = events_raw_schema(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+    staging = tempfile.mkdtemp(prefix="sliding_peak_")
+    try:
+        _stage_with_sentinels(spark, sf_dir, staging, ddl, ts_dtype)
+        raw = normalize_ts(
+            spark.readStream.schema(ddl)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staging),
+            ts_dtype,
+        )
+        agg = (
+            raw.where(F.col("ts").isNotNull())
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes", "1 minute").alias("w"))
+            .agg(F.count("*").cast("bigint").alias("n_events"))
+            .select(
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "n_events",
+            )
+        )
+        return drain_to_parquet(agg, spark, "append")
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
