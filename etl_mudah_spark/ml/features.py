@@ -166,3 +166,102 @@ def winsorize(
             .otherwise(F.col(value_col)),
         )
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_bucket: Column | None = None,
+    pooled_bucket: Column | None = None,
+    rank_bin: int = 1024,
+) -> DataFrame:
+    """Map every group's value distribution onto the POOLED
+    distribution (the limma/microarray quantile-normalization rule,
+    the feature-alignment step before mixing heterogeneous sources):
+    output one row per distinct (group, value) — ``(group_col, value,
+    weight, mapped)`` — where ``mapped`` is the pooled value at global
+    rank ceil(cum_group · N / n_group).
+
+    Exactness: ranks are integers (the ceiling is ``(cum·N + n_g − 1)
+    div n_g``, never a float quantile), so the mapped value is a
+    deterministic LOOKUP, not an interpolation — both engines select
+    the identical pooled value. After mapping, every group's weighted
+    distribution is a subsample of the pooled one: group means
+    converge, group quantiles agree — measured, not assumed, by the
+    registered query's profile columns.
+
+    Scale shape (100 TB): two value aggregations (per-group and
+    pooled) collapse the corpus to distinct values; both cumulative
+    ranks ride the two-phase bucketed prefix sums (``group_bucket`` /
+    ``pooled_bucket`` default to floor(value)); the rank lookup is a
+    point-in-interval join executed as the binned equi-join
+    (operators/intervals.py — rank space chopped into ``rank_bin``
+    buckets), never a non-equi broadcast. No global window over data,
+    no collect.
+    """
+    from etl_mudah_spark.operators.intervals import interval_join_binned
+    from etl_mudah_spark.operators.quantiles import (
+        grouped_bucketed_running_sum,
+    )
+    from etl_mudah_spark.operators.sampling import bucketed_running_sum
+
+    v = F.col(value_col)
+    g = (
+        df.where(v.isNotNull())
+        .groupBy(F.col(group_col).alias("_g"), v.alias("_v"))
+        .agg(F.count("*").cast("bigint").alias("_c"))
+    )
+    gbk = F.floor(F.col("_v")).cast("bigint") if group_bucket is None else group_bucket
+    cg = grouped_bucketed_running_sum(
+        g,
+        ["_g"],
+        bucket=gbk,
+        order_cols=[F.col("_v")],
+        val=F.col("_c").cast("decimal(38,6)"),
+        sum_col="_cum",
+    )
+    ng = g.groupBy("_g").agg(F.sum("_c").cast("bigint").alias("_ng"))
+    pooled = g.groupBy("_v").agg(F.sum("_c").cast("bigint").alias("_pc"))
+    pbk = F.floor(F.col("_v")).cast("bigint") if pooled_bucket is None else pooled_bucket
+    cp = bucketed_running_sum(
+        pooled,
+        bucket=pbk,
+        order_cols=[F.col("_v")],
+        val=F.col("_pc").cast("decimal(38,6)"),
+        sum_col="_pcum",
+    )
+    tot = g.agg(F.sum("_c").cast("bigint").alias("_n"))
+    tgt = (
+        cg.join(ng, "_g")
+        .join(F.broadcast(tot))
+        .select(
+            "_g",
+            "_v",
+            F.col("_c").alias("_w"),
+            F.expr(
+                "(CAST(_cum AS BIGINT) * _n + _ng - 1) div _ng"
+            ).alias("_t"),
+        )
+        .withColumn("_t2", F.col("_t") + 1)
+    )
+    ranks = cp.select(
+        F.col("_v").alias("_mv"),
+        (F.col("_pcum").cast("bigint") - F.col("_pc") + 1).alias("_lo"),
+        (F.col("_pcum").cast("bigint") + 1).alias("_hi"),
+    )
+    joined = interval_join_binned(
+        tgt,
+        ranks,
+        bin_seconds=rank_bin,
+        l_start="_t",
+        l_end="_t2",
+        r_start="_lo",
+        r_end="_hi",
+    )
+    return joined.select(
+        F.col("_g").alias(group_col),
+        F.col("_v").alias(value_col),
+        F.col("_w").alias("weight"),
+        F.col("_mv_r").alias("mapped"),
+    )

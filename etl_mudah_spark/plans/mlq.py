@@ -717,3 +717,83 @@ def doc_quality_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scored = _en_quality_scored(spark, sf_dir)
     return brier_decomposition_exact(scored, label_col="y", score_col="s")
+
+
+@register(
+    "events_type_quantile_norm",
+    oracle="""
+    WITH g AS (
+        SELECT event_type AS ty, value AS v, COUNT(*) AS c
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ), cg AS (
+        SELECT ty, v, c,
+               SUM(c) OVER (PARTITION BY ty ORDER BY v) AS cum
+        FROM g
+    ), ng AS (
+        SELECT ty, SUM(c) AS n_g FROM g GROUP BY ty
+    ), t AS (
+        SELECT SUM(c) AS n FROM g
+    ), p AS (
+        SELECT v, SUM(c) AS pc FROM g GROUP BY v
+    ), cp AS (
+        SELECT v, pc, SUM(pc) OVER (ORDER BY v) AS pcum FROM p
+    ), tgt AS (
+        SELECT cg.ty, cg.v, cg.c AS w,
+               (cg.cum * t.n + ng.n_g - 1) // ng.n_g AS tr
+        FROM cg JOIN ng USING (ty) CROSS JOIN t
+    ), mapped AS (
+        SELECT tgt.ty, tgt.v, tgt.w, cp.v AS mv
+        FROM tgt JOIN cp
+          ON tgt.tr BETWEEN cp.pcum - cp.pc + 1 AND cp.pcum
+    )
+    SELECT ty AS event_type,
+           CAST(SUM(w) AS BIGINT) AS n,
+           CAST(SUM(CAST(v * w AS DECIMAL(18,6))) AS DOUBLE) / SUM(w)
+               AS mean_raw,
+           CAST(SUM(CAST(mv * w AS DECIMAL(18,6))) AS DOUBLE) / SUM(w)
+               AS mean_mapped,
+           MIN(mv) AS min_mapped,
+           MAX(mv) AS max_mapped
+    FROM mapped GROUP BY ty ORDER BY event_type
+    """,
+    doc=(
+        "Quantile normalization of event value per event type onto "
+        "the pooled distribution: integer-rank lookup mapping, with "
+        "the per-type raw-vs-mapped mean profile showing the "
+        "distributions align."
+    ),
+)
+def events_type_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature alignment before mixing heterogeneous sources
+    (ml/features.quantile_normalize): each type's values are replaced
+    by the pooled value at the same relative rank — after which every
+    type draws from the SAME distribution (the profile shows raw
+    means spread ~47-52 while mapped means agree to ~0.1). The rank
+    arithmetic is all-integer (ceil via (cum·N + n_g − 1) div n_g),
+    the lookup is a point-in-interval join over pooled rank ranges
+    run as the binned equi-join (operators/intervals.py) — no
+    non-equi shuffle, no window over data; the oracle replays the
+    identical mapping with SQL windows and a BETWEEN join. Weighted
+    means ride the decimal lattice."""
+    from pyspark.sql import functions as F
+
+    from etl_mudah_spark.ml.features import quantile_normalize
+
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    m = quantile_normalize(ev, "event_type", "value")
+    dsum6 = lambda c: F.sum(c.cast("decimal(18,6)")).cast("double")  # noqa: E731
+    return (
+        m.groupBy("event_type")
+        .agg(
+            F.sum("weight").cast("bigint").alias("n"),
+            (
+                dsum6(F.col("value") * F.col("weight")) / F.sum("weight")
+            ).alias("mean_raw"),
+            (
+                dsum6(F.col("mapped") * F.col("weight")) / F.sum("weight")
+            ).alias("mean_mapped"),
+            F.min("mapped").alias("min_mapped"),
+            F.max("mapped").alias("max_mapped"),
+        )
+        .orderBy("event_type")
+    )

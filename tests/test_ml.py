@@ -228,3 +228,46 @@ def test_winsorize_clips_to_group_bounds(spark):
         want = min(max(r["value"], lo), hi)
         assert abs(r["value_w"] - want) < 1e-9, (r["g"], r["value"])
         assert abs(r["value_lo"] - lo) < 1e-9 and abs(r["value_hi"] - hi) < 1e-9
+
+
+# --- quantile normalization ---
+
+from etl_mudah_spark.ml.features import quantile_normalize  # noqa: E402
+
+
+def test_quantile_normalize_hand_example(spark):
+    # pooled sorted values [1,2,3,4]; each 2-value group maps onto the
+    # pooled ranks {2, 4} -> values {2.0, 4.0}.
+    rows = [("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {(r.g, r.v): r.mapped for r in quantile_normalize(df, "g", "v").collect()}
+    assert out[("a", 1.0)] == 2.0 and out[("a", 2.0)] == 4.0
+    assert out[("b", 3.0)] == 2.0 and out[("b", 4.0)] == 4.0
+
+
+def test_quantile_normalize_aligns_distributions(spark):
+    # Two groups with disjoint ranges: after mapping, the (weighted)
+    # multiset of mapped values must be IDENTICAL across groups.
+    rows = [("lo", float(i)) for i in range(10)] + [
+        ("hi", float(100 + 2 * i)) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    m = quantile_normalize(df, "g", "v").collect()
+    by_group = {}
+    for r in m:
+        by_group.setdefault(r.g, []).extend([r.mapped] * r.weight)
+    assert sorted(by_group["lo"]) == sorted(by_group["hi"])
+
+
+def test_quantile_normalize_ties_carry_weight(spark):
+    rows = [("a", 1.0), ("a", 1.0), ("a", 5.0), ("b", 2.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {
+        (r.g, r.v): (r.weight, r.mapped)
+        for r in quantile_normalize(df, "g", "v").collect()
+    }
+    # group a: v=1 (w=2, cum=2, n_g=3, N=4) -> t=ceil(8/3)=3 -> pooled
+    # rank 3 = 2.0; v=5 -> t=4 -> 5.0. group b: v=2 -> t=4 -> 5.0.
+    assert out[("a", 1.0)] == (2, 2.0)
+    assert out[("a", 5.0)] == (1, 5.0)
+    assert out[("b", 2.0)] == (1, 5.0)

@@ -102,6 +102,7 @@ _BNLJ_ALLOWED = {
     "events_value_quantile_rollup",  # 1-row totals + 1-row exact-twin broadcasts onto the <=40-bin counter table
     "doc_cluster_modularity",  # 1-row edge-count broadcast onto the per-cluster (e_c, d_c) terms
     "events_stream_quantile_sketch",  # 1-row totals broadcast onto the <=40-bin drained state
+    "events_type_quantile_norm",  # 1-row pooled-total broadcast into the integer rank targets
     # (part_golden_records carries the same three 1-row u-probability
     # broadcasts as part_er_match_scores, but its connected-components
     # localCheckpoint truncates the inspected plan before them, so the
@@ -140,6 +141,7 @@ _GLOBAL_WINDOW_ALLOWED = {
     "events_value_mad_outliers",  # phase-2 cumsum over the ~300 floor(value) bucket TOTALS of the two global median selections
     "events_value_quantile_rollup",  # cumulative-count window over the <=40-bin merged counter table (histogram_quantiles) + the exact-twin phase-2 cumsum
     "events_stream_quantile_sketch",  # the same <=40-bin cumulative-count window over the drained stream state
+    "events_type_quantile_norm",  # phase-2 cumsum over the ~300 floor(value) bucket TOTALS of the pooled rank prefix sum
     "doc_quality_pr_curve",  # phase-2 cumsum over the <=64 score-bucket TOTALS of the descending PR prefix sums (ml/metrics.py)
     "doc_quality_avg_precision",  # same <=64-bucket phase-2 cumsum via pr_curve_exact
     "events_conformal_interval",  # residual-rank window over the O(calendar-days) calibration spine, like daily_revenue_moving_avg
