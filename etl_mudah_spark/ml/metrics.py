@@ -333,3 +333,96 @@ def ols_fit_grouped(
         ((F.col("_sy") - slope * F.col("_sx")) / g["n"]).alias("intercept"),
         (slope * F.try_divide(num, deny)).alias("r2"),
     )
+
+
+def km_survival(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    bucket: Column | None = None,
+) -> DataFrame:
+    """Kaplan–Meier survival curve: one row per distinct duration,
+    ``(t, n_risk, d_events, n_censored, survival)`` ordered by t —
+    the standard right-censored time-to-event estimator (churn
+    lifetime, session longevity, hardware failure), S(t) =
+    Π_{u≤t} (1 − d_u / n_risk_u).
+
+    ``event_col`` is 1 when the terminal event was OBSERVED at the
+    duration, 0 when the subject was censored there (still alive —
+    we only know survival ≥ t). Determinism: the at-risk counts are
+    exact integers from one reverse prefix sum; the product is
+    computed as exp(Σ ln(1 − d/n)) with each ln term cast to the
+    decimal(18,6) lattice BEFORE the cumulative sum, so partition
+    order cannot move any S(t) (the ln/exp calls themselves follow
+    the engine-wide ln-parity precedent). A duration where every
+    remaining subject exits (d = n_risk) sends survival to exactly
+    0.0 from that row on, via an integer terminal flag rather than
+    ln(0).
+
+    Scale shape (100 TB): one (duration) hash aggregation collapses
+    the cohort to distinct durations; the three cumulative passes
+    (totals, lattice ln terms, terminal flags) are two-phase bucketed
+    running sums over that collapsed relation (``bucket`` defaults to
+    ``floor(t/100)``); N folds in as a 1-row broadcast. No window
+    over data, no collect.
+    """
+    t = F.col(duration_col)
+    e = F.col(event_col).cast("int")
+    g = (
+        df.where(t.isNotNull() & e.isNotNull())
+        .groupBy(t.alias("_t"))
+        .agg(
+            F.sum(e).cast("bigint").alias("_d"),
+            F.sum(1 - e).cast("bigint").alias("_c"),
+            F.count("*").cast("bigint").alias("_tot"),
+        )
+    )
+    bk = F.floor(F.col("_t") / 100).cast("bigint") if bucket is None else bucket
+    cum = bucketed_running_sum(
+        g,
+        bucket=bk,
+        order_cols=[F.col("_t")],
+        val=F.col("_tot").cast("decimal(38,6)"),
+        sum_col="_cumtot",
+    )
+    tot = g.agg(F.sum("_tot").cast("bigint").alias("_n"))
+    risk = (
+        F.col("_n") - (F.col("_cumtot").cast("bigint") - F.col("_tot"))
+    ).alias("_risk")
+    w = cum.join(F.broadcast(tot)).select(
+        "_t", "_d", "_c", "_tot", risk
+    )
+    ln_term = F.when(
+        (F.col("_d") > 0) & (F.col("_d") < F.col("_risk")),
+        F.log(1.0 - F.col("_d") * 1.0 / F.col("_risk")),
+    ).otherwise(F.lit(0.0))
+    term_flag = F.when(F.col("_d") == F.col("_risk"), 1).otherwise(0)
+    w = w.select(
+        "*",
+        ln_term.cast("decimal(18,6)").alias("_lnt"),
+        term_flag.alias("_tf"),
+    )
+    cum2 = bucketed_running_sum(
+        w,
+        bucket=bk,
+        order_cols=[F.col("_t")],
+        val=F.col("_lnt").cast("decimal(38,6)"),
+        sum_col="_cumln",
+    )
+    cum3 = bucketed_running_sum(
+        cum2,
+        bucket=bk,
+        order_cols=[F.col("_t")],
+        val=F.col("_tf").cast("decimal(38,6)"),
+        sum_col="_cumtf",
+    )
+    surv = F.when(
+        F.col("_cumtf").cast("bigint") > 0, F.lit(0.0)
+    ).otherwise(F.exp(F.col("_cumln").cast("double")))
+    return cum3.select(
+        F.col("_t").alias("t"),
+        F.col("_risk").alias("n_risk"),
+        F.col("_d").alias("d_events"),
+        F.col("_c").alias("n_censored"),
+        surv.alias("survival"),
+    ).orderBy("t")

@@ -18,8 +18,8 @@ Importing this package registers every declared query into
 # the r8 freeze (never driver-rowed), (b) the 10 round-9 additions,
 # and (c) the 19 alphabetically-first r6-stale names. All registered
 # queries are additionally sim-checked at sf0.01 AND sf0.1 every
-# round regardless (scripts/driver_sim.py; round-9 final: 207
-# registered, 207 with oracles — zero rows-only; the late round-9
+# round regardless (scripts/driver_sim.py; round-9 final: 208
+# registered, 208 with oracles — zero rows-only; the late round-9
 # additions — events_stream_drift_psi, doc_lang_kappa,
 # doc_novelty_scores, customer_revenue_gini, daily_revenue_theilsen,
 # supplier_ppr_topk, events_seasonal_backtest, the exact_dedup
@@ -31,7 +31,8 @@ Importing this package registers every declared query into
 # events_value_mad_outliers, events_value_quantile_rollup,
 # doc_cluster_modularity, doc_readability,
 # events_stream_quantile_sketch, events_sliding_5min_peak,
-# events_stream_sliding_peak, events_type_quantile_norm) — stay OUT of the frozen window and
+# events_stream_sliding_peak, events_type_quantile_norm,
+# customer_km_survival) — stay OUT of the frozen window and
 # lead the round-10 never-rowed list).
 from etl_mudah_spark.plans import registry  # noqa: F401
 from etl_mudah_spark.plans import parity  # noqa: F401

@@ -1103,3 +1103,83 @@ def events_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "customer_km_survival",
+    oracle="""
+    WITH per AS (
+        SELECT o_custkey,
+               CAST(datediff('day', MIN(o_orderdate), MAX(o_orderdate))
+                    AS INT) AS dur,
+               CASE WHEN MAX(o_orderdate) < TIMESTAMP '2001-01-01'
+                    THEN 1 ELSE 0 END AS ev
+        FROM orders GROUP BY o_custkey
+    ), g AS (
+        SELECT dur AS t, SUM(ev) AS d, SUM(1 - ev) AS c,
+               COUNT(*) AS tot
+        FROM per GROUP BY dur
+    ), n AS (
+        SELECT COUNT(*) AS n FROM per
+    ), w AS (
+        SELECT t, d, c, tot,
+               n.n - (SUM(tot) OVER (ORDER BY t) - tot) AS risk
+        FROM g CROSS JOIN n
+    ), lt AS (
+        SELECT t, d, c, risk,
+               CAST(CASE WHEN d > 0 AND d < risk
+                         THEN ln(1.0 - d * 1.0 / risk)
+                         ELSE 0.0 END AS DECIMAL(18,6)) AS lnt,
+               CASE WHEN d = risk THEN 1 ELSE 0 END AS tf
+        FROM w
+    ), cum AS (
+        SELECT t, risk, d, c,
+               SUM(lnt) OVER (ORDER BY t) AS cumln,
+               SUM(tf) OVER (ORDER BY t) AS cumtf
+        FROM lt
+    )
+    SELECT t, CAST(risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS d_events,
+           CAST(c AS BIGINT) AS n_censored,
+           CASE WHEN cumtf > 0 THEN 0.0
+                ELSE exp(CAST(cumln AS DOUBLE)) END AS survival
+    FROM cum ORDER BY t
+    """,
+    doc=(
+        "Kaplan-Meier churn-lifetime curve: per-customer active span "
+        "(first to last order), churn observed before the 2001 "
+        "horizon vs censored, S(t) over exact at-risk counts."
+    ),
+)
+def customer_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-event analysis joins the engine's evaluation tier
+    (ml/metrics.km_survival): each customer's active lifetime runs
+    first-order to last-order; customers whose last order predates
+    the 2001-01-01 horizon are observed churns, later ones are
+    right-censored — the estimator handles the censoring instead of
+    silently dropping those customers (the bias naive churn averages
+    carry). The at-risk denominators are exact integers off one
+    reverse prefix sum; the survival product rides exp of
+    decimal-lattice ln sums so every S(t) is partition-order-exact;
+    a duration that exhausts the risk set drops S to literal 0.0 via
+    an integer flag, never ln(0). One cohort aggregation + three
+    two-phase bucketed cumulative passes over the distinct-duration
+    relation — no window over data."""
+    from etl_mudah_spark.ml.metrics import km_survival
+
+    per = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias(
+                "dur"
+            ),
+            (
+                F.max("o_orderdate")
+                < F.lit("2001-01-01 00:00:00").cast("timestamp")
+            )
+            .cast("int")
+            .alias("ev"),
+        )
+    )
+    return km_survival(per, "dur", "ev")

@@ -184,3 +184,42 @@ def test_ols_r2_matches_correlation_squared(spark):
     assert r.slope == pytest.approx(
         statistics.covariance(xs, ys) / statistics.variance(xs)
     )
+
+
+# --- Kaplan-Meier survival ---
+
+from etl_mudah_spark.ml.metrics import km_survival  # noqa: E402
+
+
+def test_km_textbook_example(spark):
+    # durations (event=1 observed, 0 censored):
+    # 6,6,6+,7,10+,13,16+  — the classic KM worked example.
+    rows = [(6, 1), (6, 1), (6, 0), (7, 1), (10, 0), (13, 1), (16, 0)]
+    df = spark.createDataFrame(rows, "dur int, ev int")
+    out = {r.t: r for r in km_survival(df, "dur", "ev").collect()}
+    assert out[6].n_risk == 7 and out[6].d_events == 2 and out[6].n_censored == 1
+    assert out[6].survival == pytest.approx(5 / 7, abs=1e-4)
+    assert out[7].n_risk == 4
+    assert out[7].survival == pytest.approx(5 / 7 * 3 / 4, abs=1e-4)
+    # censoring-only rows keep S flat
+    assert out[10].d_events == 0
+    assert out[10].survival == pytest.approx(out[7].survival)
+    assert out[13].n_risk == 2
+    assert out[13].survival == pytest.approx(5 / 7 * 3 / 4 * 1 / 2, abs=1e-4)
+    assert out[16].survival == pytest.approx(out[13].survival)
+
+
+def test_km_risk_set_exhaustion_hits_exact_zero(spark):
+    rows = [(3, 1), (5, 1), (5, 1)]
+    df = spark.createDataFrame(rows, "dur int, ev int")
+    out = {r.t: r for r in km_survival(df, "dur", "ev").collect()}
+    assert out[3].survival == pytest.approx(2 / 3, abs=1e-4)
+    # at t=5 both remaining subjects exit: survival is literal 0.0.
+    assert out[5].n_risk == 2 and out[5].d_events == 2
+    assert out[5].survival == 0.0
+
+
+def test_km_all_censored_stays_at_one(spark):
+    df = spark.createDataFrame([(1, 0), (2, 0), (9, 0)], "dur int, ev int")
+    for r in km_survival(df, "dur", "ev").collect():
+        assert r.survival == 1.0
