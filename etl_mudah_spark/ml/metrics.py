@@ -426,3 +426,108 @@ def km_survival(
         F.col("_c").alias("n_censored"),
         surv.alias("survival"),
     ).orderBy("t")
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+    bucket: Column | None = None,
+) -> DataFrame:
+    """Two-sample log-rank test: 1 row ``(n_a, n_b, events_a,
+    events_b, o_minus_e, variance, chi2)`` — does group A (the rows
+    where ``group_col`` is true) churn on a different schedule than
+    group B, accounting for censoring? The hypothesis test that
+    belongs next to :func:`km_survival`'s curves.
+
+    At each distinct duration t with observed events: O − E
+    contribution ``d_a − d·n_a/n`` and hypergeometric variance
+    ``d·(n_a/n)·(1 − n_a/n)·(n − d)/(n − 1)``, with per-group at-risk
+    counts n_a/n_b from reverse prefix sums. chi2 = (ΣO−E)²/ΣV ~ χ²₁
+    under the null. Every term is a pure function of four exact
+    bigints (identical doubles in any engine); the two sums ride the
+    decimal lattice; the statistic is closed-form arithmetic on them.
+    Same plan skeleton as KM: one (duration) aggregation with
+    conditional per-group sums, two bucketed cumulative passes, a
+    1-row totals broadcast. NULL durations/events/groups excluded.
+    """
+    t = F.col(duration_col)
+    e = F.col(event_col).cast("int")
+    a = F.col(group_col).cast("boolean").cast("int")
+    g = (
+        df.where(t.isNotNull() & e.isNotNull() & a.isNotNull())
+        .groupBy(t.alias("_t"))
+        .agg(
+            F.sum(a * e).cast("bigint").alias("_da"),
+            F.sum((1 - a) * e).cast("bigint").alias("_db"),
+            F.sum(a).cast("bigint").alias("_ta"),
+            F.sum(1 - a).cast("bigint").alias("_tb"),
+        )
+    )
+    bk = F.floor(F.col("_t") / 100).cast("bigint") if bucket is None else bucket
+    cum = bucketed_running_sum(
+        g,
+        bucket=bk,
+        order_cols=[F.col("_t")],
+        val=F.col("_ta").cast("decimal(38,6)"),
+        sum_col="_cuma",
+    )
+    cum = bucketed_running_sum(
+        cum,
+        bucket=bk,
+        order_cols=[F.col("_t")],
+        val=F.col("_tb").cast("decimal(38,6)"),
+        sum_col="_cumb",
+    )
+    tot = g.agg(
+        F.sum("_ta").cast("bigint").alias("_na"),
+        F.sum("_tb").cast("bigint").alias("_nb"),
+        F.sum("_da").cast("bigint").alias("_ea"),
+        F.sum("_db").cast("bigint").alias("_eb"),
+    )
+    j = cum.join(F.broadcast(tot))
+    ra = (F.col("_na") - (F.col("_cuma").cast("bigint") - F.col("_ta")))
+    rb = (F.col("_nb") - (F.col("_cumb").cast("bigint") - F.col("_tb")))
+    d = F.col("_da") + F.col("_db")
+    n = ra + rb
+    frac = ra * 1.0 / n
+    ome = F.col("_da") - d * frac
+    var = F.when(
+        n > 1,
+        d * frac * (1.0 - frac) * (n - d) * 1.0 / (n - 1),
+    ).otherwise(F.lit(0.0))
+    dsum6 = lambda c: F.sum(c.cast("decimal(18,6)")).cast("double")  # noqa: E731
+    agg = j.where(d > 0).agg(
+        F.max("_na").alias("n_a"),
+        F.max("_nb").alias("n_b"),
+        F.max("_ea").alias("events_a"),
+        F.max("_eb").alias("events_b"),
+        dsum6(ome).alias("o_minus_e"),
+        dsum6(var).alias("variance"),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "events_a",
+        "events_b",
+        "o_minus_e",
+        "variance",
+        F.try_divide(
+            F.col("o_minus_e") * F.col("o_minus_e"), F.col("variance")
+        ).alias("chi2"),
+    )
+
+
+def wilson_bounds(p: Column, n: Column, z: float = 1.96) -> tuple[Column, Column]:
+    """Wilson score interval (lo, hi) for a binomial proportion —
+    the CI that behaves at p near 0/1 and small n, where the normal
+    (Wald) interval escapes [0, 1]. Pure closed-form arithmetic on
+    (p, n): sqrt is IEEE-correctly-rounded, so both engines produce
+    identical bounds from identical inputs; write the same expression
+    shape in any oracle twin."""
+    zz = z * z
+    denom = 1.0 + zz / n
+    center = (p + zz / (2.0 * n)) / denom
+    half = z * F.sqrt(p * (1.0 - p) / n + zz / (4.0 * n * n)) / denom
+    return center - half, center + half

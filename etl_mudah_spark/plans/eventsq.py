@@ -1910,3 +1910,129 @@ def events_stream_sliding_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_events"), "window_start")
         .limit(5)
     )
+
+
+@register(
+    "events_ab_test",
+    oracle="""
+    WITH per AS (
+        SELECT user_id, user_id % 2 AS arm,
+               MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                        THEN 1 ELSE 0 END) AS conv
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ), arms AS (
+        SELECT SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS na,
+               SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS ca,
+               SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS nb,
+               SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS cb
+        FROM per
+    ), r AS (
+        SELECT na, ca, nb, cb,
+               ca * 1.0 / na AS pa, cb * 1.0 / nb AS pb,
+               (ca + cb) * 1.0 / (na + nb) AS pp
+        FROM arms
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
+           pa AS rate_a,
+           ((pa + 1.96 * 1.96 / (2.0 * na)) / (1.0 + 1.96 * 1.96 / na))
+             - (1.96 * sqrt(pa * (1.0 - pa) / na
+                            + 1.96 * 1.96 / (4.0 * na * na))
+                / (1.0 + 1.96 * 1.96 / na)) AS wilson_lo_a,
+           ((pa + 1.96 * 1.96 / (2.0 * na)) / (1.0 + 1.96 * 1.96 / na))
+             + (1.96 * sqrt(pa * (1.0 - pa) / na
+                            + 1.96 * 1.96 / (4.0 * na * na))
+                / (1.0 + 1.96 * 1.96 / na)) AS wilson_hi_a,
+           CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
+           pb AS rate_b,
+           ((pb + 1.96 * 1.96 / (2.0 * nb)) / (1.0 + 1.96 * 1.96 / nb))
+             - (1.96 * sqrt(pb * (1.0 - pb) / nb
+                            + 1.96 * 1.96 / (4.0 * nb * nb))
+                / (1.0 + 1.96 * 1.96 / nb)) AS wilson_lo_b,
+           ((pb + 1.96 * 1.96 / (2.0 * nb)) / (1.0 + 1.96 * 1.96 / nb))
+             + (1.96 * sqrt(pb * (1.0 - pb) / nb
+                            + 1.96 * 1.96 / (4.0 * nb * nb))
+                / (1.0 + 1.96 * 1.96 / nb)) AS wilson_hi_b,
+           pa - pb AS lift,
+           ((pa - pb) * (pa - pb))
+             / NULLIF(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb), 0) AS z2
+    FROM r
+    """,
+    doc=(
+        "Two-proportion experiment readout: per-arm (user_id parity) "
+        "purchase-conversion rates with Wilson 95% intervals, the "
+        "lift, and the pooled z-squared statistic."
+    ),
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The experimentation readout (ml/metrics.wilson_bounds): users
+    split into arms by id parity (stand-in for a real assignment
+    column), converted = any purchase above the value-150 line (the
+    plain any-purchase definition saturates at 100% on this data —
+    a degenerate readout and a 0/0 z²). Conversion is per USER,
+    not per event — one aggregation to the user grain, then a single
+    conditional-sum reduction (no join at all). Rates and the z²
+    statistic are single-division count ratios; the Wilson intervals
+    are closed-form with an IEEE-exact sqrt, so every emitted double
+    is engine-identical without a lattice. Wilson rather than Wald
+    because conversion rates live near the [0,1] edges at small arm
+    sizes, where Wald intervals escape the unit range."""
+    from etl_mudah_spark.ml.metrics import wilson_bounds
+
+    per = (
+        load(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > 150),
+                    1,
+                ).otherwise(0)
+            ).alias("conv")
+        )
+        .select((F.col("user_id") % 2).alias("arm"), "conv")
+    )
+    arms = per.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("na"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nb"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    pa = F.col("ca") * 1.0 / F.col("na")
+    pb = F.col("cb") * 1.0 / F.col("nb")
+    pp = (F.col("ca") + F.col("cb")) * 1.0 / (F.col("na") + F.col("nb"))
+    r = arms.select(
+        "na", "ca", "nb", "cb", pa.alias("pa"), pb.alias("pb"), pp.alias("pp")
+    )
+    lo_a, hi_a = wilson_bounds(F.col("pa"), F.col("na"))
+    lo_b, hi_b = wilson_bounds(F.col("pb"), F.col("nb"))
+    lift = F.col("pa") - F.col("pb")
+    z2 = F.try_divide(
+        lift * lift,
+        F.col("pp")
+        * (1.0 - F.col("pp"))
+        * (1.0 / F.col("na") + 1.0 / F.col("nb")),
+    )
+    return r.select(
+        F.col("na").alias("n_a"),
+        F.col("ca").alias("conv_a"),
+        F.col("pa").alias("rate_a"),
+        lo_a.alias("wilson_lo_a"),
+        hi_a.alias("wilson_hi_a"),
+        F.col("nb").alias("n_b"),
+        F.col("cb").alias("conv_b"),
+        F.col("pb").alias("rate_b"),
+        lo_b.alias("wilson_lo_b"),
+        hi_b.alias("wilson_hi_b"),
+        lift.alias("lift"),
+        z2.alias("z2"),
+    )

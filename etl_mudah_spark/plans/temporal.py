@@ -1183,3 +1183,99 @@ def customer_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return km_survival(per, "dur", "ev")
+
+
+@register(
+    "segment_churn_logrank",
+    oracle="""
+    WITH per AS (
+        SELECT o.o_custkey,
+               CAST(datediff('day', MIN(o.o_orderdate), MAX(o.o_orderdate))
+                    AS INT) AS dur,
+               CASE WHEN MAX(o.o_orderdate) < TIMESTAMP '2001-01-01'
+                    THEN 1 ELSE 0 END AS ev,
+               CASE WHEN MAX(c.c_mktsegment) = 'BUILDING'
+                    THEN 1 ELSE 0 END AS grp
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY o.o_custkey
+    ), g AS (
+        SELECT dur AS t,
+               SUM(grp * ev) AS da, SUM((1 - grp) * ev) AS db,
+               SUM(grp) AS ta, SUM(1 - grp) AS tb
+        FROM per GROUP BY dur
+    ), c1 AS (
+        SELECT t, da, db, ta, tb,
+               SUM(ta) OVER (ORDER BY t) AS cuma,
+               SUM(tb) OVER (ORDER BY t) AS cumb
+        FROM g
+    ), tt AS (
+        SELECT SUM(ta) AS na, SUM(tb) AS nb,
+               SUM(da) AS ea, SUM(db) AS eb FROM g
+    ), terms AS (
+        SELECT da, db,
+               (tt.na - (cuma - ta)) AS ra,
+               (tt.nb - (cumb - tb)) AS rb
+        FROM c1 CROSS JOIN tt WHERE da + db > 0
+    ), v AS (
+        SELECT CAST(SUM(CAST(
+                   da - (da + db) * (ra * 1.0 / (ra + rb))
+               AS DECIMAL(18,6))) AS DOUBLE) AS ome,
+               CAST(SUM(CAST(
+                   CASE WHEN ra + rb > 1
+                        THEN (da + db) * (ra * 1.0 / (ra + rb))
+                             * (1.0 - ra * 1.0 / (ra + rb))
+                             * ((ra + rb) - (da + db)) * 1.0
+                             / ((ra + rb) - 1)
+                        ELSE 0.0 END
+               AS DECIMAL(18,6))) AS DOUBLE) AS var
+        FROM terms
+    )
+    SELECT CAST(tt.na AS BIGINT) AS n_a, CAST(tt.nb AS BIGINT) AS n_b,
+           CAST(tt.ea AS BIGINT) AS events_a,
+           CAST(tt.eb AS BIGINT) AS events_b,
+           v.ome AS o_minus_e, v.var AS variance,
+           (v.ome * v.ome) / NULLIF(v.var, 0) AS chi2
+    FROM tt CROSS JOIN v
+    """,
+    doc=(
+        "Two-sample log-rank test: do BUILDING-segment customers "
+        "churn on a different schedule than the rest? O-E and "
+        "hypergeometric variance over the pooled event times, "
+        "censoring-aware."
+    ),
+)
+def segment_churn_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hypothesis test beside the KM curve
+    (ml/metrics.logrank_test): comparing raw churn rates between
+    segments ignores censoring and WHEN churn happens; the log-rank
+    statistic compares the full hazard schedules. Group A =
+    c_mktsegment 'BUILDING' (max() over the 1:1 join keeps the
+    aggregation single-pass); at-risk counts per group come from two
+    bucketed cumulative passes over the distinct-duration relation;
+    every O−E and variance term is count-ratio arithmetic on exact
+    bigints, lattice-summed — chi2 is two closed-form operations on
+    engine-identical doubles. One join, two aggregations, no window
+    over data."""
+    from etl_mudah_spark.ml.metrics import logrank_test
+
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    per = (
+        orders.join(cust, "o_custkey")
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias(
+                "dur"
+            ),
+            (
+                F.max("o_orderdate")
+                < F.lit("2001-01-01 00:00:00").cast("timestamp")
+            )
+            .cast("int")
+            .alias("ev"),
+            (F.max("c_mktsegment") == "BUILDING").alias("grp"),
+        )
+    )
+    return logrank_test(per, "dur", "ev", "grp")

@@ -223,3 +223,55 @@ def test_km_all_censored_stays_at_one(spark):
     df = spark.createDataFrame([(1, 0), (2, 0), (9, 0)], "dur int, ev int")
     for r in km_survival(df, "dur", "ev").collect():
         assert r.survival == 1.0
+
+
+# --- log-rank test and Wilson bounds ---
+
+from etl_mudah_spark.ml.metrics import logrank_test, wilson_bounds  # noqa: E402
+
+
+def test_logrank_identical_groups_zero(spark):
+    rows = [(1, 1, True), (2, 1, True), (1, 1, False), (2, 1, False)]
+    df = spark.createDataFrame(rows, "dur int, ev int, grp boolean")
+    r = logrank_test(df, "dur", "ev", "grp").first()
+    assert (r.n_a, r.n_b, r.events_a, r.events_b) == (2, 2, 2, 2)
+    assert r.o_minus_e == pytest.approx(0.0, abs=1e-6)
+    assert r.chi2 == pytest.approx(0.0, abs=1e-5)
+
+
+def test_logrank_disjoint_schedules(spark):
+    # A churns at t=1, B at t=5: O-E = 1, V = 1/3, chi2 = 3.
+    rows = [(1, 1, True), (1, 1, True), (5, 1, False), (5, 1, False)]
+    df = spark.createDataFrame(rows, "dur int, ev int, grp boolean")
+    r = logrank_test(df, "dur", "ev", "grp").first()
+    assert r.o_minus_e == pytest.approx(1.0, abs=1e-5)
+    assert r.variance == pytest.approx(1 / 3, abs=1e-5)
+    assert r.chi2 == pytest.approx(3.0, abs=1e-4)
+
+
+def test_logrank_censoring_shrinks_risk_sets(spark):
+    # a censored A-subject at t=1 leaves the t=2 risk set.
+    rows = [(1, 0, True), (2, 1, True), (2, 1, False)]
+    df = spark.createDataFrame(rows, "dur int, ev int, grp boolean")
+    r = logrank_test(df, "dur", "ev", "grp").first()
+    # at t=2: ra=1, rb=1, d=2 -> ome = 1 - 2*0.5 = 0; var = 0 (n-d=0).
+    assert r.o_minus_e == pytest.approx(0.0, abs=1e-6)
+    assert r.chi2 is None  # 0/0 -> NULL, not a crash
+
+
+def test_wilson_bounds_known_value(spark):
+    df = spark.createDataFrame([(0.5, 100)], "p double, n long")
+    lo, hi = wilson_bounds(F.col("p"), F.col("n"))
+    r = df.select(lo.alias("lo"), hi.alias("hi")).first()
+    assert r.lo == pytest.approx(0.40383, abs=1e-4)
+    assert r.hi == pytest.approx(0.59617, abs=1e-4)
+    # edge p=1: interval stays inside [0, 1] (the Wald failure mode).
+    e = (
+        spark.createDataFrame([(1.0, 10)], "p double, n long")
+        .select(
+            wilson_bounds(F.col("p"), F.col("n"))[0].alias("lo"),
+            wilson_bounds(F.col("p"), F.col("n"))[1].alias("hi"),
+        )
+        .first()
+    )
+    assert 0.0 <= e.lo <= e.hi <= 1.0

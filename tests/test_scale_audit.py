@@ -104,6 +104,7 @@ _BNLJ_ALLOWED = {
     "events_stream_quantile_sketch",  # 1-row totals broadcast onto the <=40-bin drained state
     "events_type_quantile_norm",  # 1-row pooled-total broadcast into the integer rank targets
     "customer_km_survival",  # 1-row cohort-size broadcast onto the distinct-duration relation
+    "segment_churn_logrank",  # 1-row per-group totals broadcast onto the distinct-duration relation
     # (part_golden_records carries the same three 1-row u-probability
     # broadcasts as part_er_match_scores, but its connected-components
     # localCheckpoint truncates the inspected plan before them, so the
@@ -144,6 +145,7 @@ _GLOBAL_WINDOW_ALLOWED = {
     "events_stream_quantile_sketch",  # the same <=40-bin cumulative-count window over the drained stream state
     "events_type_quantile_norm",  # phase-2 cumsum over the ~300 floor(value) bucket TOTALS of the pooled rank prefix sum
     "customer_km_survival",  # phase-2 cumsums over the ~25 floor(t/100) bucket TOTALS of the three KM prefix passes
+    "segment_churn_logrank",  # the same floor(t/100) phase-2 cumsums for the two per-group at-risk passes
     "doc_quality_pr_curve",  # phase-2 cumsum over the <=64 score-bucket TOTALS of the descending PR prefix sums (ml/metrics.py)
     "doc_quality_avg_precision",  # same <=64-bucket phase-2 cumsum via pr_curve_exact
     "events_conformal_interval",  # residual-rank window over the O(calendar-days) calibration spine, like daily_revenue_moving_avg
