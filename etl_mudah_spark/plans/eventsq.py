@@ -2036,3 +2036,97 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         lift.alias("lift"),
         z2.alias("z2"),
     )
+
+
+@register(
+    "events_position_attribution",
+    oracle="""
+    WITH fp AS (
+        SELECT user_id, MIN(ts) AS fp_ts
+        FROM events
+        WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        GROUP BY user_id
+    ), touches AS (
+        SELECT e.user_id, e.event_type,
+               ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.ts, e.event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY e.user_id) AS k
+        FROM events e JOIN fp ON fp.user_id = e.user_id
+        WHERE e.ts < fp.fp_ts
+    ), credited AS (
+        SELECT user_id, event_type,
+               CASE WHEN k = 1 THEN 1.0
+                    WHEN k = 2 THEN 0.5
+                    WHEN rn = 1 OR rn = k THEN 0.4
+                    ELSE 0.2 / (k - 2) END AS credit
+        FROM touches
+    )
+    SELECT event_type,
+           CAST(SUM(CAST(credit AS DECIMAL(18,6))) AS DOUBLE)
+               AS total_credit,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_touches
+    FROM credited GROUP BY event_type ORDER BY event_type
+    """,
+    doc=(
+        "Position-based (40/20/40) multi-touch attribution: credit "
+        "for each first purchase split across the user's prior "
+        "touchpoints — first and last touch 40% each, the middle "
+        "shared — summed per event type."
+    ),
+)
+def events_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution beyond last-touch
+    (events_attribution): the 40/20/40 position rule credits
+    discovery AND closing, with the middle journey sharing the
+    remainder — per-journey credits sum to exactly 1 (k=1 and k=2
+    collapse to 1.0 and 0.5/0.5). Touchpoints are the user's events
+    strictly before their FIRST purchase, ordered by the
+    deterministic (ts, event_id) key; the per-user ranking window is
+    hash-partitioned on the key (never global). Credit arithmetic is
+    single-division ratios (0.2/(k−2) identical in both engines) and
+    the per-type sums ride the decimal lattice. Two shuffles total:
+    the first-purchase aggregation and the user-partitioned window;
+    the credit aggregation reuses the type key with map-side
+    partials."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    fp = (
+        ev.where(
+            (F.col("event_type") == "purchase")
+            & F.col("user_id").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp_ts"))
+    )
+    touches = (
+        ev.join(fp, "user_id")
+        .where(F.col("ts") < F.col("fp_ts"))
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    wu = W.partitionBy("user_id")
+    ranked = touches.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(wu.orderBy("ts", "event_id")).alias("rn"),
+        F.count("*").over(wu).alias("k"),
+    )
+    credit = (
+        F.when(F.col("k") == 1, F.lit(1.0))
+        .when(F.col("k") == 2, F.lit(0.5))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("k")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("k") - 2))
+    )
+    return (
+        ranked.select("user_id", "event_type", credit.alias("credit"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("credit").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_credit"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.count("*").cast("bigint").alias("n_touches"),
+        )
+        .orderBy("event_type")
+    )

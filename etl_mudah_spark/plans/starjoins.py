@@ -1728,3 +1728,119 @@ def supplier_ppr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(25)
         .drop("node")
     )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH per AS (
+        SELECT o_custkey,
+               CAST(datediff('day', MAX(o_orderdate),
+                             TIMESTAMP '2001-09-01') AS INT) AS r_days,
+               COUNT(*) AS f,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                   AS m
+        FROM orders GROUP BY o_custkey
+    ), scored AS (
+        SELECT r_days, f, m,
+               CASE WHEN r_days <= 90 THEN 5 WHEN r_days <= 180 THEN 4
+                    WHEN r_days <= 365 THEN 3 WHEN r_days <= 730 THEN 2
+                    ELSE 1 END AS r_score,
+               CASE WHEN f >= 16 THEN 5 WHEN f >= 12 THEN 4
+                    WHEN f >= 8 THEN 3 WHEN f >= 4 THEN 2
+                    ELSE 1 END AS f_score,
+               CASE WHEN m >= 4000000 THEN 5 WHEN m >= 3000000 THEN 4
+                    WHEN m >= 2000000 THEN 3 WHEN m >= 1000000 THEN 2
+                    ELSE 1 END AS m_score
+        FROM per
+    ), seg AS (
+        SELECT *,
+               CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champions'
+                    WHEN f_score >= 4 THEN 'loyal'
+                    WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+                    WHEN r_score <= 2 THEN 'hibernating'
+                    ELSE 'regular' END AS segment
+        FROM scored
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(r_days AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+               AS avg_recency_days,
+           CAST(SUM(CAST(f AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+               AS avg_frequency,
+           CAST(SUM(CAST(m AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+               AS avg_monetary
+    FROM seg GROUP BY segment ORDER BY segment
+    """,
+    doc=(
+        "RFM segmentation: per-customer recency/frequency/monetary "
+        "scores on fixed literal thresholds, collapsed into the five "
+        "classic marketing segments with per-segment profiles."
+    ),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The customer-value lens the reference's dashboard never builds
+    (its pages profile LISTINGS, e.g. streamlit/pages/
+    market_overview.py — RFM profiles the BUYERS): recency to a fixed
+    horizon, order frequency, lifetime spend, each scored 1-5 on
+    literal thresholds (fixed edges for the same determinism reason
+    the drift bins are fixed — data-dependent quintile edges would
+    make the segmentation itself a float race), then the five classic
+    segments. One customer-grain aggregation with map-side partials
+    and one bounded segment aggregation — no join, no window; spend
+    rides the decimal lattice so every per-segment mean is
+    partition-order-exact."""
+    per = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.lit("2001-09-01").cast("date"), F.max("o_orderdate")
+            ).alias("r_days"),
+            F.count("*").alias("f"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("m"),
+        )
+    )
+    r_score = (
+        F.when(F.col("r_days") <= 90, 5)
+        .when(F.col("r_days") <= 180, 4)
+        .when(F.col("r_days") <= 365, 3)
+        .when(F.col("r_days") <= 730, 2)
+        .otherwise(1)
+    )
+    f_score = (
+        F.when(F.col("f") >= 16, 5)
+        .when(F.col("f") >= 12, 4)
+        .when(F.col("f") >= 8, 3)
+        .when(F.col("f") >= 4, 2)
+        .otherwise(1)
+    )
+    m_score = (
+        F.when(F.col("m") >= 4000000, 5)
+        .when(F.col("m") >= 3000000, 4)
+        .when(F.col("m") >= 2000000, 3)
+        .when(F.col("m") >= 1000000, 2)
+        .otherwise(1)
+    )
+    seg = (
+        F.when((r_score >= 4) & (f_score >= 4), "champions")
+        .when(f_score >= 4, "loyal")
+        .when((r_score <= 2) & (f_score >= 3), "at_risk")
+        .when(r_score <= 2, "hibernating")
+        .otherwise("regular")
+    )
+    dsum6 = lambda c: F.sum(c.cast("decimal(18,6)")).cast("double")  # noqa: E731
+    return (
+        per.groupBy(seg.alias("segment"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            (dsum6(F.col("r_days")) / F.count("*")).alias(
+                "avg_recency_days"
+            ),
+            (dsum6(F.col("f")) / F.count("*")).alias("avg_frequency"),
+            (dsum6(F.col("m")) / F.count("*")).alias("avg_monetary"),
+        )
+        .orderBy("segment")
+    )
