@@ -18,8 +18,8 @@ Importing this package registers every declared query into
 # the r8 freeze (never driver-rowed), (b) the 10 round-9 additions,
 # and (c) the 19 alphabetically-first r6-stale names. All registered
 # queries are additionally sim-checked at sf0.01 AND sf0.1 every
-# round regardless (scripts/driver_sim.py; round-9 final: 212
-# registered, 212 with oracles — zero rows-only; the late round-9
+# round regardless (scripts/driver_sim.py; round-9 final: 214
+# registered, 214 with oracles — zero rows-only; the late round-9
 # additions — events_stream_drift_psi, doc_lang_kappa,
 # doc_novelty_scores, customer_revenue_gini, daily_revenue_theilsen,
 # supplier_ppr_topk, events_seasonal_backtest, the exact_dedup
@@ -33,7 +33,8 @@ Importing this package registers every declared query into
 # events_stream_quantile_sketch, events_sliding_5min_peak,
 # events_stream_sliding_peak, events_type_quantile_norm,
 # customer_km_survival, segment_churn_logrank, events_ab_test,
-# customer_rfm_segments, events_position_attribution) —
+# customer_rfm_segments, events_position_attribution,
+# customer_revenue_lorenz, events_daily_growth_accounting) —
 # stay OUT of the frozen window and
 # lead the round-10 never-rowed list).
 from etl_mudah_spark.plans import registry  # noqa: F401

@@ -2130,3 +2130,64 @@ def events_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_daily_growth_accounting",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+        FROM events WHERE user_id IS NOT NULL
+    ), first_seen AS (
+        SELECT user_id, MIN(day) AS first_day FROM act GROUP BY user_id
+    )
+    SELECT act.day,
+           CAST(COUNT(*) AS BIGINT) AS active_users,
+           CAST(SUM(CASE WHEN act.day = first_seen.first_day
+                         THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+           CAST(SUM(CASE WHEN act.day = first_seen.first_day
+                         THEN 0 ELSE 1 END) AS BIGINT) AS returning_users,
+           SUM(CASE WHEN act.day = first_seen.first_day
+                    THEN 0 ELSE 1 END) * 1.0 / COUNT(*)
+               AS returning_share
+    FROM act JOIN first_seen USING (user_id)
+    GROUP BY act.day ORDER BY act.day
+    """,
+    doc=(
+        "Daily growth accounting: active users split into first-ever "
+        "seen vs returning, with the returning share — the "
+        "new/retained decomposition behind every DAU chart."
+    ),
+)
+def events_daily_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A DAU count alone cannot distinguish growth from churn-masking
+    acquisition; the decomposition can. Each user's first-ever active
+    day comes from one (user) aggregation over the distinct
+    (user, day) activity relation; joining it back on the user key
+    tags every active day as new or returning — two key shuffles with
+    map-side partials, both on user_id (the exchange is reused), then
+    one bounded per-day aggregation. All integer counts and one share
+    division; the O(calendar-days) result needs no window at all.
+    The cohort_week query answers retention by cohort; this answers
+    the day-grain composition question a growth team asks first."""
+    act = (
+        load(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+    )
+    first_seen = act.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    is_new = F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+    return (
+        act.join(first_seen, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("bigint").alias("active_users"),
+            F.sum(is_new).cast("bigint").alias("new_users"),
+            F.sum(1 - is_new).cast("bigint").alias("returning_users"),
+            (F.sum(1 - is_new) * 1.0 / F.count("*")).alias(
+                "returning_share"
+            ),
+        )
+        .orderBy("day")
+    )

@@ -1539,3 +1539,100 @@ def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         sensitive_col="bal_band",
         k=5,
     )
+
+
+@register(
+    "customer_revenue_lorenz",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                   AS x
+        FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i
+        FROM rev
+    ), t AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx
+        FROM ranked
+    ), dec AS (
+        SELECT CAST(((i - 1) * 10) // n AS INT) AS decile,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM ranked CROSS JOIN t GROUP BY 1
+    ), cum AS (
+        SELECT decile, n_customers, revenue,
+               CAST(SUM(CAST(revenue AS DECIMAL(18,6)))
+                    OVER (ORDER BY decile) AS DOUBLE) AS cum_revenue
+        FROM dec
+    )
+    SELECT decile, CAST(n_customers AS BIGINT) AS n_customers, revenue,
+           cum_revenue / t.sx AS cum_revenue_share
+    FROM cum CROSS JOIN t ORDER BY decile
+    """,
+    doc=(
+        "Lorenz curve of customer revenue: ascending-rank deciles "
+        "with cumulative revenue share — the curve behind the Gini "
+        "scalar, read directly as 'the bottom 50% hold X%'."
+    ),
+)
+def customer_revenue_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributional companion to customer_revenue_gini: the
+    scalar says HOW concentrated, the curve says WHERE — each decile
+    of customers (ascending by lifetime revenue, rank from
+    operators/sampling.bucketed_global_rank with the same
+    floor(x/10k) magnitude buckets, so no single task sorts the
+    customer vector) with its cumulative share of total revenue.
+    Decile assignment is integer arithmetic ((i−1)·10 div n); revenue
+    sums and the cumulative pass ride the decimal lattice; the share
+    is one division by the 1-row total broadcast. The 10-row
+    cumulative window runs over the decile relation, never data."""
+    from etl_mudah_spark.operators.sampling import bucketed_global_rank
+
+    rev = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("x")
+        )
+    )
+    ranked = bucketed_global_rank(
+        rev,
+        bucket=F.floor(F.col("x") / 10000).cast("bigint"),
+        order_cols=["x", "o_custkey"],
+        rn_col="i",
+    )
+    t = ranked.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("decimal(18,6)")).cast("double").alias("sx"),
+    )
+    dec = (
+        ranked.join(F.broadcast(t))
+        .groupBy(
+            F.expr("CAST(((i - 1) * 10) div n AS INT)").alias("decile")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum(F.col("x").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    cum = dec.withColumn(
+        "cum_revenue",
+        F.sum(F.col("revenue").cast("decimal(18,6)")).over(wc).cast("double"),
+    )
+    return (
+        cum.join(F.broadcast(t.select("sx")))
+        .select(
+            "decile",
+            "n_customers",
+            "revenue",
+            (F.col("cum_revenue") / F.col("sx")).alias("cum_revenue_share"),
+        )
+        .orderBy("decile")
+    )

@@ -105,6 +105,7 @@ _BNLJ_ALLOWED = {
     "events_type_quantile_norm",  # 1-row pooled-total broadcast into the integer rank targets
     "customer_km_survival",  # 1-row cohort-size broadcast onto the distinct-duration relation
     "segment_churn_logrank",  # 1-row per-group totals broadcast onto the distinct-duration relation
+    "customer_revenue_lorenz",  # 1-row (n, total) broadcasts onto the ranked customer relation and the 10-decile table
     # (part_golden_records carries the same three 1-row u-probability
     # broadcasts as part_er_match_scores, but its connected-components
     # localCheckpoint truncates the inspected plan before them, so the
@@ -146,6 +147,7 @@ _GLOBAL_WINDOW_ALLOWED = {
     "events_type_quantile_norm",  # phase-2 cumsum over the ~300 floor(value) bucket TOTALS of the pooled rank prefix sum
     "customer_km_survival",  # phase-2 cumsums over the ~25 floor(t/100) bucket TOTALS of the three KM prefix passes
     "segment_churn_logrank",  # the same floor(t/100) phase-2 cumsums for the two per-group at-risk passes
+    "customer_revenue_lorenz",  # phase-2 cumsum of the two-phase rank + the 10-row decile cumulative window
     "doc_quality_pr_curve",  # phase-2 cumsum over the <=64 score-bucket TOTALS of the descending PR prefix sums (ml/metrics.py)
     "doc_quality_avg_precision",  # same <=64-bucket phase-2 cumsum via pr_curve_exact
     "events_conformal_interval",  # residual-rank window over the O(calendar-days) calibration spine, like daily_revenue_moving_avg
