@@ -99,8 +99,22 @@ def fs_score_pairs(
         F.col(f"a_{id_col}").alias("id_a"),
         F.col(f"b_{id_col}").alias("id_b"),
     ]
+    # Degenerate-field guard: an all-distinct field estimates u=0
+    # (ln(m/0) -> NULL under non-ANSI division), a constant field u=1
+    # (ln((1-m)/0) in the disagreement weight), and N<=1 rows u=NULL —
+    # any of which would silently NULL the ENTIRE score column for
+    # every pair. Clamp u into (eps, 1-eps): the clamped weight is the
+    # natural "rarest observable frequency" saturation of the log
+    # likelihood ratio, and a NULL u (unscorable field) degrades to the
+    # uninformative u=eps bound instead of poisoning the sum.
+    _EPS = 1e-9
     for c, m in fields.items():
-        u1 = u_probability(df, c).select(F.col("u").alias(f"_u_{c}"))
+        u1 = u_probability(df, c).select(
+            F.least(
+                F.greatest(F.coalesce(F.col("u"), F.lit(_EPS)), F.lit(_EPS)),
+                F.lit(1.0 - _EPS),
+            ).alias(f"_u_{c}")
+        )
         pairs = pairs.join(F.broadcast(u1))
         agree = F.col(f"a_{c}").eqNullSafe(F.col(f"b_{c}"))
         w_agree = F.log(F.lit(m) / F.col(f"_u_{c}"))

@@ -358,11 +358,22 @@ def histogram_quantiles(
 
     The cumulative window runs over the ≤ n_bins counter rows, never
     data; the totals fold in as a 1-row broadcast.
+
+    Input contract: ``counters`` is a MERGED (ungrouped) sketch — one
+    row per bin. A grouped counter table (histogram_counters with
+    group_cols) holds duplicate bin rows whose interleaving under the
+    global cumsum would silently corrupt the estimates, so this
+    function first merges by bin (SUM is the sketch's merge operator);
+    callers wanting per-group quantiles must filter to one group
+    before calling.
     """
     from pyspark.sql import Window
 
+    merged = counters.groupBy("bin").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
     wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    cum = counters.select(
+    cum = merged.select(
         "bin", "cnt", F.sum("cnt").over(wcum).cast("bigint").alias("cum")
     )
     tot = counters.agg(F.sum("cnt").cast("bigint").alias("n"))

@@ -1051,6 +1051,19 @@ def orders_replica_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_totalprice >= 1
     ), d AS (
         SELECT CASE
+                 WHEN v >= 1000000000000000000 THEN v // 1000000000000000000
+                 WHEN v >= 100000000000000000 THEN v // 100000000000000000
+                 WHEN v >= 10000000000000000 THEN v // 10000000000000000
+                 WHEN v >= 1000000000000000 THEN v // 1000000000000000
+                 WHEN v >= 100000000000000 THEN v // 100000000000000
+                 WHEN v >= 10000000000000 THEN v // 10000000000000
+                 WHEN v >= 1000000000000 THEN v // 1000000000000
+                 WHEN v >= 100000000000 THEN v // 100000000000
+                 WHEN v >= 10000000000 THEN v // 10000000000
+                 WHEN v >= 1000000000 THEN v // 1000000000
+                 WHEN v >= 100000000 THEN v // 100000000
+                 WHEN v >= 10000000 THEN v // 10000000
+                 WHEN v >= 1000000 THEN v // 1000000
                  WHEN v >= 100000 THEN v // 100000
                  WHEN v >= 10000  THEN v // 10000
                  WHEN v >= 1000   THEN v // 1000
@@ -1091,14 +1104,15 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction — the aggregate domain is the digit set."""
     o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
     v = F.floor("o_totalprice").cast("bigint")
-    digit = (
-        F.when(v >= 100000, F.expr("CAST(floor(o_totalprice) AS BIGINT) DIV 100000"))
-        .when(v >= 10000, F.expr("CAST(floor(o_totalprice) AS BIGINT) DIV 10000"))
-        .when(v >= 1000, F.expr("CAST(floor(o_totalprice) AS BIGINT) DIV 1000"))
-        .when(v >= 100, F.expr("CAST(floor(o_totalprice) AS BIGINT) DIV 100"))
-        .when(v >= 10, F.expr("CAST(floor(o_totalprice) AS BIGINT) DIV 10"))
-        .otherwise(v)
-    )
+    # The ladder spans the FULL bigint range (10^18 ≤ max bigint
+    # ~9.2e18), so the screen is a general Benford audit, not a
+    # ≤1e6-magnitude special case.
+    digit = v
+    for p in range(1, 19):
+        pw = 10**p
+        digit = F.when(
+            v >= pw, F.expr(f"CAST(floor(o_totalprice) AS BIGINT) DIV {pw}")
+        ).otherwise(digit)
     g = o.select(digit.alias("digit")).groupBy("digit").agg(
         F.count("*").alias("n")
     )

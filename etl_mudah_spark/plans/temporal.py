@@ -857,12 +857,19 @@ def daily_revenue_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("date").alias("day"), "value"
     )
     daily = ev.groupBy("day").agg(dsum("value").alias("x"))
-    # rank over the O(days) spine via the two-phase bucketed rank:
-    # month-of-year buckets keep the cumsum task at O(12) rows.
+    # rank over the O(days) spine via the two-phase bucketed rank.
+    # The bucket must be a monotone coarsening of the order key: a bare
+    # month-of-year is NOT (Dec=12 of year Y sorts after Jan=1 of Y+1),
+    # so use the year-month serial number, which stays order-preserving
+    # across year boundaries while keeping the phase-2 cumsum at
+    # O(months-in-span) rows.
     from etl_mudah_spark.operators.sampling import bucketed_global_rank
 
     keyed = bucketed_global_rank(
-        daily, F.month("day").cast("int"), ["day"], rn_col="t"
+        daily,
+        (F.year("day") * 12 + F.month("day")).cast("bigint"),
+        ["day"],
+        rn_col="t",
     )
     a = keyed.select(F.col("t").alias("ta"), F.col("x").alias("xa"))
     b = keyed.select(F.col("t").alias("tb"), F.col("x").alias("xb"))
