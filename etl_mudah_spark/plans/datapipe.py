@@ -197,14 +197,19 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NGRAM_MAX_SHINGLE_DF = 50
 
 
-def _jaccard_pairs_ctes(threshold: float, pair_where: str = "TRUE") -> str:
+def _jaccard_pairs_ctes(
+    threshold: float, pair_where: str = "TRUE", from_rel: str = "documents"
+) -> str:
     """CTE chain computing the df-capped exact 3-gram-Jaccard pair set
     (same semantics as ``dd.ngram_jaccard_pairs(max_shingle_df=50)``) —
     the SQL twin every sketch-recall invariant below measures against.
     Ends with a ``pairs(doc_a, doc_b)`` CTE; callers append their own
-    final SELECT (and may prefix WITH RECURSIVE)."""
+    final SELECT (and may prefix WITH RECURSIVE). ``from_rel`` lets a
+    composed pipeline (corpus_prep_e2e) run the pair stage over an
+    upstream CTE instead of the raw table; it must expose
+    ``(doc_id, text)``."""
     return rf"""words AS (
-        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM {from_rel}
     ), shingles AS (
         SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
         FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)

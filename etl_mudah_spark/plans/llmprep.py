@@ -892,9 +892,14 @@ BPE_FIXTURE_MERGES: list[tuple[str, str]] = [
 _BPE_SEP = chr(31)  # unit separator: never appears in corpus text
 
 
-def _bpe_doc_ids_cte() -> str:
+def _bpe_doc_ids_cte(prefix_ctes: str = "", d_body: str | None = None) -> str:
     """Shared oracle WITH-block: per-document exact BPE id sequences
-    under the fixture (``per_doc(doc_id, source, ids_str, n_ids)``)."""
+    under the fixture (``per_doc(doc_id, source, ids_str, n_ids)``).
+
+    ``prefix_ctes`` lets a composed pipeline (corpus_prep_e2e) insert
+    its own CTE chain between the fixture tables and the ``d`` stage;
+    ``d_body`` overrides what feeds the encoder — it must produce
+    ``(doc_id, source, ws)`` with ``ws`` the non-empty word list."""
     from etl_mudah_spark.operators.bpe import bpe_vocab
 
     s = _BPE_SEP
@@ -905,14 +910,18 @@ def _bpe_doc_ids_cte() -> str:
         f"('{sym}', {vid})" for sym, vid in bpe_vocab(BPE_FIXTURE_MERGES).items()
     )
     n = len(BPE_FIXTURE_MERGES)
+    d_sql = d_body or (
+        f"SELECT doc_id, source, list_filter({_WORDS_SQL}, w -> w <> '') AS ws"
+        " FROM documents"
+    )
+    prefix = f"{prefix_ctes}," if prefix_ctes else ""
     return f"""
     WITH RECURSIVE
     rules(r, a, b) AS (VALUES {rules_sql}),
     vocab(sym, id) AS (VALUES {vocab_sql}),
+    {prefix}
     d AS (
-        SELECT doc_id, source,
-               list_filter({_WORDS_SQL}, w -> w <> '') AS ws
-        FROM documents
+        {d_sql}
     ),
     w AS (
         SELECT doc_id, unnest(ws) AS word,
@@ -1359,4 +1368,334 @@ def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_hard"),
         )
         .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_prep_e2e: the end-to-end corpus-preparation capstone.
+#
+# Every stage below is individually driver-green (doc_quality,
+# doc_exact_dedup, doc_dedup_keep_best, doc_repeated_spans /
+# doc_excise_repeated_spans, doc_token_budget_mix, doc_shard_pack_bpe);
+# this query composes them into ONE pipeline and verifies the FINAL
+# artifact — the published shard manifest with per-shard payload
+# digests — against a DuckDB oracle that re-runs the whole chain in
+# SQL. A drift anywhere (one doc wrongly gated, one wrong dedup
+# survivor, one token not excised, one id off in one shard) flips a
+# payload_md5.
+#
+# Candidate generation note: at 100 TB the near-dup stage runs
+# MinHash-LSH banding (operators/dedup.py:minhash_near_dup) to FIND the
+# pairs; the composed twin here uses the df-capped exact-Jaccard pair
+# set — the established SQL-reproducible surrogate (doc_dedup_keep_best
+# precedent) whose recall the sketch queries measure separately.
+# ---------------------------------------------------------------------------
+CORPUS_MIN_TOKENS = 12
+CORPUS_MIN_TTR = 0.3
+_CPE_NEARDUP_THRESHOLD = 0.2
+_CPE_MIX_BUCKETS = 100
+
+
+def _corpus_prep_oracle() -> str:
+    """Assemble the full-pipeline oracle from the stage twins."""
+    from etl_mudah_spark.plans import datapipe as dp
+
+    n = dp.REPEATED_SPAN_N
+    budget_sql = (
+        f"CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 "
+        f"THEN {dp.TOKEN_BUDGET_EVEN} ELSE {dp.TOKEN_BUDGET_ODD} END"
+    )
+    pipeline = rf"""
+    q AS (
+        SELECT doc_id, source, text, len({_WORDS_SQL}) AS n_tokens
+        FROM documents
+        WHERE len({_WORDS_SQL}) >= {CORPUS_MIN_TOKENS}
+          AND len(list_distinct({_WORDS_SQL})) * 1.0 / len({_WORDS_SQL})
+              >= {CORPUS_MIN_TTR}
+    ),
+    ek AS (SELECT q.*, md5(substr(text, 1, 40)) AS k FROM q),
+    e AS (
+        SELECT doc_id, source, text, n_tokens FROM ek
+        QUALIFY row_number() OVER (PARTITION BY k ORDER BY doc_id) = 1
+    ),
+    {dp._jaccard_pairs_ctes(_CPE_NEARDUP_THRESHOLD, from_rel="e")},
+    edges AS (
+        SELECT doc_a AS s, doc_b AS t FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    cnodes AS (SELECT DISTINCT s AS node FROM edges),
+    reach(node, r) AS (
+        SELECT node, node FROM cnodes
+        UNION
+        SELECT eg.t, reach.r FROM reach JOIN edges eg ON eg.s = reach.node
+    ),
+    comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+    cbest AS (
+        SELECT comp.node FROM comp JOIN e ON e.doc_id = comp.node
+        QUALIFY row_number() OVER (
+            PARTITION BY cluster_id ORDER BY e.n_tokens DESC, comp.node ASC
+        ) = 1
+    ),
+    nd AS (
+        SELECT e.* FROM e
+        WHERE doc_id NOT IN (
+            SELECT node FROM comp WHERE node NOT IN (SELECT node FROM cbest)
+        )
+    ),
+    ndw AS (SELECT w.doc_id, w.w FROM words w JOIN nd USING (doc_id)),
+    sg AS (
+        SELECT doc_id, i AS pos,
+               list_aggregate(w[i:i+{n - 1}], 'string_agg', ' ') AS gram
+        FROM ndw, UNNEST(range(1, len(w) - {n - 2})) AS u(i)
+        WHERE len(w) >= {n}
+    ),
+    srep AS (
+        SELECT gram FROM sg GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= {dp.REPEATED_SPAN_MIN_DOCS}
+    ),
+    shits AS (SELECT doc_id, pos FROM sg WHERE gram IN (SELECT gram FROM srep)),
+    sflag AS (
+        SELECT doc_id, pos,
+               CASE WHEN LAG(pos) OVER win IS NULL
+                         OR pos - LAG(pos) OVER win > {n}
+                    THEN 1 ELSE 0 END AS brk
+        FROM shits
+        WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    sspan AS (
+        SELECT doc_id, pos,
+               CAST(SUM(brk) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS UNBOUNDED PRECEDING) AS INT) AS span_id
+        FROM sflag
+    ),
+    smerged AS (
+        SELECT doc_id, MIN(pos) AS sp_s, MAX(pos) + {n - 1} AS sp_e
+        FROM sspan GROUP BY doc_id, span_id
+    ),
+    sagg AS (
+        SELECT doc_id, list({{'s': sp_s, 'e': sp_e}}) AS spans
+        FROM smerged GROUP BY doc_id
+    ),
+    clean AS MATERIALIZED (
+        SELECT nd.doc_id, nd.source,
+               CASE WHEN sagg.spans IS NULL THEN ndw.w
+                    ELSE list_filter(ndw.w, (x, i) ->
+                        NOT len(list_filter(sagg.spans,
+                            sp -> i >= sp.s AND i <= sp.e)) > 0)
+               END AS cw
+        FROM nd
+        JOIN ndw USING (doc_id)
+        LEFT JOIN sagg USING (doc_id)
+    ),
+    mt AS (
+        SELECT source, SUM(len(cw)) AS stratum_tokens FROM clean GROUP BY source
+    ),
+    keptm AS MATERIALIZED (
+        SELECT clean.* FROM clean JOIN mt USING (source)
+        WHERE (doc_id % {_CPE_MIX_BUCKETS}) * stratum_tokens
+              < ({budget_sql}) * {_CPE_MIX_BUCKETS}
+    )"""
+    d_body = "SELECT doc_id, source, list_filter(cw, x -> x <> '') AS ws FROM keptm"
+    return (
+        _bpe_doc_ids_cte(prefix_ctes=pipeline, d_body=d_body)
+        + f"""
+    , c AS (
+        SELECT source, doc_id, ids_str, n_ids,
+               SUM(n_ids) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        FROM per_doc
+    ),
+    acct AS (
+        SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_input_docs,
+               CAST((SELECT COUNT(*) FROM q) AS BIGINT) AS quality_kept,
+               CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS exact_kept,
+               CAST((SELECT COUNT(*) FROM nd) AS BIGINT) AS neardup_kept,
+               CAST((SELECT COUNT(*) FROM keptm) AS BIGINT) AS mix_kept
+    )
+    SELECT source,
+           CAST(FLOOR((cum - 1) / {SHARD_TOKENS}) AS INT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_ids) AS BIGINT) AS shard_tokens,
+           md5(string_agg(ids_str, ' ' ORDER BY doc_id)) AS payload_md5,
+           MAX(n_input_docs) AS n_input_docs,
+           MAX(quality_kept) AS quality_kept,
+           MAX(exact_kept) AS exact_kept,
+           MAX(neardup_kept) AS neardup_kept,
+           MAX(mix_kept) AS mix_kept
+    FROM c CROSS JOIN acct
+    GROUP BY source, shard_id
+    ORDER BY source, shard_id
+    """
+    )
+
+
+@register(
+    "corpus_prep_e2e",
+    oracle=_corpus_prep_oracle(),
+    doc=(
+        "End-to-end corpus preparation: quality gate -> exact dedup -> "
+        "near-dup cluster keep-best -> repeated-span excision -> "
+        "token-budget mix -> BPE shard packing, published as a "
+        "versioned manifest with per-shard payload digests."
+    ),
+)
+def corpus_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline, registered as one query so
+    the driver verifies the stages COMPOSE, not just enumerate.
+
+    Stage plan shapes (each individually green; provenance in the
+    per-stage queries): quality gate is a codegen projection + filter;
+    exact dedup is one partial-aggregating key shuffle
+    (operators/dedup.py:exact_dedup); near-dup clustering is the
+    df-capped shingle inverted index + distributed CC keep-best
+    (ngram_jaccard_pairs / graph.duplicate_clusters); span excision is
+    broadcast-free Column algebra over matching positions only
+    (dedup.repeated_ngram_spans / decontam.excise_spans); the mix is
+    exact integer keymod cross-multiplication
+    (sampling.token_budget_mix); encoding is the Arrow-batched memoized
+    BPE apply (operators/bpe.py); packing is the per-source running-sum
+    window. The manifest rows carry stage accounting (docs in/kept per
+    stage) plus an md5 of each shard's full id payload, and the final
+    table is PUBLISHED via operators/manifest.py (atomic version-dir
+    flip) and read back — what a downstream loader would read is what
+    the oracle verifies."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from etl_mudah_spark.operators import bpe
+    from etl_mudah_spark.operators import decontam as dc
+    from etl_mudah_spark.operators import dedup as dd
+    from etl_mudah_spark.operators import graph as gr
+    from etl_mudah_spark.operators import manifest as mfst
+    from etl_mudah_spark.plans import datapipe as dp
+
+    scratch = tempfile.mkdtemp(prefix="corpus_prep_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        """Materialize a stage boundary: write the stage output, read
+        it back. Production corpus pipelines persist between stages for
+        restartability; here it ALSO keeps each Catalyst plan
+        stage-sized — the fully-composed lazy tree re-expands the
+        dedup/excision subplans at every downstream reference and its
+        analysis cost grows superlinearly (measured: 570 s composed vs
+        ~20 s staged at sf0.01 for identical results)."""
+        path = f"{scratch}/{name}"
+        df.write.parquet(path)
+        return spark.read.parquet(path)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    q = (
+        tx.quality_features(docs, "text")
+        .where(
+            (F.col("n_tokens") >= CORPUS_MIN_TOKENS)
+            & (F.col("type_token_ratio") >= CORPUS_MIN_TTR)
+        )
+        .select("doc_id", "source", "text", "n_tokens")
+    )
+    e = dd.exact_dedup(
+        q.withColumn("k", F.md5(F.substring("text", 1, 40))), ["k"], ["doc_id"]
+    ).drop("k")
+    pairs = dd.ngram_jaccard_pairs(
+        e,
+        threshold=_CPE_NEARDUP_THRESHOLD,
+        max_shingle_df=dp._NGRAM_MAX_SHINGLE_DF,
+    ).select("doc_a", "doc_b")
+    clusters = gr.duplicate_clusters(pairs).select("node", "cluster_id")
+    scored = clusters.join(
+        e.select(F.col("doc_id").alias("node"), "n_tokens"), "node"
+    )
+    best = (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("n_tokens")).alias("_nt"), F.col("node"))
+            ).alias("_m")
+        )
+        .select(F.col("_m.node").alias("node"))
+    )
+    losers = clusters.join(best, "node", "left_anti").select(
+        F.col("node").alias("doc_id")
+    )
+    nd = stage(e.join(losers, "doc_id", "left_anti"), "deduped")
+    spans = dd.repeated_ngram_spans(
+        nd.select("doc_id", "text"),
+        n=dp.REPEATED_SPAN_N,
+        min_docs=dp.REPEATED_SPAN_MIN_DOCS,
+    )
+    ex = dc.excise_spans(nd.select("doc_id", "text"), spans)
+    clean = nd.select("doc_id", "source").join(
+        ex.select(
+            "doc_id",
+            "clean_text",
+            F.col("n_tokens_after").cast("bigint").alias("n_tok"),
+        ),
+        "doc_id",
+    )
+    budget = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0,
+        F.lit(dp.TOKEN_BUDGET_EVEN),
+    ).otherwise(F.lit(dp.TOKEN_BUDGET_ODD))
+    mixed = smp.token_budget_mix(
+        clean,
+        key_col="doc_id",
+        strata_col="source",
+        tokens_col="n_tok",
+        budget=budget,
+        buckets=_CPE_MIX_BUCKETS,
+    )
+    kept = stage(
+        mixed.where(F.col("_kept")).select("doc_id", "source", "clean_text"),
+        "mixed",
+    )
+    enc = bpe.bpe_encode(kept, BPE_FIXTURE_MERGES, text_col="clean_text").select(
+        "source",
+        "doc_id",
+        F.array_join("bpe_ids", " ").alias("ids_str"),
+        F.size("bpe_ids").cast("bigint").alias("n_ids"),
+    )
+    cum = enc.withColumn(
+        "cum", F.sum("n_ids").over(W.partitionBy("source").orderBy("doc_id"))
+    )
+    packed = cum.withColumn(
+        "shard_id", F.floor((F.col("cum") - 1) / SHARD_TOKENS).cast("int")
+    )
+    payload = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "ids_str"))),
+            lambda s: s["ids_str"],
+        ),
+        " ",
+    )
+    manifest = packed.groupBy("source", "shard_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_ids").cast("bigint").alias("shard_tokens"),
+        F.md5(payload).alias("payload_md5"),
+    )
+    acct = (
+        docs.agg(F.count("*").cast("bigint").alias("n_input_docs"))
+        .join(F.broadcast(q.agg(F.count("*").cast("bigint").alias("quality_kept"))))
+        .join(F.broadcast(e.agg(F.count("*").cast("bigint").alias("exact_kept"))))
+        .join(F.broadcast(nd.agg(F.count("*").cast("bigint").alias("neardup_kept"))))
+        .join(F.broadcast(kept.agg(F.count("*").cast("bigint").alias("mix_kept"))))
+    )
+    out = manifest.crossJoin(F.broadcast(acct))
+    publish_base = f"{scratch}/manifest"
+    mfst.manifest_publish(publish_base, lambda d: out.write.parquet(d))
+    return mfst.manifest_read(spark, publish_base).orderBy(
+        "source", "shard_id"
+    ).select(
+        "source",
+        "shard_id",
+        "n_docs",
+        "shard_tokens",
+        "payload_md5",
+        "n_input_docs",
+        "quality_kept",
+        "exact_kept",
+        "neardup_kept",
+        "mix_kept",
     )
