@@ -582,6 +582,7 @@ LINE_KEYS = (
     "spark_vs_duckdb",
     "streaming_rows_per_sec",
     "streaming_rows_per_sec_saturated",
+    "load",
     "surfaces_skipped",
     "detail",
 )
@@ -614,6 +615,17 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     multifile = os.environ.get("SPARK_GRAFT_MULTIFILE", "1") != "0"
+    # Machine-load evidence (VERDICT r9 item 3): the per-trigger
+    # streaming floor collapsed 5381 -> 2961 rows/s in the r9 record
+    # with nothing distinguishing load contamination from a real
+    # regression. Record 1/5/15-min loadavg BEFORE the session spins up
+    # (a solo box reads ~0 here), again right before the streaming
+    # pass, and at the end — plus an explicit solo attestation the
+    # runner sets with SPARK_GRAFT_BENCH_SOLO=1.
+    load_evidence = {
+        "start": [round(x, 2) for x in os.getloadavg()],
+        "solo_attested": os.environ.get("SPARK_GRAFT_BENCH_SOLO") == "1",
+    }
     spark = get_spark("bench")
 
     # Warm up JVM + codegen + parquet footer caches.
@@ -815,6 +827,9 @@ def main() -> None:
             shutil.rmtree(scratch, ignore_errors=True)
 
     if os.environ.get("SPARK_GRAFT_BENCH_STREAMING", "1") != "0":
+        load_evidence["pre_streaming"] = [
+            round(x, 2) for x in os.getloadavg()
+        ]
         result.update(bench_streaming(spark, sf_dir))
 
     # Smoke configs skip surfaces via env; record WHICH, so a partial
@@ -835,6 +850,9 @@ def main() -> None:
     ]
     if skipped:
         result["surfaces_skipped"] = skipped
+
+    load_evidence["end"] = [round(x, 2) for x in os.getloadavg()]
+    result["load"] = load_evidence
 
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
     result["detail"] = detail_path.name

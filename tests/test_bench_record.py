@@ -75,6 +75,12 @@ def _full_result() -> dict:
         "streaming_batches": 16,
         "streaming_batch_latency_sec": 0.5,
         "streaming_state_groups": 1234,
+        "load": {
+            "start": [0.12, 0.34, 0.56],
+            "pre_streaming": [28.5, 14.2, 7.1],
+            "end": [30.0, 20.0, 10.0],
+            "solo_attested": False,
+        },
         "detail": "BENCH_DETAIL.json",
     }
 
@@ -90,6 +96,10 @@ def test_line_fits_driver_capture():
     assert "queries_sf_x10" in parsed
     assert parsed["spark_vs_duckdb"]["x10"] == 2.2
     assert parsed["streaming_rows_per_sec_saturated"] == 45800
+    # machine-load evidence must ride the line so floor metrics are
+    # attributable (VERDICT r9 item 3)
+    assert parsed["load"]["start"] == [0.12, 0.34, 0.56]
+    assert parsed["load"]["solo_attested"] is False
 
 
 def test_detail_keeps_everything():

@@ -1,0 +1,77 @@
+"""Machine-check the CORRECTNESS-window rotation (VERDICT r9 item 1).
+
+The grading driver records only the first 50 registered queries per
+round, so window membership is a curated list
+(etl_mudah_spark/plans/__init__._PRIORITY). Historically the rotation
+was manual prose in a comment — and the late round-9 additions missed
+it, leaving 33 queries without any driver-produced CORRECTNESS row.
+These tests make a missed rotation a FAILING BUILD:
+
+1. every query that has never had a driver row must sit in the current
+   window (new queries must be added to _PRIORITY when registered);
+2. the window slots left over after (1) must go to the STALEST
+   recorded queries — filler may not leapfrog an older record.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import etl_mudah_spark.plans  # noqa: F401  (registers + orders queries)
+from etl_mudah_spark.plans.registry import REGISTRY
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WINDOW_SIZE = 50
+
+
+def _latest_round_by_query() -> dict[str, int]:
+    latest: dict[str, int] = {}
+    for path in glob.glob(os.path.join(_ROOT, "CORRECTNESS_r*.json")):
+        rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
+        with open(path) as fh:
+            rec = json.load(fh)
+        for name in rec:
+            latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def test_never_rowed_queries_are_in_window():
+    latest = _latest_round_by_query()
+    window = list(REGISTRY)[:WINDOW_SIZE]
+    never = sorted(n for n in REGISTRY if n not in latest)
+    assert len(never) <= WINDOW_SIZE, (
+        f"{len(never)} never-rowed queries exceed the {WINDOW_SIZE}-slot "
+        "window; stage registrations across rounds"
+    )
+    missing = sorted(set(never) - set(window))
+    assert not missing, (
+        "queries with no driver CORRECTNESS row in any round are outside "
+        f"the current window — add them to plans/__init__._PRIORITY: "
+        f"{missing}"
+    )
+
+
+def test_window_filler_takes_stalest_records():
+    latest = _latest_round_by_query()
+    window = list(REGISTRY)[:WINDOW_SIZE]
+    filler_rounds = [latest[n] for n in window if n in latest]
+    outside_rounds = [
+        latest[n] for n in REGISTRY if n not in window and n in latest
+    ]
+    if not filler_rounds or not outside_rounds:
+        return
+    assert max(filler_rounds) <= min(outside_rounds), (
+        "window filler leapfrogs a staler record: a query outside the "
+        f"window has latest round {min(outside_rounds)} while the window "
+        f"spends a slot on latest round {max(filler_rounds)} — rotate the "
+        "stalest names in first"
+    )
+
+
+def test_window_is_exactly_the_priority_list():
+    from etl_mudah_spark.plans import _PRIORITY
+
+    assert len(_PRIORITY) == WINDOW_SIZE
+    assert list(REGISTRY)[:WINDOW_SIZE] == _PRIORITY

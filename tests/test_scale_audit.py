@@ -106,11 +106,10 @@ _BNLJ_ALLOWED = {
     "customer_km_survival",  # 1-row cohort-size broadcast onto the distinct-duration relation
     "segment_churn_logrank",  # 1-row per-group totals broadcast onto the distinct-duration relation
     "customer_revenue_lorenz",  # 1-row (n, total) broadcasts onto the ranked customer relation and the 10-decile table
-    # (part_golden_records carries the same three 1-row u-probability
-    # broadcasts as part_er_match_scores, but its connected-components
-    # localCheckpoint truncates the inspected plan before them, so the
-    # detector cannot see the BNLJ — same caveat as
-    # customer_balance_neighbors in the window list below.)
+    "part_golden_records",  # the same three 1-row u-probability broadcasts as part_er_match_scores (visible in the pre-localCheckpoint captured plan since round 10)
+    "ann_recall_at_k",  # 1-row probe_row broadcasts through the persisted IVF/IVF-PQ query paths (5-probe batch, one 1-row broadcast each)
+    "ann_ivfpq_maintained",  # the same 1-row probe_row broadcast over the maintained composite index scan
+    "corpus_prep_e2e",  # 1-row stage-accounting aggregates broadcast onto the shard manifest (A13), visible in the captured publish-write plan
 }
 
 # Windows that legitimately run over ONE partition: their input is
@@ -131,9 +130,7 @@ _GLOBAL_WINDOW_ALLOWED = {
     "parts_pareto_80",
     "doc_global_shuffle",
     "daily_revenue_moving_avg",
-    # (customer_balance_neighbors runs the same phase-2 cumsum over the
-    # ~11k floor(acctbal) bucket COUNTS, but its localCheckpoint
-    # truncates the inspected plan, so the detector can't see it.)
+    "customer_balance_neighbors",  # the same phase-2 cumsum over the ~11k floor(acctbal) bucket COUNTS (visible in the pre-localCheckpoint captured plan since round 10)
     "part_price_size_frontier",  # skyline phase-2 prefix max over the ~1.2k floor(price) bucket MAXIMA (operators/skyline.py)
     "daily_revenue_changepoint",  # CUSUM over the O(calendar days) post-aggregation daily spine, like daily_revenue_moving_avg
     "doc_quality_auc",  # phase-2 cumsum over the <=64 score-bucket TOTALS of the two-phase AUC prefix sum (ml/metrics.py)
@@ -182,11 +179,70 @@ def _global_windows(plan: str) -> list[str]:
     return hits
 
 
+class _PlanCapture:
+    """Record the physical plan of every DataFrame whose lineage a
+    query truncates mid-construction — ``localCheckpoint`` (iterative
+    operators: connected components, PageRank) and ``parquet`` writes
+    (staged pipelines, persisted indexes, manifest publishes).
+
+    Without this the audit only sees the post-truncation plan, so a
+    CartesianProduct or single-task window BEFORE the checkpoint is
+    invisible — the round-9 blind spot for part_golden_records and
+    customer_balance_neighbors, previously hand-waived in comments and
+    now machine-checked like everything else."""
+
+    def __init__(self):
+        self.plans: list[str] = []
+
+    def __enter__(self):
+        # Patch the CLASSIC DataFrame subclass, not the pyspark.sql
+        # facade: in Spark 4 the facade's localCheckpoint is overridden
+        # by pyspark.sql.classic.dataframe.DataFrame, so patching the
+        # parent never intercepts real calls.
+        try:
+            from pyspark.sql.classic.dataframe import DataFrame
+        except ImportError:  # pragma: no cover — older pyspark
+            from pyspark.sql import DataFrame
+        from pyspark.sql import DataFrameWriter
+
+        self._df_cls = DataFrame
+        self._orig_ckpt = DataFrame.localCheckpoint
+        self._orig_parquet = DataFrameWriter.parquet
+        cap = self.plans
+
+        def ckpt(df_self, *args, **kwargs):
+            cap.append(
+                df_self._jdf.queryExecution().executedPlan().toString()
+            )
+            return self._orig_ckpt(df_self, *args, **kwargs)
+
+        def parquet(w_self, *args, **kwargs):
+            df = getattr(w_self, "_df", None)
+            if df is not None:
+                cap.append(
+                    df._jdf.queryExecution().executedPlan().toString()
+                )
+            return self._orig_parquet(w_self, *args, **kwargs)
+
+        DataFrame.localCheckpoint = ckpt
+        DataFrameWriter.parquet = parquet
+        return self
+
+    def __exit__(self, *exc):
+        from pyspark.sql import DataFrameWriter
+
+        self._df_cls.localCheckpoint = self._orig_ckpt
+        DataFrameWriter.parquet = self._orig_parquet
+        return False
+
+
 def _physical_plans(spark):
     plans = {}
     for name, q in registry.REGISTRY.items():
-        df = q.spark_fn(spark, SF_SMOKE)
-        plans[name] = df._jdf.queryExecution().executedPlan().toString()
+        with _PlanCapture() as cap:
+            df = q.spark_fn(spark, SF_SMOKE)
+            main = df._jdf.queryExecution().executedPlan().toString()
+        plans[name] = "\n".join([main, *cap.plans])
     return plans
 
 
