@@ -68,6 +68,37 @@ def oracle_davg(expr: str) -> str:
     return f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE) / COUNT({expr})"
 
 
+# Compact-lattice variant (round-10 x100 decomposition, BASELINE.md):
+# Spark keeps a Decimal COMPACT (one JVM long, codegen arithmetic) only
+# while precision <= 18; SUM's buffer is input precision + 10, so
+# summing DECIMAL(18,6) allocates a non-compact buffer and every row
+# pays a BigDecimal add — measured 5.6x over plain double sums at the
+# x100 scan point, the bulk of the pricing_summary gap vs DuckDB's
+# int128 decimal sums. Casting the INPUT at DECIMAL(8,2) keeps the
+# buffer at (18,2) — compact, long-backed — and halves the aggregate
+# cost while staying exact and order-independent.
+#
+# Contract: the column must carry <= 2 decimal digits and |value| <
+# 10^6 (TPC-H money/quantity/rate columns: price < ~1.1e5, qty <= 50,
+# rates <= 0.10 — a 10x headroom). An out-of-range value nulls the
+# cast (non-ANSI) and silently drops from the sum, so this is for
+# columns whose domain is a schema-level fact, not a hope.
+
+_DEC_COMPACT = "decimal(8,2)"
+
+
+def dsum2(col: Column | str) -> Column:
+    """Exact order-independent sum of a 2-dp column (|v| < 1e6), as
+    double — the compact-buffer fast path of :func:`dsum`."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(_DEC_COMPACT)).cast("double")
+
+
+def oracle_dsum2(expr: str) -> str:
+    """The DuckDB twin of :func:`dsum2` (same compact lattice)."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(8,2))) AS DOUBLE)"
+
+
 # ---------------------------------------------------------------------------
 # Scalar operators
 # ---------------------------------------------------------------------------

@@ -254,7 +254,7 @@ def small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH q AS (
         SELECT l_orderkey,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty_sum
+               CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS qty_sum
         FROM lineitem
         GROUP BY l_orderkey
         HAVING qty_sum > 250
@@ -272,9 +272,15 @@ def big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
+    # dsum2 compact lattice (functions/core.py): l_quantity is a 2-dp
+    # column <= 50, and this aggregate has ONE GROUP PER ORDER — the
+    # non-compact decimal(28,6) buffer paid a per-row BigDecimal add
+    # across millions of groups (round-10 x100 decomposition).
+    from etl_mudah_spark.functions.core import dsum2
+
     q = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("qty_sum"))
+        .agg(dsum2("l_quantity").alias("qty_sum"))
         .where(F.col("qty_sum") > 250)
     )
     return (
