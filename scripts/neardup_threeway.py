@@ -55,12 +55,12 @@ try:
 
     from etl_mudah_spark.operators import similarity as sim
 
-    # 1a. the bench query AS BENCHED — note this includes the exact
-    #     O(n²) all-pairs twin (the recall-invariant verification side)
-    run("bench_query_incl_exact_twin", lambda: registry.REGISTRY[
-        "emb_cosine_near_dup_lsh"].spark_fn(spark, sc_dir).count())
+    # The bench query (emb_cosine_near_dup_lsh) is NOT re-measured
+    # here: its benched cost INCLUDES the exact O(n²) all-pairs twin
+    # (the recall-invariant verification side, 17.56 s of the r9 x10
+    # record) — compare the PRODUCT paths below against that number.
 
-    # 1b. the PRODUCT path alone: capped SRP-LSH pairing, no twin
+    # 1. the product path alone: capped SRP-LSH pairing, no twin
     run("capped_srp_lsh_product", lambda: sim.cosine_near_duplicates(
         emb, threshold=0.45, target_recall=0.95, max_tables=96, dim=64,
     ).count())
