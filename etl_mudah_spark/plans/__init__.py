@@ -103,6 +103,7 @@ _PRIORITY = [
     "corpus_prep_e2e",
     "ann_recall_at_k",
     "ann_ivfpq_maintained",
+    "emb_srp_incremental_dedup",
     # --- (c) stalest r6 rows, alphabetically first ---
     "doc_split_leakage",
     "doc_token_budget_mix",
@@ -117,7 +118,6 @@ _PRIORITY = [
     "events_stream_users_rollup",
     "filter_stack_metrics",
     "join_key_skew_profile",
-    "keep_one_per_order",
 ]
 
 

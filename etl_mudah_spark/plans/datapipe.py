@@ -1970,6 +1970,97 @@ def ann_ivfpq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# emb_srp_incremental_dedup: the SRP-LSH incremental-dedup production
+# loop as a driver-verified query (VERDICT r9 missing #2, SRP half —
+# the IVF/IVF-PQ half is ann_ivfpq_maintained). Build the persisted
+# bucket index once on the 90% corpus, ingest the held-out 10% batch
+# through srp_dedup_incremental (O(batch): only the batch hashes; the
+# corpus projections are read from the index), and verify the found
+# pairs against the exact all-pairs twin restricted to batch-touching
+# pairs. BASELINE.md round-10 note 11 measures WHY this is the
+# operator a 100 TB user runs (3.9 s per 10% batch vs 67 s per
+# uncapped full re-pair at the x10 point).
+# ---------------------------------------------------------------------------
+SRP_INCR_THRESHOLD = 0.45
+SRP_INCR_RECALL_FLOOR = 0.85  # same LSH family/floor as the one-shot query
+
+
+@register(
+    "emb_srp_incremental_dedup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT CAST(COUNT(*) AS BIGINT) AS exact_pairs, TRUE AS recall_ok
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE (a.vec_id % 10 = 0 OR b.vec_id % 10 = 0)
+      AND {_COS_SQL} >= {SRP_INCR_THRESHOLD}
+    """,
+    doc=(
+        "Incremental SRP-LSH dedup of a 10% ingest batch against the "
+        "persisted 90% index: recall invariant vs the exact "
+        "batch-touching pair set (threshold 0.45)."
+    ),
+)
+def emb_srp_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recurring operation of production embedding dedup
+    (operators/similarity.py srp_index_build / srp_dedup_incremental):
+    corpus projections are computed once at index build; each ingest
+    batch hashes ONLY itself and joins the persisted (table, bucket)
+    files, so the per-batch cost is O(batch), not O(corpus). The
+    returned pairs exactly equal a from-scratch run over corpus ∪
+    batch restricted to batch-touching pairs (pinned in
+    tests/test_similarity_batch.py); here the driver row is the exact
+    twin's pair count with ``recall_ok`` asserting the incremental
+    path recovered >= {SRP_INCR_RECALL_FLOOR:.0%} of those pairs under
+    the same (b, t) the one-shot LSH query auto-tunes to. Orientation
+    is normalized (least/greatest + distinct) because an overlapping
+    ingest can reach a pair in both directions."""
+    import atexit
+    import shutil
+    import tempfile
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 10 != 0)
+    batch = emb.where(F.col("vec_id") % 10 == 0)
+    b, t = sim.srp_params(SRP_INCR_THRESHOLD, 0.95, max_tables=96)
+    scratch = tempfile.mkdtemp(prefix="srp_incr_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    sim.srp_index_build(
+        base, scratch, dim=EMB_DIM, n_planes=b, n_tables=t
+    )
+    found = sim.srp_dedup_incremental(
+        spark,
+        batch,
+        scratch,
+        dim=EMB_DIM,
+        threshold=SRP_INCR_THRESHOLD,
+        n_planes=b,
+        n_tables=t,
+    ).select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+    ).distinct()
+    e = emb.select("vec_id", sim.as_double(F.col("embedding")).alias("v"))
+    a_, b_ = e.alias("a"), e.alias("b")
+    cos = sim.cosine(F.col("a.v"), F.col("b.v"))
+    exact = (
+        a_.join(b_, F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(
+            (
+                (F.col("a.vec_id") % 10 == 0)
+                | (F.col("b.vec_id") % 10 == 0)
+            )
+            & (cos >= SRP_INCR_THRESHOLD)
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+    )
+    return _recall_row(
+        exact, found, SRP_INCR_RECALL_FLOOR, keys=("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
 # ann_recall_at_k: recall@10 as a driver-verified MEASUREMENT.
 #
 # The earlier ANN queries assert recall floors as booleans; this one

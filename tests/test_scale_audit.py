@@ -53,6 +53,7 @@ _BNLJ_ALLOWED = {
     "ann_ivfpq_topk",  # same 1-row probe_row broadcast (cell rank + residual ADC)
     "ann_ivfpq_filtered_topk",  # same, over the pruned composite index scan
     "emb_semantic_dedup",  # exact all-pairs TWIN side (verification tier, like emb_cosine_near_dup) + 1-row stats broadcast
+    "emb_srp_incremental_dedup",  # the same exact all-pairs TWIN side (batch-touching restriction) verifying the incremental index path
     "vocab_cms_topk",  # 1-row corpus-count broadcast for the CMS slack bound
     "customer_balance_deciles",
     "idle_rich_customers_by_nation",
