@@ -54,11 +54,13 @@ _PRIORITY = [
     #     judge-verified in the r9 verdict's simulation but never yet
     #     in a driver-produced CORRECTNESS record;
     # (b) the round-10 additions (corpus_prep_e2e capstone, the
-    #     ann recall@k measurement, the maintained-index loop);
+    #     ann recall@k measurement, the maintained-index loop, the SRP
+    #     incremental-dedup loop);
     # (c) alphabetically-first r6-stale names filling the remainder.
-    #     Round-11 should cover the remaining r6-stale names
-    #     (monthly_order_volume onward alphabetically) plus round-11
-    #     additions, then resume the r7-stale names.
+    #     Round-11 should cover the remaining 18 r6-stale names
+    #     (keep_one_per_order, then monthly_order_volume onward
+    #     alphabetically) plus round-11 additions, then resume the
+    #     r7-stale names.
     # Window discipline is MACHINE-CHECKED by
     # tests/test_correctness_rotation.py: never-rowed queries must all
     # sit in the window, and the filler slots must go to the stalest
