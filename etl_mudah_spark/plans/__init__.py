@@ -48,78 +48,85 @@ from etl_mudah_spark.plans import geoq  # noqa: F401
 from etl_mudah_spark.plans import temporal  # noqa: F401
 from etl_mudah_spark.plans import mlq  # noqa: F401
 
+# The round this window was rotated FOR. The rotation guard
+# (tests/test_correctness_rotation.py) checks staleness against the
+# CORRECTNESS records that existed at this window's freeze (rounds
+# < _WINDOW_ROUND), so the guard stays green after the driver writes
+# CORRECTNESS_r{_WINDOW_ROUND}.json and goes red only if a LATER
+# round runs without a rotation — fixing the r10 lifecycle flaw where
+# the guard was red for half of every round by construction.
+_WINDOW_ROUND = 11
+
 _PRIORITY = [
-    # Round-10 window (exactly 50 names):
-    # (a) the 33 queries registered after the round-9 window froze --
-    #     judge-verified in the r9 verdict's simulation but never yet
-    #     in a driver-produced CORRECTNESS record;
-    # (b) the round-10 additions (corpus_prep_e2e capstone, the
-    #     ann recall@k measurement, the maintained-index loop, the SRP
-    #     incremental-dedup loop);
-    # (c) alphabetically-first r6-stale names filling the remainder.
-    #     Round-11 should cover the remaining 18 r6-stale names
-    #     (keep_one_per_order, then monthly_order_volume onward
-    #     alphabetically) plus round-11 additions, then resume the
-    #     r7-stale names.
+    # Round-11 window (exactly 50 names):
+    # (a) the 18 remaining r6-stale names (keep_one_per_order, then
+    #     monthly_order_volume onward alphabetically) — after this
+    #     round, no driver row is older than r7;
+    # (b) round-11 additions (never driver-rowed), if any;
+    # (c) alphabetically-first r7-stale names filling the remainder —
+    #     deliberately including doc_shard_pack / doc_shard_pack_bpe,
+    #     which round 11 rewrites onto the bucketed two-phase packing
+    #     window, so the rewrite is driver-verified the same round.
+    #     Round-12 should resume the r7-stale names at
+    #     events_hourly_interpolated.
     # Window discipline is MACHINE-CHECKED by
     # tests/test_correctness_rotation.py: never-rowed queries must all
     # sit in the window, and the filler slots must go to the stalest
     # recorded names — the rotation can no longer be silently missed.
     # All registered queries are additionally sim-checked at sf0.01
     # every round regardless (scripts/driver_sim.py).
-    # --- (a) never driver-rowed (registered after the r9 freeze) ---
-    "customer_k_anonymity",
-    "customer_km_survival",
-    "customer_revenue_gini",
-    "customer_revenue_lorenz",
-    "customer_rfm_segments",
-    "daily_revenue_theilsen",
-    "doc_cluster_modularity",
-    "doc_lang_kappa",
-    "doc_novelty_scores",
-    "doc_quality_avg_precision",
-    "doc_quality_brier",
-    "doc_quality_pr_curve",
-    "doc_readability",
-    "events_ab_test",
-    "events_conformal_interval",
-    "events_daily_growth_accounting",
-    "events_position_attribution",
-    "events_seasonal_backtest",
-    "events_sliding_5min_peak",
-    "events_stream_drift_psi",
-    "events_stream_ks_binned",
-    "events_stream_quantile_sketch",
-    "events_stream_sliding_peak",
-    "events_type_quantile_norm",
-    "events_value_ks_drift",
-    "events_value_mad_outliers",
-    "events_value_quantile_rollup",
-    "flag_weighted_price_quartiles",
-    "part_fd_audit",
-    "part_golden_records",
-    "priority_monthly_trend_ols",
-    "segment_churn_logrank",
-    "supplier_ppr_topk",
-    # --- (b) new in round 10 ---
-    "corpus_prep_e2e",
-    "ann_recall_at_k",
-    "ann_ivfpq_maintained",
-    "emb_srp_incremental_dedup",
-    # --- (c) stalest r6 rows, alphabetically first ---
-    "doc_split_leakage",
-    "doc_token_budget_mix",
-    "doc_token_stats",
-    "doc_unigram_surprisal",
-    "emb_pca_variance",
-    "emb_semantic_dedup",
-    "events_daily_users_rollup",
-    "events_stream_enriched",
-    "events_stream_sessions_native",
-    "events_stream_unconverted",
-    "events_stream_users_rollup",
-    "filter_stack_metrics",
-    "join_key_skew_profile",
+    # --- (a) the 18 r6-stale names ---
+    "keep_one_per_order",
+    "monthly_order_volume",
+    "nation_market_share_in_region",
+    "nation_pair_trade_volume",
+    "order_year_stats",
+    "part_profit_by_nation_year",
+    "price_segments",
+    "pricing_summary",
+    "priority_shares",
+    "regex_and_search",
+    "region_revenue",
+    "returned_item_customers",
+    "shipping_priority",
+    "similar_parts",
+    "top3_orders_per_customer",
+    "top_brands",
+    "top_customers",
+    "vocab_zipf_fit",
+    # --- (c) stalest r7 rows, alphabetically first ---
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "ann_pq_topk",
+    "ann_srp_topk",
+    "brand_quartiles",
+    "customer_balance_deciles",
+    "daily_revenue_moving_avg",
+    "disjunctive_join_revenue",
+    "doc_bpe_encode",
+    "doc_chunk_dedup",
+    "doc_clean_pipeline",
+    "doc_decontaminate",
+    "doc_domain_mix",
+    "doc_exact_dedup",
+    "doc_fingerprint",
+    "doc_global_shuffle",
+    "doc_ngram_jaccard",
+    "doc_pii_scrub",
+    "doc_repetition_scores",
+    "doc_shard_pack",
+    "doc_shard_pack_bpe",
+    "doc_train_split",
+    "emb_cosine_near_dup",
+    "emb_label_centroids",
+    "emb_norm_stats",
+    "events_activity_islands",
+    "events_anomaly",
+    "events_attribution",
+    "events_funnel",
+    "events_hourly",
+    "events_hourly_dense",
 ]
 
 

@@ -1207,13 +1207,19 @@ ER_M_SIZE = 0.85
             HAVING COUNT(*) <= {FUZZY_MAX_BLOCK}
         )
     ), ub AS (
-        SELECT SUM(f * (f - 1)) * 1.0 / (SUM(f) * (SUM(f) - 1)) AS u
+        SELECT LEAST(GREATEST(COALESCE(
+                   SUM(f * (f - 1)) * 1.0 / (SUM(f) * (SUM(f) - 1)),
+               1e-9), 1e-9), 1 - 1e-9) AS u
         FROM (SELECT COUNT(*) AS f FROM part GROUP BY p_brand)
     ), ut AS (
-        SELECT SUM(f * (f - 1)) * 1.0 / (SUM(f) * (SUM(f) - 1)) AS u
+        SELECT LEAST(GREATEST(COALESCE(
+                   SUM(f * (f - 1)) * 1.0 / (SUM(f) * (SUM(f) - 1)),
+               1e-9), 1e-9), 1 - 1e-9) AS u
         FROM (SELECT COUNT(*) AS f FROM part GROUP BY p_type)
     ), uc AS (
-        SELECT SUM(f * (f - 1)) * 1.0 / (SUM(f) * (SUM(f) - 1)) AS u
+        SELECT LEAST(GREATEST(COALESCE(
+                   SUM(f * (f - 1)) * 1.0 / (SUM(f) * (SUM(f) - 1)),
+               1e-9), 1e-9), 1 - 1e-9) AS u
         FROM (SELECT COUNT(*) AS f FROM part GROUP BY p_size)
     ), scored AS (
         SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
@@ -1381,13 +1387,19 @@ ER_MATCH_THRESHOLD = 8.0
             HAVING COUNT(*) <= {FUZZY_MAX_BLOCK}
         )
     ), ub AS (
-        SELECT SUM(f * (f - 1)) * 1.0 / (SUM(f) * (SUM(f) - 1)) AS u
+        SELECT LEAST(GREATEST(COALESCE(
+                   SUM(f * (f - 1)) * 1.0 / (SUM(f) * (SUM(f) - 1)),
+               1e-9), 1e-9), 1 - 1e-9) AS u
         FROM (SELECT COUNT(*) AS f FROM part GROUP BY p_brand)
     ), ut AS (
-        SELECT SUM(f * (f - 1)) * 1.0 / (SUM(f) * (SUM(f) - 1)) AS u
+        SELECT LEAST(GREATEST(COALESCE(
+                   SUM(f * (f - 1)) * 1.0 / (SUM(f) * (SUM(f) - 1)),
+               1e-9), 1e-9), 1 - 1e-9) AS u
         FROM (SELECT COUNT(*) AS f FROM part GROUP BY p_type)
     ), uc AS (
-        SELECT SUM(f * (f - 1)) * 1.0 / (SUM(f) * (SUM(f) - 1)) AS u
+        SELECT LEAST(GREATEST(COALESCE(
+                   SUM(f * (f - 1)) * 1.0 / (SUM(f) * (SUM(f) - 1)),
+               1e-9), 1e-9), 1 - 1e-9) AS u
         FROM (SELECT COUNT(*) AS f FROM part GROUP BY p_size)
     ), pairs AS (
         SELECT a.p_partkey AS s, b.p_partkey AS d

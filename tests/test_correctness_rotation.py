@@ -1,4 +1,5 @@
-"""Machine-check the CORRECTNESS-window rotation (VERDICT r9 item 1).
+"""Machine-check the CORRECTNESS-window rotation (VERDICT r9 item 1,
+lifecycle fixed per VERDICT r10 item 1 / ADVICE r10).
 
 The grading driver records only the first 50 registered queries per
 round, so window membership is a curated list
@@ -10,7 +11,17 @@ These tests make a missed rotation a FAILING BUILD:
 1. every query that has never had a driver row must sit in the current
    window (new queries must be added to _PRIORITY when registered);
 2. the window slots left over after (1) must go to the STALEST
-   recorded queries — filler may not leapfrog an older record.
+   recorded queries — filler may not leapfrog an older record;
+3. the window must not outlive its round: once the driver has written
+   CORRECTNESS_r{N}.json for N > _WINDOW_ROUND, the window is stale.
+
+Lifecycle: the r10 version of check (2) compared against ALL records,
+so it went red the moment the driver wrote the current round's file
+(the window names jumped to latest=current while rotated-out names sat
+older). Check (2) now evaluates staleness against the records that
+existed at the window's FREEZE (rounds < _WINDOW_ROUND), which is
+invariant across the driver run; check (3) is what catches a rotation
+missed in a later round.
 """
 
 from __future__ import annotations
@@ -20,16 +31,21 @@ import json
 import os
 
 import etl_mudah_spark.plans  # noqa: F401  (registers + orders queries)
+from etl_mudah_spark.plans import _PRIORITY, _WINDOW_ROUND
 from etl_mudah_spark.plans.registry import REGISTRY
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW_SIZE = 50
 
 
-def _latest_round_by_query() -> dict[str, int]:
+def _latest_round_by_query(*, before_round: int | None = None) -> dict[str, int]:
+    """Latest CORRECTNESS round per query, optionally restricted to
+    records strictly older than ``before_round`` (the freeze view)."""
     latest: dict[str, int] = {}
     for path in glob.glob(os.path.join(_ROOT, "CORRECTNESS_r*.json")):
         rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
+        if before_round is not None and rnd >= before_round:
+            continue
         with open(path) as fh:
             rec = json.load(fh)
         for name in rec:
@@ -54,7 +70,10 @@ def test_never_rowed_queries_are_in_window():
 
 
 def test_window_filler_takes_stalest_records():
-    latest = _latest_round_by_query()
+    # Freeze view: only records from rounds before this window's round
+    # count, so the driver writing CORRECTNESS_r{_WINDOW_ROUND}.json
+    # does not flip this test (the r10 lifecycle flaw).
+    latest = _latest_round_by_query(before_round=_WINDOW_ROUND)
     window = list(REGISTRY)[:WINDOW_SIZE]
     filler_rounds = [latest[n] for n in window if n in latest]
     outside_rounds = [
@@ -70,8 +89,16 @@ def test_window_filler_takes_stalest_records():
     )
 
 
-def test_window_is_exactly_the_priority_list():
-    from etl_mudah_spark.plans import _PRIORITY
+def test_window_has_not_outlived_its_round():
+    latest = _latest_round_by_query()
+    max_recorded = max(latest.values(), default=0)
+    assert max_recorded <= _WINDOW_ROUND, (
+        f"CORRECTNESS_r{max_recorded}.json exists but the window targets "
+        f"round {_WINDOW_ROUND} — a later round ran without a rotation; "
+        "bump _WINDOW_ROUND and rotate plans/__init__._PRIORITY"
+    )
 
+
+def test_window_is_exactly_the_priority_list():
     assert len(_PRIORITY) == WINDOW_SIZE
     assert list(REGISTRY)[:WINDOW_SIZE] == _PRIORITY

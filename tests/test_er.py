@@ -72,6 +72,38 @@ def test_bad_m_rejected(spark):
         fs_score_pairs(df, "id", F.lit(1), {"f": 1.0})
 
 
+def test_degenerate_fields_clamp_not_null(spark):
+    """ADVICE r10: an all-distinct field (u -> 0) and a constant field
+    (u -> 1) must yield FINITE clamped scores, matching the clamp the
+    oracles now mirror (LEAST(GREATEST(COALESCE(u,eps),eps),1-eps))."""
+    rows = [(1, "a", "same"), (2, "b", "same"), (3, "c", "same")]
+    df = spark.createDataFrame(rows, "id bigint, uniq string, const string")
+    scored = fs_score_pairs(
+        df, "id", F.lit(1), {"uniq": 0.9, "const": 0.9}
+    ).collect()
+    eps = 1e-9
+    # every pair: disagrees on uniq (u clamped to eps -> weight
+    # ln(0.1/(1-eps))), agrees on const (u clamped to 1-eps -> weight
+    # ln(0.9/(1-eps))).
+    expect = math.log(0.1 / (1 - eps)) + math.log(0.9 / (1 - eps))
+    assert len(scored) == 3
+    for r in scored:
+        assert r.score is not None and math.isfinite(r.score)
+        assert r.score == pytest.approx(expect, rel=1e-9)
+
+
+def test_oracle_clamp_expression_matches_duckdb():
+    """The SQL clamp mirrored into the ER oracles must saturate 0, 1,
+    and NULL exactly like operators/er.fs_score_pairs' Column clamp."""
+    import duckdb
+
+    got = duckdb.sql(
+        "SELECT LEAST(GREATEST(COALESCE(u, 1e-9), 1e-9), 1 - 1e-9) "
+        "FROM (VALUES (0.0), (1.0), (NULL), (0.5)) t(u)"
+    ).fetchall()
+    assert [r[0] for r in got] == [1e-9, 1 - 1e-9, 1e-9, 0.5]
+
+
 # --- survivorship / golden records ---
 
 from etl_mudah_spark.operators.er import golden_records  # noqa: E402
