@@ -68,6 +68,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def table_num_rows(sf_dir: str, name: str) -> int:
+    """Exact row count from parquet FOOTER metadata — a driver-side
+    pyarrow read, zero Spark jobs (VERDICT r10 item 6: registered ANN
+    queries must not trigger corpus-scan actions while *constructing*
+    their plan just to size a shortlist/sample modulus). Footer counts
+    are the same numbers ``df.count()`` would return, at metadata cost:
+    O(files) driver reads even at 100 TB, no executor work."""
+    import pyarrow.dataset as ds
+
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return ds.dataset(
+        os.path.join(sf_dir, f"{name}.parquet"), format="parquet"
+    ).count_rows()
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for the SQL surface."""
     for name in TABLES:

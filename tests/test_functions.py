@@ -60,3 +60,30 @@ def test_format_currency_and_pct(spark):
     assert row["c0"] == "RM 12,346"
     assert row["c2"] == "RM 12,345.68"
     assert row["p"] == "12.3%"
+
+
+def test_dsum2_domain_holds_on_every_lineitem_column_it_sums():
+    """ADVICE r10: dsum2's compact decimal(8,2) lattice nulls-and-drops
+    out-of-range values IDENTICALLY on both twins, so a data-domain
+    break would keep parity green while both sums silently diverge from
+    the true value. This audit makes a domain break fail loudly: every
+    column the engine runs through dsum2 (pricing_summary's factorized
+    Q1 and big_orders' per-order quantity sums) must round-trip the
+    (8,2) cast exactly — no introduced NULLs (range) and no value drift
+    (precision) — at every test scale. Footer-fast via DuckDB."""
+    import duckdb
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        rel = f"'/root/testdata/{sf}/lineitem.parquet'"
+        for c in cols:
+            bad = duckdb.sql(
+                f"SELECT COUNT(*) FROM {rel} WHERE {c} IS NOT NULL AND ("
+                f"TRY_CAST({c} AS DECIMAL(8,2)) IS NULL OR "
+                f"CAST(TRY_CAST({c} AS DECIMAL(8,2)) AS DOUBLE) <> {c})"
+            ).fetchone()[0]
+            assert bad == 0, (
+                f"{sf}.{c}: {bad} rows violate the dsum2 2dp/|v|<1e6 "
+                "domain contract (functions/core.py) — the compact "
+                "lattice would silently mis-sum on BOTH twins"
+            )

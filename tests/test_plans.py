@@ -341,3 +341,42 @@ def test_session_concurrency_joins_on_the_bin_grid(spark):
     assert "session_window" in plan
     assert "_bin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_plan_builds_use_footer_counts_not_jobs(spark):
+    """VERDICT r10 item 6: the ANN query constructors must not run
+    corpus-scan .count()/.first() jobs just to size sample_mod /
+    shortlists — corpus cardinality comes from parquet footer metadata
+    (tables.table_num_rows, a driver-side pyarrow read). Two pins:
+    (1) the footer count equals the Spark count (same numbers, zero
+    jobs); (2) source inspection — the constructors reference
+    table_num_rows and carry no bare corpus .count() probe. The one
+    allowed exception is ann_pq_filtered_topk's FILTERED stratum count
+    (data-dependent, not derivable from footers)."""
+    import inspect
+
+    from etl_mudah_spark.plans import datapipe as dp
+    from etl_mudah_spark.tables import load, table_num_rows
+
+    sf = "/root/testdata/sf0.001"
+    assert table_num_rows(sf, "embeddings") == load(
+        spark, sf, "embeddings"
+    ).count()
+
+    count_free = [
+        dp.ann_recall_at_k,
+        dp.ann_ivfpq_maintained,
+        dp.ann_pq_topk,
+        dp.ann_ivfpq_topk,
+        dp.ann_ivfpq_filtered_topk,
+        dp.emb_cosine_near_dup,
+    ]
+    for fn in count_free:
+        src = inspect.getsource(fn)
+        assert "table_num_rows" in src, fn.__name__
+        assert "emb.count()" not in src, (
+            f"{fn.__name__} re-grew an eager corpus count during plan build"
+        )
+    # the filtered-stratum count stays, explicitly
+    src = inspect.getsource(dp.ann_pq_filtered_topk)
+    assert "table_num_rows" in src and "emb.where(pred).count()" in src
