@@ -193,6 +193,61 @@ def bucketed_running_sum(
     )
 
 
+def grouped_bucketed_running_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    bucket: Column,
+    order_cols: list[Column],
+    val: Column,
+    sum_col: str = "cum",
+    bucket_col: str = "_pkb",
+) -> DataFrame:
+    """Per-group running ``SUM(val) OVER (PARTITION BY group_cols ORDER
+    BY order_cols)`` — without streaming any whole group through one
+    task (VERDICT r10 item 2, the shard-packing scale seam).
+
+    A plain ``Window.partitionBy(group).orderBy(order)`` gives one task
+    per group: fine for thousands of groups, a serialization wall when
+    a handful of sources each hold terabytes. This is
+    :func:`bucketed_running_sum` with the group key threaded through
+    every level: per-(group, bucket) totals, a cumsum window over the
+    totals relation partitioned by group (bounded: |groups| × |bucket
+    domain| rows, never data-sized), and a parallel per-(group, bucket)
+    running sum. Parallelism becomes |groups| × |buckets| tasks.
+
+    ``bucket`` must be NON-NULL and order-aligned with ``order_cols``
+    within each group (e.g. ``floor(id / B)`` for an ascending id
+    order). Exactness: integer/decimal ``val`` keeps every partial
+    exact, so the decomposition equals the one-window form row for row.
+    ``bucket_col`` stays visible in the physical plan's window specs so
+    audits can pin the bucketed shape; it is dropped from the result.
+    """
+    keyed = df.withColumn(bucket_col, bucket).withColumn("_val", val)
+    totals = keyed.groupBy(*group_cols, bucket_col).agg(
+        F.sum("_val").alias("_tot")
+    )
+    wcum = (
+        Window.partitionBy(*group_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = totals.select(
+        *group_cols,
+        bucket_col,
+        F.coalesce(F.sum("_tot").over(wcum), F.lit(0)).alias("_off"),
+    )
+    w = (
+        Window.partitionBy(*group_cols, bucket_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        keyed.join(F.broadcast(offs), [*group_cols, bucket_col])
+        .withColumn(sum_col, F.sum("_val").over(w) + F.col("_off"))
+        .drop(bucket_col, "_off", "_val")
+    )
+
+
 def md5_global_order(
     df: DataFrame,
     key_col: str,

@@ -41,7 +41,7 @@ from etl_mudah_spark.operators import sampling as smp
 from etl_mudah_spark.operators import text as tx
 from etl_mudah_spark.operators.similarity import as_double
 from etl_mudah_spark.plans.registry import register
-from etl_mudah_spark.tables import load
+from etl_mudah_spark.tables import load, table_num_rows
 
 _WORDS_SQL = r"string_split_regex(trim(text), '\s+')"
 
@@ -325,6 +325,34 @@ def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bucketed-packing parallelism: each source's sequential doc_id order
+# splits into up to PACK_BUCKETS order-aligned ranges, so the packing
+# cumsum runs |sources| × PACK_BUCKETS tasks instead of one task per
+# source (VERDICT r10 item 2 — the fix the old docstring only
+# documented). Raise for more parallelism; the offsets relation stays
+# |sources| × PACK_BUCKETS rows, broadcast-sized at any corpus scale.
+PACK_BUCKETS = 256
+
+
+def _packing_cum(sf_dir: str, df: DataFrame, val_col: str) -> DataFrame:
+    """Per-source running token sum in doc_id order — bucketed
+    two-phase (operators/sampling.grouped_bucketed_running_sum), row-
+    for-row equal to ``SUM(val) OVER (PARTITION BY source ORDER BY
+    doc_id)`` but never streaming a whole source through one task.
+    The bucket width derives from the documents table's footer row
+    count (dense 0..n-1 doc_id contract), zero Spark jobs."""
+    n = table_num_rows(sf_dir, "documents")
+    b = max(1, -(-n // PACK_BUCKETS))
+    return smp.grouped_bucketed_running_sum(
+        df,
+        ["source"],
+        F.floor(F.col("doc_id") / b).cast("bigint"),
+        [F.col("doc_id")],
+        F.col(val_col),
+        "cum",
+    )
+
+
 @register(
     "doc_shard_pack",
     oracle=f"""
@@ -347,21 +375,18 @@ def doc_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     in stable doc_id order within each source — the step between
     dedup/filtering and tokenizer output.
 
-    Scale: the running sum windows over (source), so packing
-    parallelizes across sources and each source streams through one
-    task in one pass. A single giant source would serialize; at real
-    scale the partition key becomes (source, date_bucket) — same plan
-    shape, finer key — because shard assignment inside a bucket must
-    stay sequential to be deterministic. Integer-only arithmetic: the
-    oracle comparison is exact."""
-    from pyspark.sql import Window as W
-
+    Scale: the running sum is the BUCKETED two-phase form
+    (:func:`_packing_cum`): per-(source, doc_id-range) partials plus
+    per-source broadcast offsets, exactly equal to the one-window
+    per-source cumsum (the oracle's spec) while parallelizing each
+    source PACK_BUCKETS ways — a single giant source no longer
+    serializes the packing stage. Shard assignment inside a bucket
+    stays sequential, so determinism is preserved. Integer-only
+    arithmetic: the oracle comparison is exact."""
     docs = load(spark, sf_dir, "documents").select(
         "source", "doc_id", F.size(tx.words("text")).cast("bigint").alias("n_tok")
     )
-    cum = docs.withColumn(
-        "cum", F.sum("n_tok").over(W.partitionBy("source").orderBy("doc_id"))
-    )
+    cum = _packing_cum(sf_dir, docs, "n_tok")
     return (
         cum.withColumn(
             "shard_id", F.floor((F.col("cum") - 1) / SHARD_TOKENS).cast("int")
@@ -1058,13 +1083,12 @@ def doc_shard_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream loader would read is what's verified.
 
     Scale: encode is the map-only Arrow pass; packing is the same
-    per-source running-sum window as doc_shard_pack (parallel across
-    sources, sequential within — the determinism requirement); the
-    payload digest folds per shard via sorted collect_list, bounded by
-    shard size (~SHARD_TOKENS tokens), never corpus size.
+    bucketed two-phase running sum as doc_shard_pack (_packing_cum —
+    parallel across sources AND doc_id ranges, sequential semantics
+    preserved); the payload digest folds per shard via sorted
+    collect_list, bounded by shard size (~SHARD_TOKENS tokens), never
+    corpus size.
     """
-    from pyspark.sql import Window as W
-
     from etl_mudah_spark.operators import bpe
 
     docs = load(spark, sf_dir, "documents")
@@ -1074,9 +1098,7 @@ def doc_shard_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("bpe_ids", " ").alias("ids_str"),
         F.size("bpe_ids").cast("bigint").alias("n_ids"),
     )
-    cum = enc.withColumn(
-        "cum", F.sum("n_ids").over(W.partitionBy("source").orderBy("doc_id"))
-    )
+    cum = _packing_cum(sf_dir, enc, "n_ids")
     packed = cum.withColumn(
         "shard_id", F.floor((F.col("cum") - 1) / SHARD_TOKENS).cast("int")
     )
@@ -1553,8 +1575,9 @@ def corpus_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup.repeated_ngram_spans / decontam.excise_spans); the mix is
     exact integer keymod cross-multiplication
     (sampling.token_budget_mix); encoding is the Arrow-batched memoized
-    BPE apply (operators/bpe.py); packing is the per-source running-sum
-    window. The manifest rows carry stage accounting (docs in/kept per
+    BPE apply (operators/bpe.py); packing is the bucketed two-phase
+    running sum (_packing_cum — |sources| × PACK_BUCKETS parallel, no
+    whole-source task). The manifest rows carry stage accounting (docs in/kept per
     stage) plus an md5 of each shard's full id payload, and the final
     table is PUBLISHED via operators/manifest.py (atomic version-dir
     flip) and read back — what a downstream loader would read is what
@@ -1562,8 +1585,6 @@ def corpus_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     import atexit
     import shutil
     import tempfile
-
-    from pyspark.sql import Window as W
 
     from etl_mudah_spark.operators import bpe
     from etl_mudah_spark.operators import decontam as dc
@@ -1657,9 +1678,7 @@ def corpus_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("bpe_ids", " ").alias("ids_str"),
         F.size("bpe_ids").cast("bigint").alias("n_ids"),
     )
-    cum = enc.withColumn(
-        "cum", F.sum("n_ids").over(W.partitionBy("source").orderBy("doc_id"))
-    )
+    cum = _packing_cum(sf_dir, enc, "n_ids")
     packed = cum.withColumn(
         "shard_id", F.floor((F.col("cum") - 1) / SHARD_TOKENS).cast("int")
     )

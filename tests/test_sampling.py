@@ -266,3 +266,34 @@ def test_rendezvous_minimal_movement_and_balance(spark):
     # re-adding d restores the original assignment bit-for-bit
     again = {r["k"]: r["shard"] for r in rendezvous_assign(df, "k", four).collect()}
     assert again == with4
+
+
+def test_grouped_bucketed_running_sum_equals_one_window_form(spark):
+    """grouped_bucketed_running_sum must equal SUM(val) OVER (PARTITION
+    BY group ORDER BY id) row for row — the decomposition is exact,
+    including across bucket boundaries and for groups whose rows land
+    in a single bucket."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from etl_mudah_spark.operators.sampling import (
+        grouped_bucketed_running_sum,
+    )
+
+    rows = [(g, i, (i * 7 + ord(g) * 3) % 11 + 1) for g in ("a", "b", "c")
+            for i in range(0, 40, 2 if g == "b" else 1)]
+    df = spark.createDataFrame(rows, "g string, id bigint, v bigint")
+    got = {
+        (r.g, r.id): r.cum
+        for r in grouped_bucketed_running_sum(
+            df, ["g"], F.floor(F.col("id") / 7).cast("bigint"),
+            [F.col("id")], F.col("v")
+        ).collect()
+    }
+    want = {
+        (r.g, r.id): r.cum
+        for r in df.withColumn(
+            "cum", F.sum("v").over(W.partitionBy("g").orderBy("id"))
+        ).collect()
+    }
+    assert got == want

@@ -301,3 +301,36 @@ def test_unpartitioned_window_detector_trips(spark):
     assert _global_windows(bad._jdf.queryExecution().executedPlan().toString())
     assert not _global_windows(good._jdf.queryExecution().executedPlan().toString())
     assert not _global_windows(unordered._jdf.queryExecution().executedPlan().toString())
+
+
+def test_packing_windows_are_bucketed_not_whole_source(all_plans):
+    """VERDICT r10 item 2: the shard-packing running sum must never
+    stream a whole source through one task. Every physical Window that
+    orders by doc_id in a packing plan must carry the _pkb doc_id-range
+    bucket in its partition spec (the grouped_bucketed_running_sum
+    shape); a bare PARTITION BY source window over the doc relation is
+    the serialization this pin forbids. The per-source offsets window
+    (orders by _pkb over the bounded totals relation) is exempt by
+    construction — it does not order by doc_id."""
+    offenders = []
+    seen_bucketed = 0
+    for name in ("doc_shard_pack", "doc_shard_pack_bpe", "corpus_prep_e2e"):
+        for line in all_plans[name].splitlines():
+            if "Window [" not in line:
+                continue
+            s = line.strip()
+            # the ORDER BY spec is the last bracket group of the node
+            if "doc_id#" not in s.split("], [")[-1]:
+                continue  # offsets window (orders by _pkb) etc.
+            if "_pkb#" in s:
+                seen_bucketed += 1
+            else:
+                offenders.append((name, s[:160]))
+    assert not offenders, (
+        f"packing window orders by doc_id without the _pkb bucket: {offenders}"
+    )
+    # guard against the pin going vacuous if plan text format changes
+    assert seen_bucketed >= 3, (
+        f"expected a bucketed doc_id window per packing plan, saw "
+        f"{seen_bucketed} — the plan-text matcher may have rotted"
+    )
