@@ -506,6 +506,51 @@ def bench_streaming(spark, sf_dir: str, n_files: int = 16) -> dict:
             q2.stop()
         sat_wall = time.perf_counter() - t1
 
+        # State-sized partitioning (round-11 floor decomposition,
+        # BASELINE.md §13): the per-trigger floor is dominated by
+        # addBatch, which is dominated by ONE state-store commit file
+        # per state partition per trigger — 32 partitions for a
+        # ~800-group state is pure ledger overhead (measured: 0.74 ->
+        # 0.52 s/batch at 4 partitions, 0.36 at 1). Production sizing
+        # rule: state partitions ~ state size / executor memory, NOT
+        # the batch shuffle width. Reported as separate keys so the
+        # original 32-partition series stays comparable.
+        p4_batches: list[int] = []
+
+        def p4_sink(batch_df, batch_id: int) -> None:
+            batch_df.write.mode("overwrite").format("noop").save()
+            p4_batches.append(batch_id)
+
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            p4_agg = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(drop)
+                .withWatermark("ts", "10 minutes")
+                .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+                .agg(
+                    F.count("*").alias("cnt"),
+                    F.sum(F.col("value").cast("decimal(18,6)"))
+                    .cast("double")
+                    .alias("total_value"),
+                )
+            )
+            t2 = time.perf_counter()
+            q3 = (
+                p4_agg.writeStream.outputMode("update")
+                .foreachBatch(p4_sink)
+                .start()
+            )
+            try:
+                q3.processAllAvailable()
+            finally:
+                q3.stop()
+            p4_wall = time.perf_counter() - t2
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
         state_rows = (
             events.select(
                 F.date_trunc("hour", "ts").alias("h"), "event_type"
@@ -516,9 +561,13 @@ def bench_streaming(spark, sf_dir: str, n_files: int = 16) -> dict:
         return {
             "streaming_rows_per_sec": round(n_rows / wall),
             "streaming_rows_per_sec_saturated": round(n_rows / sat_wall),
+            "streaming_rows_per_sec_state_sized": round(n_rows / p4_wall),
             "streaming_input_rows": n_rows,
             "streaming_batches": len(batches),
             "streaming_batch_latency_sec": round(wall / max(1, len(batches)), 3),
+            "streaming_batch_latency_state_sized": round(
+                p4_wall / max(1, len(p4_batches)), 3
+            ),
             "streaming_state_groups": state_rows,
         }
     finally:
@@ -582,6 +631,7 @@ LINE_KEYS = (
     "spark_vs_duckdb",
     "streaming_rows_per_sec",
     "streaming_rows_per_sec_saturated",
+    "streaming_rows_per_sec_state_sized",
     "load",
     "surfaces_skipped",
     "detail",
