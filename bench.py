@@ -94,6 +94,27 @@ BENCH_FNS = {
     "emb_cosine_near_dup_lsh": _lsh_cosine_production,
 }
 
+# Second measured set (VERDICT r10 item 7): the 14 headliners cover the
+# TPC-H/star/stream classes, but 200+ registered queries — the LLM-prep
+# and eval tiers especially — previously had NO wall-time series, so a
+# perf regression there surfaced only if correctness broke. One rep
+# each at the x10 staged point (these run as registered, verification
+# twins included — this series tracks REGRESSION, not peak throughput;
+# set SPARK_GRAFT_BENCH_SET2=0 to skip). Failures are recorded
+# per-query, never fatal to the record.
+HEADLINE2 = [
+    "corpus_prep_e2e",
+    "doc_bm25_search",
+    "doc_tfidf_similar",
+    "part_golden_records",
+    "doc_quality_auc",
+    "doc_exact_dedup",
+    "doc_decontaminate",
+    "doc_shard_pack_bpe",
+    "doc_token_budget_mix",
+    "doc_pii_scrub",
+]
+
 
 def bench_merge_upsert(spark, sf_dir: str) -> float:
     """Time the S7 merge/upsert write path (operators/merge.py): merge a
@@ -625,6 +646,8 @@ LINE_KEYS = (
     "value_multifile",
     "queries_sf_x10",
     "value_sf_x10",
+    "queries2_sf_x10",
+    "value2_sf_x10",
     "merge_upsert_batch",
     "value_duckdb",
     "value_duckdb_sf_x10",
@@ -648,7 +671,7 @@ def split_result(full: dict) -> tuple[dict, dict]:
     the detail file) before giving up. The detail file holds the FULL
     result, so nothing is ever lost to the stdout capture again."""
     line = {k: full[k] for k in LINE_KEYS if k in full}
-    for drop in ("queries_sf_x10", "queries_multifile", "queries"):
+    for drop in ("queries2_sf_x10", "queries_sf_x10", "queries_multifile", "queries"):
         if len(json.dumps(line)) <= MAX_LINE_BYTES:
             break
         line.pop(drop, None)
@@ -803,6 +826,26 @@ def main() -> None:
                     1,
                 ),
             }
+            if os.environ.get("SPARK_GRAFT_BENCH_SET2", "1") != "0":
+                N_REPS = 1
+                s2_timings: dict[str, float] = {}
+                s2_errors: dict[str, str] = {}
+                for s2name in HEADLINE2:
+                    try:
+                        t2, _io2, _r2 = run_headline(
+                            spark, sc_dir, f"set2 x{scale_factor}", [s2name]
+                        )
+                        s2_timings.update(t2)
+                    except Exception as exc:  # record, never kill the run
+                        s2_errors[s2name] = str(exc)[:200]
+                result[f"queries2_sf_x{scale_factor}"] = s2_timings
+                result[f"value2_sf_x{scale_factor}"] = round(
+                    sum(s2_timings.values()), 3
+                )
+                if s2_errors:
+                    result[f"queries2_errors_x{scale_factor}"] = s2_errors
+            else:
+                result.setdefault("surfaces_skipped", []).append("set2")
         finally:
             N_REPS = saved_reps
             shutil.rmtree(scratch, ignore_errors=True)

@@ -68,7 +68,7 @@ _PRIORITY = [
     #     which round 11 rewrites onto the bucketed two-phase packing
     #     window, so the rewrite is driver-verified the same round.
     #     Round-12 should resume the r7-stale names at
-    #     events_hourly_interpolated.
+    #     events_hourly_dense, then events_hourly_interpolated onward.
     # Window discipline is MACHINE-CHECKED by
     # tests/test_correctness_rotation.py: never-rowed queries must all
     # sit in the window, and the filler slots must go to the stalest
@@ -94,6 +94,8 @@ _PRIORITY = [
     "top_brands",
     "top_customers",
     "vocab_zipf_fit",
+    # --- (b) new in round 11 (never driver-rowed) ---
+    "doc_shard_pack_global",
     # --- (c) stalest r7 rows, alphabetically first ---
     "ann_bruteforce_topk",
     "ann_ivf_topk",
@@ -126,7 +128,6 @@ _PRIORITY = [
     "events_attribution",
     "events_funnel",
     "events_hourly",
-    "events_hourly_dense",
 ]
 
 

@@ -397,6 +397,74 @@ def doc_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_shard_pack_global",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, source, len({_WORDS_SQL}) AS n_tok,
+               md5(CAST(doc_id AS VARCHAR)) AS ok
+        FROM documents
+    ), c AS (
+        SELECT doc_id, source, n_tok,
+               SUM(n_tok) OVER (ORDER BY ok, doc_id) AS cum
+        FROM w
+    )
+    SELECT CAST(FLOOR((cum - 1) / {SHARD_TOKENS}) AS INT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS shard_tokens,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+    FROM c GROUP BY shard_id ORDER BY shard_id
+    """,
+    doc=(
+        f"Source-mixed global shard packing (~{SHARD_TOKENS} tokens): "
+        "token running sum over the deterministic md5 shuffle order, "
+        "bucketed two-phase — no single-task window."
+    ),
+)
+def doc_shard_pack_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packing shape training runs actually want: shards cut from
+    the md5-SHUFFLED corpus, so every shard mixes sources instead of
+    concatenating one source's documents (doc_shard_pack is the
+    per-source variant; doc_global_shuffle cuts by DOC COUNT — this
+    cuts by TOKEN budget, the quantity loaders provision for).
+
+    Scale: the global running token sum uses the same md5-prefix
+    bucketing as md5_global_order — per-prefix totals, one bounded
+    cumsum over 256 prefix rows, parallel per-prefix running sums
+    (operators/sampling.bucketed_running_sum) — so the corpus is never
+    sorted or summed through one task. Shard fingerprints (n_sources,
+    sum_doc_id) pin membership and the source-mixing property, not
+    just counts. Integer token sums: the oracle window twin is exact
+    row for row."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tx.words("text")).cast("bigint").alias("n_tok"),
+    )
+    ok = F.md5(F.col("doc_id").cast("string"))
+    cum = smp.bucketed_running_sum(
+        docs.withColumn("_ok", ok),
+        F.substring("_ok", 1, 2),
+        [F.col("_ok"), F.col("doc_id")],
+        F.col("n_tok"),
+        "cum",
+    )
+    return (
+        cum.withColumn(
+            "shard_id", F.floor((F.col("cum") - 1) / SHARD_TOKENS).cast("int")
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("shard_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+        .orderBy("shard_id")
+    )
+
+
 SHUFFLE_SHARD_DOCS = 50  # docs per shard after the global shuffle
 
 
