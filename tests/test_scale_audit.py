@@ -130,6 +130,7 @@ _GLOBAL_WINDOW_ALLOWED = {
     "events_hourly_interpolated",  # IGNORE-NULLS carry windows over the O(calendar hours) post-aggregation spine, like daily_revenue_moving_avg
     "parts_pareto_80",
     "doc_global_shuffle",
+    "doc_shard_pack_global",  # phase-2 cumsum over the <=256 md5-prefix bucket TOTALS of the global token running sum (sampling.bucketed_running_sum)
     "daily_revenue_moving_avg",
     "customer_balance_neighbors",  # the same phase-2 cumsum over the ~11k floor(acctbal) bucket COUNTS (visible in the pre-localCheckpoint captured plan since round 10)
     "part_price_size_frontier",  # skyline phase-2 prefix max over the ~1.2k floor(price) bucket MAXIMA (operators/skyline.py)
