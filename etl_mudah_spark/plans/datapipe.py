@@ -1201,6 +1201,136 @@ def doc_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_split_no_leakage",
+    oracle=f"""
+    WITH RECURSIVE {_jaccard_pairs_ctes(0.5)}, edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ), nodes AS (
+        SELECT DISTINCT s AS node FROM edges
+    ), reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node
+    ), comp AS (
+        SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+    ), assigned AS (
+        SELECT d.doc_id,
+               COALESCE(comp.cluster_id, d.doc_id) AS rep
+        FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+    ), labeled AS (
+        SELECT doc_id,
+               {_SPLIT_CASE.format(id='rep')} AS split,
+               {_SPLIT_CASE.format(id='doc_id')} AS naive_split
+        FROM assigned
+    ), naive_cross AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pairs
+        WHERE {_SPLIT_CASE.format(id='doc_a')}
+              <> {_SPLIT_CASE.format(id='doc_b')}
+    ), cluster_cross AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM pairs
+        JOIN assigned ra ON ra.doc_id = doc_a
+        JOIN assigned rb ON rb.doc_id = doc_b
+        WHERE {_SPLIT_CASE.format(id='ra.rep')}
+              <> {_SPLIT_CASE.format(id='rb.rep')}
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN split <> naive_split THEN 1 ELSE 0 END)
+                AS BIGINT) AS moved_docs,
+           (SELECT n FROM naive_cross) AS naive_cross_pairs,
+           (SELECT n FROM cluster_cross) AS cluster_cross_pairs,
+           (SELECT n FROM cluster_cross) = 0 AS no_leakage
+    FROM labeled GROUP BY split ORDER BY split
+    """,
+    doc=(
+        "Leakage-free train/val/test split: near-dup clusters (exact "
+        "df-capped Jaccard >= 0.5 + connected components) assign by "
+        "their min-id representative, so no near-dup pair straddles a "
+        "split; per-split counts + moved-doc and cross-pair audits."
+    ),
+)
+def doc_split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FIX for what doc_split_leakage only audits: hash-bucket
+    splitting keyed by the near-dup CLUSTER representative instead of
+    the doc_id, so every member of a near-dup cluster lands in the
+    same split — evaluation contamination by near-duplicates becomes
+    structurally impossible (``cluster_cross_pairs`` is 0 by
+    construction, and the oracle re-derives that zero from scratch).
+    Singletons keep their own id, so the fixed split differs from the
+    naive one ONLY on clustered docs (``moved_docs``), and re-running
+    on grown data keeps old assignments exactly as stable as
+    doc_train_split's (the representative is the min cluster id —
+    adding a new doc can only move docs its new edges newly connect).
+
+    Scale: pair discovery is the bounded df-capped inverted-index
+    join (operators/dedup.ngram_jaccard_pairs); clustering is the
+    O(log n)-round large/small-star CC (operators/graph
+    .duplicate_clusters); assignment is a broadcast-sized left join
+    (clustered nodes only — singletons never shuffle); the audits are
+    two O(pairs) joins. Same split rule and threshold as the audit
+    query, so the two compose into before/after evidence."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dd.ngram_jaccard_pairs(
+        docs, threshold=0.5, max_shingle_df=_NGRAM_MAX_SHINGLE_DF
+    ).select("doc_a", "doc_b")
+    clusters = gr.duplicate_clusters(pairs, src="doc_a", dst="doc_b")
+    assigned = docs.select("doc_id").join(
+        F.broadcast(
+            clusters.select(F.col("node").alias("doc_id"), "cluster_id")
+        ),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("rep")
+    )
+
+    def split_of(c):
+        m = (F.col(c) if isinstance(c, str) else c) % 100
+        return F.when(m < 80, "train").when(m < 90, "val").otherwise("test")
+
+    labeled = assigned.select(
+        "doc_id",
+        split_of("rep").alias("split"),
+        split_of("doc_id").alias("naive_split"),
+    )
+    naive_cross = pairs.where(
+        split_of("doc_a") != split_of("doc_b")
+    ).agg(F.count("*").cast("bigint").alias("naive_cross_pairs"))
+    # pair members are clustered by construction, so the rep lookup
+    # broadcasts the (bounded) cluster mapping, never the corpus
+    ra = clusters.select(F.col("node").alias("doc_a"), F.col("cluster_id").alias("_ra"))
+    rb = clusters.select(F.col("node").alias("doc_b"), F.col("cluster_id").alias("_rb"))
+    cluster_cross = (
+        pairs.join(F.broadcast(ra), "doc_a")
+        .join(F.broadcast(rb), "doc_b")
+        .where(split_of("_ra") != split_of("_rb"))
+        .agg(F.count("*").cast("bigint").alias("cluster_cross_pairs"))
+    )
+    return (
+        labeled.groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((F.col("split") != F.col("naive_split")).cast("int"))
+            .cast("bigint")
+            .alias("moved_docs"),
+        )
+        .crossJoin(F.broadcast(naive_cross))
+        .crossJoin(F.broadcast(cluster_cross))
+        .select(
+            "split",
+            "n_docs",
+            "moved_docs",
+            "naive_cross_pairs",
+            "cluster_cross_pairs",
+            (F.col("cluster_cross_pairs") == 0).alias("no_leakage"),
+        )
+        .orderBy("split")
+    )
+
+
 # Span-level decontamination runs at the production 13-gram granularity.
 # The eval slice is doc_id % 7 (not % 97): 13-token exact overlap only
 # occurs between planted near-duplicates, and % 7 is the smallest-count
