@@ -52,6 +52,45 @@ def test_bucketed_rank_matches_single_window(spark, vals):
 
 
 # ---------------------------------------------------------------------------
+# grouped_bucketed_running_sum == per-group single-window running sum
+# (the round-11 shard-packing decomposition must be exact for ANY
+# group layout, including empty buckets, one-row groups, and negative
+# values)
+# ---------------------------------------------------------------------------
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-50, 50)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_grouped_bucketed_running_sum_matches_single_window(spark, rows):
+    from etl_mudah_spark.operators.sampling import (
+        grouped_bucketed_running_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"g{g}", v) for i, (g, v) in enumerate(rows)],
+        "id bigint, g string, v bigint",
+    )
+    got = {
+        r["id"]: r["cum"]
+        for r in grouped_bucketed_running_sum(
+            df, ["g"], F.floor(F.col("id") / 7).cast("bigint"),
+            [F.col("id")], F.col("v")
+        ).collect()
+    }
+    exp = {
+        r["id"]: r["cum"]
+        for r in df.withColumn(
+            "cum", F.sum("v").over(Window.partitionBy("g").orderBy("id"))
+        ).collect()
+    }
+    assert got == exp
+
+
+# ---------------------------------------------------------------------------
 # PII scrub: idempotent; clean text is untouched
 # ---------------------------------------------------------------------------
 _frag = st.one_of(
