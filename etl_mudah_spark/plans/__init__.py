@@ -68,7 +68,7 @@ _PRIORITY = [
     #     which round 11 rewrites onto the bucketed two-phase packing
     #     window, so the rewrite is driver-verified the same round.
     #     Round-12 should resume the r7-stale names at
-    #     events_hourly, then events_hourly_dense onward.
+    #     events_funnel, then events_hourly onward.
     # Window discipline is MACHINE-CHECKED by
     # tests/test_correctness_rotation.py: never-rowed queries must all
     # sit in the window, and the filler slots must go to the stalest
@@ -96,6 +96,7 @@ _PRIORITY = [
     "vocab_zipf_fit",
     # --- (b) new in round 11 (never driver-rowed) ---
     "doc_shard_pack_global",
+    "doc_shard_pack_stability",
     "doc_split_no_leakage",
     # --- (c) stalest r7 rows, alphabetically first ---
     "ann_bruteforce_topk",
@@ -127,7 +128,6 @@ _PRIORITY = [
     "events_activity_islands",
     "events_anomaly",
     "events_attribution",
-    "events_funnel",
 ]
 
 

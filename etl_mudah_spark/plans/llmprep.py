@@ -465,6 +465,141 @@ def doc_shard_pack_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Append-stability holdout: the "already-published" corpus is every
+# doc below the 90% doc_id cutoff; the remaining tail plays the role of
+# a freshly-ingested batch (dense 0..n-1 ids make the global cutoff a
+# per-source tail too).
+PACK_STABILITY_BASE_FRACTION = 0.9
+# The stability pin packs at a SMALLER budget than the production
+# SHARD_TOKENS so that every sf dir — including the driver's sf0.01,
+# where each source holds only ~1.4k tokens — produces CLOSED shards;
+# with the production budget each source is one open shard there and
+# the zero-violations check would be vacuous.
+STABILITY_SHARD_TOKENS = 256
+
+
+@register(
+    "doc_shard_pack_stability",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, doc_id, len({_WORDS_SQL}) AS n_tok FROM documents
+    ), cutoff AS (
+        SELECT CAST(FLOOR({PACK_STABILITY_BASE_FRACTION} * COUNT(*)) AS BIGINT) AS c
+        FROM documents
+    ), fullp AS (
+        SELECT source,
+               CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - 1)
+                    / {STABILITY_SHARD_TOKENS}) AS INT) AS shard_id,
+               n_tok
+        FROM t
+    ), fsh AS (
+        SELECT source, shard_id, COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS tokens
+        FROM fullp GROUP BY 1, 2
+    ), basep AS (
+        SELECT source,
+               CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - 1)
+                    / {STABILITY_SHARD_TOKENS}) AS INT) AS shard_id,
+               n_tok
+        FROM t, cutoff WHERE doc_id < c
+    ), bsh AS (
+        SELECT source, shard_id, COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS tokens,
+               MAX(shard_id) OVER (PARTITION BY source) AS max_sid
+        FROM basep GROUP BY 1, 2
+    ), cmp AS (
+        SELECT b.source, b.shard_id, b.max_sid,
+               (f.n_docs = b.n_docs AND f.tokens = b.tokens) AS same
+        FROM bsh b JOIN fsh f USING (source, shard_id)
+    )
+    SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(*) AS BIGINT) AS base_shards,
+           CAST(SUM(CASE WHEN same THEN 1 ELSE 0 END) AS BIGINT)
+               AS unchanged_shards,
+           CAST(SUM(CASE WHEN NOT same AND shard_id < max_sid
+                    THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+           SUM(CASE WHEN NOT same AND shard_id < max_sid
+               THEN 1 ELSE 0 END) = 0 AS append_stable
+    FROM cmp
+    """,
+    doc=(
+        "Append-stability pin for sequential shard packing: packing the "
+        "90% doc_id prefix and the full corpus must agree on every "
+        "closed shard — only each source's LAST open shard may change "
+        "when a batch appends."
+    ),
+)
+def doc_shard_pack_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHY incremental shard publishing works: per-source doc_id-ordered
+    packing gives appended docs (higher ids) no influence on earlier
+    running sums, so every shard except each source's last open one is
+    IMMUTABLE under append — re-running the packer on grown data
+    re-publishes only tail shards, never rewrites history. This query
+    PROVES the property on data instead of asserting it: pack the 90%
+    prefix ("published corpus") and the full corpus ("after a batch")
+    through the same bucketed two-phase cumsum (_packing_cum) and
+    count closed-shard mismatches, which must be zero; a regression to
+    any order-unstable assignment (hash, load-balanced, re-sorted)
+    flips ``append_stable`` and hash-mismatches the driver row. The
+    oracle re-derives both packings through the one-window spec.
+
+    Scale: two packing passes (each |sources| x PACK_BUCKETS parallel)
+    joined on (source, shard_id) — shard-count-sized relations — and
+    one global summary row."""
+    n = table_num_rows(sf_dir, "documents")
+    cutoff = int(PACK_STABILITY_BASE_FRACTION * n)
+    docs = load(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(tx.words("text")).cast("bigint").alias("n_tok"),
+    )
+
+    def pack(df: DataFrame) -> DataFrame:
+        return (
+            _packing_cum(sf_dir, df, "n_tok")
+            .withColumn(
+                "shard_id",
+                F.floor((F.col("cum") - 1) / STABILITY_SHARD_TOKENS).cast(
+                    "int"
+                ),
+            )
+            .groupBy("source", "shard_id")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_tok").cast("bigint").alias("tokens"),
+            )
+        )
+
+    from pyspark.sql import Window as W
+
+    fsh = pack(docs).select(
+        "source",
+        "shard_id",
+        F.col("n_docs").alias("f_docs"),
+        F.col("tokens").alias("f_tokens"),
+    )
+    bsh = pack(docs.where(F.col("doc_id") < cutoff)).withColumn(
+        "max_sid", F.max("shard_id").over(W.partitionBy("source"))
+    )
+    cmp = bsh.join(fsh, ["source", "shard_id"]).select(
+        "source",
+        "shard_id",
+        "max_sid",
+        (
+            (F.col("f_docs") == F.col("n_docs"))
+            & (F.col("f_tokens") == F.col("tokens"))
+        ).alias("same"),
+    )
+    closed_bad = (~F.col("same")) & (F.col("shard_id") < F.col("max_sid"))
+    return cmp.agg(
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.count("*").cast("bigint").alias("base_shards"),
+        F.sum(F.col("same").cast("int")).cast("bigint").alias("unchanged_shards"),
+        F.sum(closed_bad.cast("int")).cast("bigint").alias("violations"),
+        (F.sum(closed_bad.cast("int")) == 0).alias("append_stable"),
+    )
+
+
 SHUFFLE_SHARD_DOCS = 50  # docs per shard after the global shuffle
 
 

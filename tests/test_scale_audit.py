@@ -316,7 +316,12 @@ def test_packing_windows_are_bucketed_not_whole_source(all_plans):
     construction — it does not order by doc_id."""
     offenders = []
     seen_bucketed = 0
-    for name in ("doc_shard_pack", "doc_shard_pack_bpe", "corpus_prep_e2e"):
+    for name in (
+        "doc_shard_pack",
+        "doc_shard_pack_bpe",
+        "corpus_prep_e2e",
+        "doc_shard_pack_stability",
+    ):
         for line in all_plans[name].splitlines():
             if "Window [" not in line:
                 continue
@@ -332,7 +337,9 @@ def test_packing_windows_are_bucketed_not_whole_source(all_plans):
         f"packing window orders by doc_id without the _pkb bucket: {offenders}"
     )
     # guard against the pin going vacuous if plan text format changes
-    assert seen_bucketed >= 3, (
+    # (1 bucketed data window in each of pack/pack_bpe/corpus_prep + 2
+    # in the stability query's double pack)
+    assert seen_bucketed >= 5, (
         f"expected a bucketed doc_id window per packing plan, saw "
         f"{seen_bucketed} — the plan-text matcher may have rotted"
     )
