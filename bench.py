@@ -177,6 +177,45 @@ def bench_merge_upsert(spark, sf_dir: str) -> float:
     return round(best, 3)
 
 
+def bench_srp_incremental(spark, sc_dir: str) -> float:
+    """Per-batch cost of the PRODUCTION embedding near-dup loop at the
+    staged scale point: persisted SRP index over 90% of the corpus
+    (built once, untimed — it amortizes across every future batch),
+    then ONE timed incremental dedup of the remaining 10% batch
+    against it (operators/similarity.py srp_dedup_incremental).
+
+    This is the number a 100 TB deployment plans around — the capped
+    one-shot (`emb_cosine_near_dup_lsh`) is the bootstrap tool; daily
+    ingest runs this O(batch) path (VERDICT r10/r11, measured 3.9 s
+    per 10% batch vs 66.9 s full re-pair in round 10). Parameters
+    mirror scripts/neardup_threeway.py so the series stays comparable
+    with the recorded r10 measurement.
+    """
+    from pyspark.sql import functions as F
+
+    from etl_mudah_spark.operators import similarity as sim
+    from etl_mudah_spark.tables import load
+
+    emb = load(spark, sc_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 10 != 0)
+    batch = emb.where(F.col("vec_id") % 10 == 0)
+    scratch = tempfile.mkdtemp(prefix="bench_srp_inc_")
+    try:
+        idx_dir = f"{scratch}/srp_index"
+        sim.srp_index_build(base, idx_dir, dim=64, n_planes=8, n_tables=24)
+        best = float("inf")
+        for _ in range(2):  # min-of-2: one warm follow-up, cold never
+            t0 = time.perf_counter()  # defines the record alone
+            sim.srp_dedup_incremental(
+                spark, batch, idx_dir, dim=64, n_planes=8, n_tables=24,
+                threshold=0.45,
+            ).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def _stage_totals(spark) -> dict[str, int] | None:
     """Cumulative completed-stage IO counters (bytes) from the Spark UI
     REST API; None when the UI is unavailable (spark.ui.enabled=false).
@@ -213,10 +252,14 @@ def _stage_totals(spark) -> dict[str, int] | None:
     return out
 
 
-# Above this per-rep wall time a query keeps its FIRST measurement
-# instead of a median: repeat-sampling exists to tame sub-second session
-# noise (±30%), which is irrelevant at 10s+ magnitudes, and re-running a
-# minute-long query triples bench time for no information.
+# Above this per-rep wall time a query stops repeat-sampling early:
+# repeat-sampling exists to tame sub-second session noise (±30%), which
+# is irrelevant at 10s+ magnitudes, and re-running a minute-long query
+# triples bench time for no information. But a single COLD sample may
+# never define the record (VERDICT r11 item 3: one cold rep under load
+# printed 70.2 s for a ~20 s-warm query and quadrupled the x10 total)
+# — a slow first rep always gets one warm follow-up rep, and the cold
+# sample is then discarded.
 SLOW_SINGLE_REP_SEC = 10.0
 
 
@@ -238,7 +281,7 @@ def run_headline(
         fn = BENCH_FNS.get(name) or registry.REGISTRY[name].spark_fn
         reps = []
         m0 = _stage_totals(spark)
-        for _ in range(N_REPS):
+        for i in range(N_REPS):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             # noop sink: full execution of every column, nothing
@@ -246,14 +289,22 @@ def run_headline(
             # columns away.
             df.write.mode("overwrite").format("noop").save()
             reps.append(time.perf_counter() - t0)
-            if reps[-1] > SLOW_SINGLE_REP_SEC:
+            # early break for slow queries — but never after the first
+            # rep alone (SLOW_SINGLE_REP_SEC rationale): a slow FIRST
+            # rep gets one warm follow-up before stopping.
+            if reps[-1] > SLOW_SINGLE_REP_SEC and (i > 0 or N_REPS == 1):
                 break
+        n_runs = len(reps)
+        if n_runs > 1 and reps[0] > SLOW_SINGLE_REP_SEC:
+            # discard the cold sample a slow first rep represents; the
+            # recorded stat is over warm reps only (VERDICT r11 item 3)
+            reps = reps[1:]
         m1 = _stage_totals(spark)
         if m0 is not None and m1 is not None:
             # clamp at 0: if the UI store ever evicts stages between
             # snapshots (retention raised in session.py, but belt and
             # suspenders) a negative delta is meaningless
-            io[name] = {k: max(0, m1[k] - m0[k]) // len(reps) for k in m1}
+            io[name] = {k: max(0, m1[k] - m0[k]) // n_runs for k in m1}
         timings[name] = round(statistics.median(reps), 3)
         reps_used[name] = len(reps)
         print(
@@ -642,12 +693,12 @@ LINE_KEYS = (
     "unit",
     "sf",
     "queries",
-    "queries_multifile",
     "value_multifile",
-    "queries_sf_x10",
     "value_sf_x10",
-    "queries2_sf_x10",
     "value2_sf_x10",
+    "value2_errors",
+    "value_sf_x100",
+    "srp_incremental_batch_sec",
     "merge_upsert_batch",
     "value_duckdb",
     "value_duckdb_sf_x10",
@@ -659,19 +710,26 @@ LINE_KEYS = (
     "surfaces_skipped",
     "detail",
 )
-MAX_LINE_BYTES = 4096
+# The driver captures only the LAST ~2000 chars of stdout; round 11
+# proved a 4 KB allowance loses the record (BENCH_r11.json parsed:null
+# — the line outgrew the capture when queries2_sf_x10 landed). The
+# line now carries ONLY the base per-query map, scale-point totals,
+# ratios, streaming floors, and load evidence; every per-query map of
+# the secondary scale points lives exclusively in BENCH_DETAIL.json.
+MAX_LINE_BYTES = 1500
 
 
 def split_result(full: dict) -> tuple[dict, dict]:
     """Partition the full bench result into (stdout line, detail file).
 
     The line keeps the LINE_KEYS subset and must serialize under
-    MAX_LINE_BYTES; if it somehow doesn't, the per-query maps of the
-    secondary scale points are dropped from the line (they remain in
-    the detail file) before giving up. The detail file holds the FULL
-    result, so nothing is ever lost to the stdout capture again."""
+    MAX_LINE_BYTES (itself comfortably inside the driver's 2000-char
+    tail capture); if it somehow doesn't, the base per-query map is
+    dropped from the line (it remains in the detail file) before
+    giving up. The detail file holds the FULL result, so nothing is
+    ever lost to the stdout capture again."""
     line = {k: full[k] for k in LINE_KEYS if k in full}
-    for drop in ("queries2_sf_x10", "queries_sf_x10", "queries_multifile", "queries"):
+    for drop in ("queries",):
         if len(json.dumps(line)) <= MAX_LINE_BYTES:
             break
         line.pop(drop, None)
@@ -842,10 +900,29 @@ def main() -> None:
                 result[f"value2_sf_x{scale_factor}"] = round(
                     sum(s2_timings.values()), 3
                 )
+                # error count rides the LINE (ADVICE r11): a query that
+                # regresses into an exception shrinks value2, and
+                # without this marker the partial sum reads as an
+                # improvement on the one-line record.
+                result["value2_errors"] = len(s2_errors)
                 if s2_errors:
                     result[f"queries2_errors_x{scale_factor}"] = s2_errors
             else:
                 result.setdefault("surfaces_skipped", []).append("set2")
+            if os.environ.get("SPARK_GRAFT_BENCH_SRP_INC", "1") != "0":
+                # The production near-dup loop as a first-class x10
+                # series (VERDICT r11 item 4): per-batch incremental
+                # SRP dedup next to the capped one-shot, so the number
+                # a 100 TB user plans around gets its own
+                # round-over-round line.
+                try:
+                    result["srp_incremental_batch_sec"] = (
+                        bench_srp_incremental(spark, sc_dir)
+                    )
+                except Exception as exc:  # recorded, never fatal
+                    result["srp_incremental_error"] = str(exc)[:200]
+            else:
+                result.setdefault("surfaces_skipped", []).append("srp_inc")
         finally:
             N_REPS = saved_reps
             shutil.rmtree(scratch, ignore_errors=True)

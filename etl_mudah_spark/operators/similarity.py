@@ -151,8 +151,15 @@ def probe_row(
     registered queries stay on the lazy default because their probe ids
     are fixture constants verified by the oracle twin.
     """
-    out = df.where(F.col(id_col) == probe_id).select(
-        as_double(F.col(vec_col)).alias("_pv")
+    # limit(1) makes the 1-row contract STRUCTURAL (a GlobalLimit in
+    # the plan) rather than an id-uniqueness convention: the broadcast
+    # this feeds is then provably bounded to any plan audit (the
+    # forced-broadcast scale rule, round 12), and Spark itself gets a
+    # hard cardinality bound. id_col is unique, so the row is the same.
+    out = (
+        df.where(F.col(id_col) == probe_id)
+        .select(as_double(F.col(vec_col)).alias("_pv"))
+        .limit(1)
     )
     if require and out.limit(1).count() == 0:
         raise KeyError(

@@ -55,79 +55,78 @@ from etl_mudah_spark.plans import mlq  # noqa: F401
 # CORRECTNESS_r{_WINDOW_ROUND}.json and goes red only if a LATER
 # round runs without a rotation — fixing the r10 lifecycle flaw where
 # the guard was red for half of every round by construction.
-_WINDOW_ROUND = 11
+_WINDOW_ROUND = 12
 
 _PRIORITY = [
-    # Round-11 window (exactly 50 names):
-    # (a) the 18 remaining r6-stale names (keep_one_per_order, then
-    #     monthly_order_volume onward alphabetically) — after this
-    #     round, no driver row is older than r7;
-    # (b) round-11 additions (never driver-rowed), if any;
-    # (c) alphabetically-first r7-stale names filling the remainder —
-    #     deliberately including doc_shard_pack / doc_shard_pack_bpe,
-    #     which round 11 rewrites onto the bucketed two-phase packing
-    #     window, so the rewrite is driver-verified the same round.
-    #     Round-12 should resume the r7-stale names at
-    #     events_funnel, then events_hourly onward.
+    # Round-12 window (exactly 50 names):
+    # (a) the 21 remaining r7-stale names (events_funnel, then
+    #     events_hourly onward alphabetically) — after this round, no
+    #     driver row is older than r8;
+    # (b) round-12 additions (never driver-rowed), if any — they
+    #     displace the alphabetically-last fillers in (c);
+    # (c) alphabetically-first r8-stale names filling the remainder.
+    #     Round-13 should resume the r8-stale names at
+    #     nation_customer_stats, then nation_market_share onward.
     # Window discipline is MACHINE-CHECKED by
     # tests/test_correctness_rotation.py: never-rowed queries must all
     # sit in the window, and the filler slots must go to the stalest
     # recorded names — the rotation can no longer be silently missed.
     # All registered queries are additionally sim-checked at sf0.01
     # every round regardless (scripts/driver_sim.py).
-    # --- (a) the 18 r6-stale names ---
-    "keep_one_per_order",
-    "monthly_order_volume",
-    "nation_market_share_in_region",
-    "nation_pair_trade_volume",
-    "order_year_stats",
-    "part_profit_by_nation_year",
-    "price_segments",
-    "pricing_summary",
-    "priority_shares",
-    "regex_and_search",
-    "region_revenue",
-    "returned_item_customers",
-    "shipping_priority",
-    "similar_parts",
-    "top3_orders_per_customer",
-    "top_brands",
-    "top_customers",
-    "vocab_zipf_fit",
-    # --- (b) new in round 11 (never driver-rowed) ---
-    "doc_shard_pack_global",
-    "doc_shard_pack_stability",
-    "doc_split_no_leakage",
-    # --- (c) stalest r7 rows, alphabetically first ---
-    "ann_bruteforce_topk",
-    "ann_ivf_topk",
-    "ann_ivfpq_topk",
-    "ann_pq_topk",
-    "ann_srp_topk",
-    "brand_quartiles",
-    "customer_balance_deciles",
-    "daily_revenue_moving_avg",
-    "disjunctive_join_revenue",
-    "doc_bpe_encode",
-    "doc_chunk_dedup",
-    "doc_clean_pipeline",
-    "doc_decontaminate",
-    "doc_domain_mix",
-    "doc_exact_dedup",
-    "doc_fingerprint",
-    "doc_global_shuffle",
-    "doc_ngram_jaccard",
-    "doc_pii_scrub",
-    "doc_repetition_scores",
-    "doc_shard_pack",
-    "doc_shard_pack_bpe",
-    "doc_train_split",
-    "emb_cosine_near_dup",
-    "emb_label_centroids",
-    "emb_norm_stats",
-    "events_activity_islands",
-    "events_anomaly",
-    "events_attribution",
+    # --- (a) the 21 r7-stale names ---
+    "events_funnel",
+    "events_hourly",
+    "events_hourly_dense",
+    "events_hourly_interpolated",
+    "events_json_stats",
+    "events_retention",
+    "events_session_concurrency",
+    "events_sessionize",
+    "events_stream_dedup",
+    "events_stream_hourly",
+    "events_stream_sessions",
+    "forecast_revenue_change",
+    "orders_customer_fk_audit",
+    "orders_per_customer_dist",
+    "orders_priority_agg_ivm",
+    "orders_quality_report",
+    "orders_reject_profile",
+    "orders_version_diff",
+    "parts_pareto_80",
+    "promotable_widget_suppliers",
+    "waiting_sole_late_supplier",
+    # --- (b) new in round 12 (never driver-rowed) ---
+    # (none yet — add here as they register)
+    # --- (c) stalest r8 rows, alphabetically first ---
+    "brand_type_supplier_counts",
+    "cheapest_supplier_per_part",
+    "customer_erasure_audit",
+    "customers_churned",
+    "customers_retained",
+    "customers_without_orders",
+    "doc_bigram_pmi",
+    "doc_chunks",
+    "doc_decontaminate_spans",
+    "doc_dup_clusters",
+    "doc_minhash_incremental",
+    "doc_minhash_near_dup",
+    "doc_prefix_jaccard",
+    "doc_quality_model",
+    "doc_simhash_near_dup",
+    "doc_weighted_sample",
+    "emb_cosine_near_dup_lsh",
+    "events_asof_last_view",
+    "events_daily_ewma",
+    "events_key_skew",
+    "events_promo_range_join",
+    "events_stream_attribution",
+    "events_user_hll",
+    "events_value_quantiles",
+    "idle_rich_customers_by_nation",
+    "late_shipment_priority",
+    "lineitem_profile",
+    "lineitem_unpivot_metrics",
+    "nation_acctbal_concentration",
 ]
 
 

@@ -759,8 +759,13 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     salted two-stage per-probe top-k; no corpus-sized single-task
     window)."""
     emb = load(spark, sf_dir, "embeddings")
-    probes = emb.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("probe_id"), "embedding"
+    # limit() makes the probe batch's bound structural (vec_id unique,
+    # so the filter already yields <= 5 rows) — the downstream probe
+    # broadcast is then provably bounded to the plan audit (round 12)
+    probes = (
+        emb.where(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("probe_id"), "embedding")
+        .limit(5)
     )
     return sim.batch_topk(emb, probes, k=5)
 
@@ -1268,19 +1273,27 @@ def doc_split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pair discovery is the bounded df-capped inverted-index
     join (operators/dedup.ngram_jaccard_pairs); clustering is the
     O(log n)-round large/small-star CC (operators/graph
-    .duplicate_clusters); assignment is a broadcast-sized left join
-    (clustered nodes only — singletons never shuffle); the audits are
-    two O(pairs) joins. Same split rule and threshold as the audit
-    query, so the two compose into before/after evidence."""
+    .duplicate_clusters), which must CONVERGE or this plan raises —
+    the no_leakage=true contract is "0 by construction", which only
+    holds for a completed transitive closure (ADVICE r11). The
+    cluster map has one row per CLUSTERED doc — proportional to the
+    corpus's duplication rate, NOT bounded — so none of its joins
+    carry a broadcast hint (VERDICT r11 item 2: at 100 TB with a
+    20-30% near-dup rate a forced broadcast is an OOM; AQE still
+    broadcasts when the map measures small, and the shuffle join is
+    the correct plan when it doesn't). Singleton docs join against it
+    once (left); the audits are two O(pairs) joins. Same split rule
+    and threshold as the audit query, so the two compose into
+    before/after evidence."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     pairs = dd.ngram_jaccard_pairs(
         docs, threshold=0.5, max_shingle_df=_NGRAM_MAX_SHINGLE_DF
     ).select("doc_a", "doc_b")
-    clusters = gr.duplicate_clusters(pairs, src="doc_a", dst="doc_b")
+    clusters = gr.duplicate_clusters(
+        pairs, src="doc_a", dst="doc_b", on_nonconverged="raise"
+    )
     assigned = docs.select("doc_id").join(
-        F.broadcast(
-            clusters.select(F.col("node").alias("doc_id"), "cluster_id")
-        ),
+        clusters.select(F.col("node").alias("doc_id"), "cluster_id"),
         "doc_id",
         "left",
     ).select(
@@ -1299,13 +1312,14 @@ def doc_split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     naive_cross = pairs.where(
         split_of("doc_a") != split_of("doc_b")
     ).agg(F.count("*").cast("bigint").alias("naive_cross_pairs"))
-    # pair members are clustered by construction, so the rep lookup
-    # broadcasts the (bounded) cluster mapping, never the corpus
+    # the rep lookups are plain equi-joins: the cluster map is
+    # duplication-proportional (unbounded at corpus scale), so the
+    # join strategy is AQE's call, never a forced broadcast
     ra = clusters.select(F.col("node").alias("doc_a"), F.col("cluster_id").alias("_ra"))
     rb = clusters.select(F.col("node").alias("doc_b"), F.col("cluster_id").alias("_rb"))
     cluster_cross = (
-        pairs.join(F.broadcast(ra), "doc_a")
-        .join(F.broadcast(rb), "doc_b")
+        pairs.join(ra, "doc_a")
+        .join(rb, "doc_b")
         .where(split_of("_ra") != split_of("_rb"))
         .agg(F.count("*").cast("bigint").alias("cluster_cross_pairs"))
     )
@@ -2315,8 +2329,14 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim.ivfpq_build_index(
         emb, pq_dir, n_cells=16, m=8, k=64, sample_mod=max(1, n // 8192)
     )
-    probes = emb.where(F.col("vec_id") < ANN_RECALL_PROBES).select(
-        F.col("vec_id").alias("probe_id"), "embedding"
+    # limit() makes the probe batch's bound STRUCTURAL (vec_id is
+    # unique, so the filter already yields <= ANN_RECALL_PROBES rows;
+    # the GlobalLimit lets any plan audit prove the downstream
+    # broadcast is bounded — forced-broadcast scale rule, round 12)
+    probes = (
+        emb.where(F.col("vec_id") < ANN_RECALL_PROBES)
+        .select(F.col("vec_id").alias("probe_id"), "embedding")
+        .limit(ANN_RECALL_PROBES)
     )
     exact = sim.batch_topk(emb, probes, k=10).select("probe_id", "vec_id")
     shortlist = max(100, n // 5)

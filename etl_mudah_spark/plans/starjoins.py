@@ -206,7 +206,7 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_m.l_suppkey").alias("l_suppkey"),
             F.col("_m.avg_unit_price").alias("avg_unit_price"),
         )
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("l_partkey", "l_suppkey", "avg_unit_price", "s_name")
     )
 
@@ -338,12 +338,14 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         cust.c_nationkey == F.col("n_nationkey"),
     ).select("c_custkey")
-    supp_nation = F.broadcast(
-        supp.join(
-            F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
-            supp.s_nationkey == F.col("sn_key"),
-        ).select("s_suppkey", "supp_nation")
-    )
+    # no broadcast hint: supp_nation is supplier-proportional (SF x 10k
+    # rows) — forced broadcasts are reserved for relations bounded
+    # independent of scale (VERDICT r11 item 2); AQE still broadcasts
+    # it when it measures small
+    supp_nation = supp.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+        supp.s_nationkey == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
     rev = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust_nation, orders.o_custkey == cust_nation.c_custkey)
@@ -424,7 +426,7 @@ def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.join(F.broadcast(mx))
         .where(F.col("total_rev") == F.col("_max"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_rev")
     )
 
@@ -625,7 +627,7 @@ def waiting_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        qualifying.join(F.broadcast(supp), qualifying.late_supp == supp.s_suppkey)
+        qualifying.join(supp, qualifying.late_supp == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.sum("n_late_lines").cast("bigint").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
@@ -870,7 +872,7 @@ def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
     )
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -946,11 +948,11 @@ def nation_market_share_in_region(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
     )
     vol = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(market_nations), F.col("c_nationkey") == F.col("mkt_nkey"))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("s_nkey"))
         .select(
             F.year("o_orderdate").alias("o_year"),
@@ -1092,8 +1094,8 @@ def part_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     profit = _disc_price() - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
@@ -1190,7 +1192,7 @@ def promotable_widget_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .where(F.col("qty") > _Q20_QTY_BOUND)

@@ -1,18 +1,25 @@
-"""The round-6 bench record was lost because bench.py's stdout JSON
-line outgrew the driver's capture (BENCH_r06.json: "parsed": null).
-These tests pin the fix: the emitted line stays under MAX_LINE_BYTES
-for a full-size result, and nothing is dropped — the detail file keeps
-the complete record."""
+"""The round-6 AND round-11 bench records were lost because bench.py's
+stdout JSON line outgrew the driver's capture (BENCH_r06.json and
+BENCH_r11.json: "parsed": null — the driver keeps only the LAST ~2000
+chars of stdout). These tests pin the round-12 fix: the emitted line
+stays under MAX_LINE_BYTES (itself < 2000 with margin) for a full-size
+result, per-query maps of the secondary scale points NEVER ride the
+line, and nothing is lost — the detail file keeps the complete record.
+"""
 
 import json
 
 import bench
 
+# the empirical driver limit the line must survive, with margin
+DRIVER_CAPTURE_CHARS = 2000
+
 
 def _full_result() -> dict:
-    """A synthetic result at least as large as round 6's real one:
-    14 queries x 3 scale points with per-query IO maps, per-query
-    DuckDB timings at two points, staging policies, streaming block."""
+    """A synthetic result at least as large as round 11's real one
+    (the one that overflowed): 14 queries x 3 scale points with
+    per-query IO maps, per-query DuckDB timings at two points, the
+    set-2 LLM-tier series, staging policies, streaming block."""
     qnames = [f"query_with_a_long_descriptive_name_{i:02d}" for i in range(14)]
     q = {n: 12.345678 for n in qnames}
     io = {
@@ -24,6 +31,7 @@ def _full_result() -> dict:
         }
         for n in qnames
     }
+    s2names = [f"set2_query_with_a_long_name_{i:02d}" for i in range(10)]
     return {
         "metric": "headline_queries_total",
         "value": 123.456,
@@ -55,6 +63,11 @@ def _full_result() -> dict:
             "reps": 3,
             "notes": "x" * 200,
         },
+        "queries2_sf_x10": {n: 16.789012 for n in s2names},
+        "value2_sf_x10": 67.9,
+        "value2_errors": 1,
+        "queries2_errors_x10": {s2names[0]: "SomeError: " + "y" * 180},
+        "srp_incremental_batch_sec": 3.912,
         "duckdb": {n: 0.123 for n in qnames},
         "value_duckdb": 0.67,
         "duckdb_sf_x10": {n: 1.234 for n in qnames},
@@ -71,6 +84,7 @@ def _full_result() -> dict:
         },
         "streaming_rows_per_sec": 6300,
         "streaming_rows_per_sec_saturated": 45800,
+        "streaming_rows_per_sec_state_sized": 19100,
         "streaming_input_rows": 10**6,
         "streaming_batches": 16,
         "streaming_batch_latency_sec": 0.5,
@@ -88,14 +102,24 @@ def _full_result() -> dict:
 def test_line_fits_driver_capture():
     line, detail = bench.split_result(_full_result())
     blob = json.dumps(line)
+    # MAX_LINE_BYTES must itself clear the driver's 2000-char tail
+    # capture with margin — round 11's 4096 allowance did not.
+    assert bench.MAX_LINE_BYTES <= DRIVER_CAPTURE_CHARS - 300
     assert len(blob) <= bench.MAX_LINE_BYTES
     parsed = json.loads(blob)
     # the headline numbers the judge reads must survive on the line
     assert parsed["metric"] == "headline_queries_total"
     assert len(parsed["queries"]) == 14
-    assert "queries_sf_x10" in parsed
+    assert parsed["value_sf_x10"] == 99.9
+    assert parsed["value2_sf_x10"] == 67.9
+    # a set-2 error must be visible ON the line so a partial value2 sum
+    # can never read as an improvement (ADVICE r11)
+    assert parsed["value2_errors"] == 1
+    assert parsed["value_sf_x100"] == 90.0
+    assert parsed["srp_incremental_batch_sec"] == 3.912
     assert parsed["spark_vs_duckdb"]["x10"] == 2.2
     assert parsed["streaming_rows_per_sec_saturated"] == 45800
+    assert parsed["streaming_rows_per_sec_state_sized"] == 19100
     # machine-load evidence must ride the line so floor metrics are
     # attributable (VERDICT r9 item 3)
     assert parsed["load"]["start"] == [0.12, 0.34, 0.56]
@@ -106,10 +130,12 @@ def test_detail_keeps_everything():
     full = _full_result()
     _, detail = bench.split_result(full)
     # the detail file is the FULL record — io maps, duckdb per-query,
-    # methodology, and the x100 subset all present
+    # methodology, the per-query secondary-scale maps, and the x100
+    # subset all present
     for k in full:
         assert k in detail, k
     assert detail["io"] and detail["duckdb"] and detail["queries_sf_x100"]
+    assert detail["queries_sf_x10"] and detail["queries2_sf_x10"]
 
 
 def test_skipped_surfaces_flagged_on_line():
@@ -125,6 +151,10 @@ def test_skipped_surfaces_flagged_on_line():
 
 def test_bulky_keys_never_on_line():
     line, _ = bench.split_result(_full_result())
+    # EVERY per-query map of a secondary scale point stays off the
+    # line — round 11 overflowed the driver capture when one landed
     for k in ("io", "io_multifile", "io_sf_x10", "duckdb", "duckdb_sf_x10",
-              "methodology", "scale_policy", "queries_sf_x100"):
+              "methodology", "scale_policy", "queries_sf_x100",
+              "queries_multifile", "queries_sf_x10", "queries2_sf_x10",
+              "queries2_errors_x10"):
         assert k not in line, k

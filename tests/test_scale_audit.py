@@ -133,6 +133,7 @@ _GLOBAL_WINDOW_ALLOWED = {
     "doc_global_shuffle",
     "doc_shard_pack_global",  # phase-2 cumsum over the <=256 md5-prefix bucket TOTALS of the global token running sum (sampling.bucketed_running_sum)
     "daily_revenue_moving_avg",
+    "doc_hybrid_rrf",  # rank windows over the two DEPTH-row (20) top-k lists; visible as Exchange SinglePartition since probe_row gained its structural limit(1) (round 12)
     "customer_balance_neighbors",  # the same phase-2 cumsum over the ~11k floor(acctbal) bucket COUNTS (visible in the pre-localCheckpoint captured plan since round 10)
     "part_price_size_frontier",  # skyline phase-2 prefix max over the ~1.2k floor(price) bucket MAXIMA (operators/skyline.py)
     "daily_revenue_changepoint",  # CUSUM over the O(calendar days) post-aggregation daily spine, like daily_revenue_moving_avg
@@ -196,6 +197,7 @@ class _PlanCapture:
 
     def __init__(self):
         self.plans: list[str] = []
+        self.analyzed: list[str] = []
 
     def __enter__(self):
         # Patch the CLASSIC DataFrame subclass, not the pyspark.sql
@@ -212,19 +214,20 @@ class _PlanCapture:
         self._orig_ckpt = DataFrame.localCheckpoint
         self._orig_parquet = DataFrameWriter.parquet
         cap = self.plans
+        cap_an = self.analyzed
 
         def ckpt(df_self, *args, **kwargs):
-            cap.append(
-                df_self._jdf.queryExecution().executedPlan().toString()
-            )
+            qe = df_self._jdf.queryExecution()
+            cap.append(qe.executedPlan().toString())
+            cap_an.append(qe.analyzed().toString())
             return self._orig_ckpt(df_self, *args, **kwargs)
 
         def parquet(w_self, *args, **kwargs):
             df = getattr(w_self, "_df", None)
             if df is not None:
-                cap.append(
-                    df._jdf.queryExecution().executedPlan().toString()
-                )
+                qe = df._jdf.queryExecution()
+                cap.append(qe.executedPlan().toString())
+                cap_an.append(qe.analyzed().toString())
             return self._orig_parquet(w_self, *args, **kwargs)
 
         DataFrame.localCheckpoint = ckpt
@@ -239,19 +242,36 @@ class _PlanCapture:
         return False
 
 
-def _physical_plans(spark):
-    plans = {}
+def _collect_plans(spark):
+    """One registry pass yielding BOTH plan texts per query: physical
+    (executed — the shuffle/window/join-strategy audits) and analyzed
+    logical (pre-optimization — the only tree that still shows
+    ResolvedHint nodes, which the forced-broadcast audit needs)."""
+    physical, analyzed = {}, {}
     for name, q in registry.REGISTRY.items():
         with _PlanCapture() as cap:
             df = q.spark_fn(spark, SF_SMOKE)
-            main = df._jdf.queryExecution().executedPlan().toString()
-        plans[name] = "\n".join([main, *cap.plans])
-    return plans
+            qe = df._jdf.queryExecution()
+            main = qe.executedPlan().toString()
+            main_an = qe.analyzed().toString()
+        physical[name] = "\n".join([main, *cap.plans])
+        analyzed[name] = "\n".join([main_an, *cap.analyzed])
+    return physical, analyzed
 
 
 @pytest.fixture(scope="module")
-def all_plans(spark):
-    return _physical_plans(spark)
+def _plan_texts(spark):
+    return _collect_plans(spark)
+
+
+@pytest.fixture(scope="module")
+def all_plans(_plan_texts):
+    return _plan_texts[0]
+
+
+@pytest.fixture(scope="module")
+def all_analyzed(_plan_texts):
+    return _plan_texts[1]
 
 
 def test_no_cartesian_product_anywhere(all_plans):
@@ -303,6 +323,147 @@ def test_unpartitioned_window_detector_trips(spark):
     assert _global_windows(bad._jdf.queryExecution().executedPlan().toString())
     assert not _global_windows(good._jdf.queryExecution().executedPlan().toString())
     assert not _global_windows(unordered._jdf.queryExecution().executedPlan().toString())
+
+
+# --- forced-broadcast audit (VERDICT r11 item 2 / next-round item 3) ---
+#
+# round 11's doc_split_no_leakage force-broadcast a duplication-
+# proportional cluster map — tiny at test SF, an OOM-by-hint at 100 TB
+# with a realistic near-dup rate. The BNLJ audit above cannot see it
+# (it was an equi-join), so this rule walks the ANALYZED logical plan:
+# every ResolvedHint (strategy=broadcast) subtree must bound each file
+# Relation it contains by an Aggregate / Distinct / Limit / literal
+# Range on the path — or read a fixed-cardinality TPC-H dim (region=5,
+# nation=25 rows at EVERY scale factor). An unbounded forced broadcast
+# is a failing build; AQE broadcasts small relations without the hint,
+# so the fix is always "drop the hint".
+
+_PREFIX_CHARS = set(":+- ")
+
+# reviewed exceptions (query name -> why); empty today — keep it that way
+_UNBOUNDED_BROADCAST_ALLOWED: set[str] = set()
+
+
+def _node_depth(line: str) -> int:
+    for i, ch in enumerate(line):
+        if ch not in _PREFIX_CHARS:
+            return i
+    return len(line)
+
+
+def _top_level_groups(s: str) -> int:
+    """Count top-level [...] groups in a node's argument text (global
+    aggregates print one group, grouped aggregates two)."""
+    depth = 0
+    groups = 0
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                groups += 1
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+    return groups
+
+
+def _is_bounding(node: str) -> bool:
+    """True when this logical node (prefix-stripped text) bounds its
+    output independent of input scale, or reduces it enough that the
+    broadcast decision belongs to the caller's review (any Aggregate /
+    Distinct: grouped aggregates over unbounded domains are the
+    reviewer's call — the rule's teeth are raw/filtered corpus scans,
+    the doc_split failure class)."""
+    return node.startswith((
+        "GlobalLimit", "LocalLimit",
+        "Range (", "LocalRelation", "OneRowRelation",
+        "Aggregate ", "Deduplicate", "Distinct",
+    ))
+
+
+def unbounded_broadcast_hints(analyzed: str) -> list[str]:
+    """File Relations inside a broadcast-hint subtree with no bounding
+    ancestor on the path up to the hint — one snippet per bad hint."""
+    lines = analyzed.splitlines()
+    depths = [_node_depth(ln) for ln in lines]
+    hits = []
+    for i, ln in enumerate(lines):
+        if "ResolvedHint (strategy=broadcast)" not in ln:
+            continue
+        d = depths[i]
+        j = i + 1
+        sub = []
+        while j < len(lines) and depths[j] > d:
+            sub.append(j)
+            j += 1
+        for r in sub:
+            node = lines[r][depths[r]:]
+            if not node.startswith("Relation"):
+                continue
+            # region/nation are FIXED-cardinality TPC-H dims (5/25
+            # rows at every scale factor) — a raw broadcast of them is
+            # bounded by the data model, not the plan
+            if "r_regionkey#" in node or "n_nationkey#" in node:
+                continue
+            cur = depths[r]
+            bounded = False
+            for a in range(r - 1, i, -1):
+                if depths[a] < cur:
+                    cur = depths[a]
+                    if _is_bounding(lines[a][depths[a]:]):
+                        bounded = True
+                        break
+            if not bounded:
+                hits.append(node[:100])
+                break  # one flag per hint is enough
+    return hits
+
+
+def test_no_forced_broadcast_of_unbounded_relation(all_analyzed):
+    offenders = {
+        name: hits
+        for name, plan in all_analyzed.items()
+        if name not in _UNBOUNDED_BROADCAST_ALLOWED
+        and (hits := unbounded_broadcast_hints(plan))
+    }
+    assert not offenders, (
+        "F.broadcast forced onto a corpus-proportional relation (OOM by "
+        "hint at scale — drop the hint, AQE broadcasts small relations "
+        f"on its own): {offenders}"
+    )
+
+
+def test_forced_broadcast_detector_trips(spark):
+    # Guard the guard with the round-11 failure shape and its fixes.
+    from pyspark.sql import functions as F
+
+    scan = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+    def analyzed(df):
+        return df._jdf.queryExecution().analyzed().toString()
+
+    raw = scan.select("doc_id").join(
+        F.broadcast(scan.select("doc_id", "source")), "doc_id"
+    )
+    assert unbounded_broadcast_hints(analyzed(raw)), "raw-scan hint must flag"
+    filtered = scan.select("doc_id").join(
+        F.broadcast(scan.where(F.col("n_chars") > 10).select("doc_id")),
+        "doc_id",
+    )
+    assert unbounded_broadcast_hints(analyzed(filtered)), (
+        "a filter does not bound cardinality — must still flag"
+    )
+    limited = scan.join(
+        F.broadcast(scan.select("doc_id").limit(10)), "doc_id"
+    )
+    assert not unbounded_broadcast_hints(analyzed(limited))
+    global_agg = scan.crossJoin(
+        F.broadcast(scan.agg(F.count("*").alias("n")))
+    )
+    assert not unbounded_broadcast_hints(analyzed(global_agg))
+    unhinted = scan.select("doc_id").join(scan.select("doc_id", "source"), "doc_id")
+    assert not unbounded_broadcast_hints(analyzed(unhinted)), (
+        "no hint, no flag — AQE-chosen broadcasts are fine"
+    )
 
 
 def test_packing_windows_are_bucketed_not_whole_source(all_plans):
