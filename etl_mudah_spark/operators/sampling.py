@@ -217,10 +217,20 @@ def grouped_bucketed_running_sum(
 
     ``bucket`` must be NON-NULL and order-aligned with ``order_cols``
     within each group (e.g. ``floor(id / B)`` for an ascending id
-    order). Exactness: integer/decimal ``val`` keeps every partial
-    exact, so the decomposition equals the one-window form row for row.
-    ``bucket_col`` stays visible in the physical plan's window specs so
-    audits can pin the bucketed shape; it is dropped from the result.
+    order), and ``order_cols`` must UNIQUELY key rows within each
+    (group, bucket): the running sum uses an explicit ROWS frame, so
+    on ties it diverges from the default RANGE frame of a plain
+    ``SUM() OVER (ORDER BY ...)`` (RANGE gives every tied row the
+    whole tie class's sum; ROWS gives each a distinct prefix in an
+    arbitrary tie order — ADVICE r11). With unique keys the two frames
+    coincide and the decomposition equals the one-window form row for
+    row; with ties the ROWS semantics is pinned in
+    tests/test_properties.py. NULL group keys are supported: the
+    offsets join is null-safe, so a NULL group is its own partition
+    exactly as ``PARTITION BY`` treats it. Exactness: integer/decimal
+    ``val`` keeps every partial exact. ``bucket_col`` stays visible in
+    the physical plan's window specs so audits can pin the bucketed
+    shape; it is dropped from the result.
     """
     keyed = df.withColumn(bucket_col, bucket).withColumn("_val", val)
     totals = keyed.groupBy(*group_cols, bucket_col).agg(
@@ -232,19 +242,27 @@ def grouped_bucketed_running_sum(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offs = totals.select(
-        *group_cols,
-        bucket_col,
+        *[F.col(c).alias(f"_og_{c}") for c in group_cols],
+        F.col(bucket_col).alias("_og_bk"),
         F.coalesce(F.sum("_tot").over(wcum), F.lit(0)).alias("_off"),
     )
+    # null-SAFE on the group keys (ADVICE r11): a plain equi-join drops
+    # NULL-group rows, while the single-window form keeps NULL as its
+    # own partition. The bucket is contract-NON-NULL, so plain equality
+    # there.
+    cond = F.col(bucket_col) == F.col("_og_bk")
+    for c in group_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_og_{c}"))
     w = (
         Window.partitionBy(*group_cols, bucket_col)
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        keyed.join(F.broadcast(offs), [*group_cols, bucket_col])
+        keyed.join(F.broadcast(offs), cond)
         .withColumn(sum_col, F.sum("_val").over(w) + F.col("_off"))
-        .drop(bucket_col, "_off", "_val")
+        .drop(bucket_col, "_og_bk", "_off", "_val",
+              *[f"_og_{c}" for c in group_cols])
     )
 
 

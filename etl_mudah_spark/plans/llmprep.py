@@ -346,7 +346,10 @@ def _packing_cum(sf_dir: str, df: DataFrame, val_col: str) -> DataFrame:
     return smp.grouped_bucketed_running_sum(
         df,
         ["source"],
-        F.floor(F.col("doc_id") / b).cast("bigint"),
+        # integer DIV, not floor(x / b): double division loses exactness
+        # past 2^53 doc_ids — still monotonic, but bucket widths would
+        # silently drift from ceil(n/PACK_BUCKETS) (ADVICE r11)
+        F.expr(f"doc_id DIV {b}").cast("bigint"),
         [F.col("doc_id")],
         F.col(val_col),
         "cum",

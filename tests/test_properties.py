@@ -70,8 +70,11 @@ def test_grouped_bucketed_running_sum_matches_single_window(spark, rows):
         grouped_bucketed_running_sum,
     )
 
+    # group 3 maps to NULL: the offsets join is null-safe (ADVICE r11),
+    # so a NULL group must behave exactly like PARTITION BY's own
+    # NULL partition, not silently drop its rows
     df = spark.createDataFrame(
-        [(i, f"g{g}", v) for i, (g, v) in enumerate(rows)],
+        [(i, None if g == 3 else f"g{g}", v) for i, (g, v) in enumerate(rows)],
         "id bigint, g string, v bigint",
     )
     got = {
@@ -88,6 +91,56 @@ def test_grouped_bucketed_running_sum_matches_single_window(spark, rows):
         ).collect()
     }
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# grouped_bucketed_running_sum on DUPLICATE order keys: the chosen
+# semantics is an explicit ROWS frame over an arbitrary tie order
+# (ADVICE r11 — the default RANGE frame would give every tied row the
+# whole tie class's sum). Pinned invariants, valid for ANY tie order:
+# each tie class contributes |class| distinct prefix positions, and the
+# class's cumulative total (= the RANGE value) appears among them,
+# because the last tied row processed always closes the class.
+# ---------------------------------------------------------------------------
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 4), st.integers(1, 9)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_grouped_bucketed_running_sum_rows_frame_on_ties(spark, rows):
+    from collections import defaultdict
+
+    from etl_mudah_spark.operators.sampling import (
+        grouped_bucketed_running_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(f"g{g}", k, v) for g, k, v in rows], "g string, k bigint, v bigint"
+    )
+    got = grouped_bucketed_running_sum(
+        df, ["g"], F.expr("k DIV 2"), [F.col("k")], F.col("v")
+    ).collect()
+    by_class = defaultdict(list)
+    for r in got:
+        by_class[(r["g"], r["k"])].append(r["cum"])
+    range_cum = defaultdict(int)
+    totals = defaultdict(int)
+    for g, k, v in sorted(rows):
+        totals[(f"g{g}", k)] += v
+    running = defaultdict(int)
+    for (g, k), tot in sorted(totals.items()):
+        running[g] += tot
+        range_cum[(g, k)] = running[g]
+    for cls, cums in by_class.items():
+        n_rows = sum(1 for g, k, _ in rows if (f"g{g}", k) == cls)
+        # v >= 1, so prefixes within a class strictly increase: the
+        # class must occupy |class| DISTINCT positions (ROWS frame) ...
+        assert len(set(cums)) == n_rows == len(cums), (cls, cums)
+        # ... and close at the RANGE-frame value
+        assert max(cums) == range_cum[cls], (cls, cums, range_cum[cls])
 
 
 # ---------------------------------------------------------------------------
