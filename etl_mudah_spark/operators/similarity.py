@@ -1246,6 +1246,48 @@ def pq_query_index_df(
     return brute_force_topk_df(cand, probe, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def _write_strata(
+    df: DataFrame,
+    index_path: str,
+    keep_cols: list[str] | None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist per-``keep_cols``-combination row counts under
+    ``{index_path}/_strata`` (underscore-invisible to the data scan,
+    like ``_codebooks``). One bounded aggregate at build/append time
+    buys every FILTERED query its stratum cardinality from metadata —
+    no corpus-scan ``.count()`` during plan construction (VERDICT r11
+    item 7). Appends add rows; readers SUM, so batch strata never need
+    read-modify-write."""
+    if not keep_cols:
+        return
+    (
+        df.groupBy(*keep_cols)
+        .agg(F.count("*").alias("n"))
+        .coalesce(1)
+        .write.mode(mode)
+        .parquet(f"{index_path}/_strata")
+    )
+
+
+def index_stratum_count(index_path: str, where: dict) -> int:
+    """Rows in the index matching the ``{keep_col: value}`` equality
+    predicate, from the persisted ``_strata`` relation — a driver-side
+    pyarrow read of an O(|strata|) file, zero Spark jobs (the filtered
+    twin of tables.table_num_rows). Raises FileNotFoundError when the
+    index was built without ``keep_cols``."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as ds
+
+    data = ds.dataset(f"{index_path}/_strata", format="parquet")
+    expr = None
+    for c, v in where.items():
+        e = pc.field(c) == v
+        expr = e if expr is None else expr & e
+    tbl = data.to_table(filter=expr, columns=["n"])
+    return int(sum(tbl.column("n").to_pylist()))
+
+
 def pq_build_index(
     df: DataFrame,
     index_path: str,
@@ -1283,6 +1325,7 @@ def pq_build_index(
     spark.createDataFrame(
         rows, "subspace int, code int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/_codebooks")
+    _write_strata(df, index_path, keep_cols)
 
 
 def pq_query_index(
@@ -1670,6 +1713,7 @@ def ivfpq_build_index(
         ],
         "subspace int, code int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/_codebooks")
+    _write_strata(df, index_path, keep_cols)
 
 
 def _read_codebooks(spark: SparkSession, index_path: str) -> np.ndarray:
@@ -1741,6 +1785,7 @@ def ivfpq_index_append(
         keep_cols=[*(keep_cols or []), "cell"],
         normalize=False,
     ).write.mode("append").partitionBy("cell").parquet(index_path)
+    _write_strata(batch, index_path, keep_cols, mode="append")
 
 
 def _ivfpq_adc_shortlist_df(

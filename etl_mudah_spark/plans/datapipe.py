@@ -2605,7 +2605,10 @@ def ann_pq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_mod=max(1, n // 8192),
     )
     pred = F.col("label") == ANN_FILTER_LABEL
-    nf = emb.where(pred).count()
+    # stratum cardinality from the index's persisted _strata metadata
+    # (written at build with the keep_cols) — the last eager corpus
+    # .count() in an ANN constructor, gone (VERDICT r11 item 7)
+    nf = sim.index_stratum_count(scratch, {"label": ANN_FILTER_LABEL})
     approx = sim.pq_query_index_df(
         spark, emb, scratch, probe, k=10,
         shortlist=max(100, nf // 5), where=pred,

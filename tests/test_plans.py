@@ -350,9 +350,10 @@ def test_ann_plan_builds_use_footer_counts_not_jobs(spark):
     (tables.table_num_rows, a driver-side pyarrow read). Two pins:
     (1) the footer count equals the Spark count (same numbers, zero
     jobs); (2) source inspection — the constructors reference
-    table_num_rows and carry no bare corpus .count() probe. The one
-    allowed exception is ann_pq_filtered_topk's FILTERED stratum count
-    (data-dependent, not derivable from footers)."""
+    table_num_rows and carry no bare corpus .count() probe. Round 12
+    closed the last exception: ann_pq_filtered_topk's FILTERED stratum
+    count now comes from the index's persisted _strata metadata
+    (similarity.index_stratum_count), written at build/append time."""
     import inspect
 
     from etl_mudah_spark.plans import datapipe as dp
@@ -369,14 +370,15 @@ def test_ann_plan_builds_use_footer_counts_not_jobs(spark):
         dp.ann_pq_topk,
         dp.ann_ivfpq_topk,
         dp.ann_ivfpq_filtered_topk,
+        dp.ann_pq_filtered_topk,
         dp.emb_cosine_near_dup,
     ]
     for fn in count_free:
         src = inspect.getsource(fn)
         assert "table_num_rows" in src, fn.__name__
-        assert "emb.count()" not in src, (
+        assert "emb.count()" not in src and ".where(pred).count()" not in src, (
             f"{fn.__name__} re-grew an eager corpus count during plan build"
         )
-    # the filtered-stratum count stays, explicitly
+    # the filtered stratum count reads persisted index metadata
     src = inspect.getsource(dp.ann_pq_filtered_topk)
-    assert "table_num_rows" in src and "emb.where(pred).count()" in src
+    assert "index_stratum_count" in src

@@ -122,3 +122,37 @@ def test_pq_query_index_df_matches_list_probe_path(spark, emb, qvec, tmp_path_fa
     )
     want = sim.pq_query_index(spark, emb, idx, qvec, k=10, shortlist=100)
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+
+def test_pq_index_strata_counts_match_corpus(spark, emb, tmp_path):
+    """_strata metadata written with keep_cols at build must reproduce
+    the per-label Spark counts, sum appended batches, and be readable
+    driver-side with zero Spark jobs (VERDICT r11 item 7 — the count
+    ann_pq_filtered_topk previously ran eagerly at plan build)."""
+    idx = str(tmp_path / "pq_strata")
+    base = emb.where(F.col("vec_id") % 3 != 0)
+    sim.pq_build_index(base, idx, m=8, k=16, keep_cols=["label"])
+    want = {
+        r["label"]: r["n"]
+        for r in base.groupBy("label").agg(F.count("*").alias("n")).collect()
+    }
+    for label, n in want.items():
+        assert sim.index_stratum_count(idx, {"label": label}) == n
+    # missing stratum reads as zero, not an error
+    assert sim.index_stratum_count(idx, {"label": -999}) == 0
+
+
+def test_ivfpq_append_extends_strata(spark, emb, tmp_path):
+    """ivfpq_index_append appends batch strata; readers SUM, so the
+    count equals base + batch without read-modify-write."""
+    idx = str(tmp_path / "ivfpq_strata")
+    base = emb.where(F.col("vec_id") % 3 != 0)
+    batch = emb.where(F.col("vec_id") % 3 == 0)
+    sim.ivfpq_build_index(base, idx, n_cells=4, m=8, k=16, keep_cols=["label"])
+    sim.ivfpq_index_append(spark, idx, batch, keep_cols=["label"])
+    want = {
+        r["label"]: r["n"]
+        for r in emb.groupBy("label").agg(F.count("*").alias("n")).collect()
+    }
+    for label, n in want.items():
+        assert sim.index_stratum_count(idx, {"label": label}) == n
