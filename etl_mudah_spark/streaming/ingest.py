@@ -41,9 +41,15 @@ def stream_ingest_listings(
     max_files_per_trigger: int = 1,
     row_checks=None,
     quarantine_path: str | None = None,
+    state_partitions: int | None = None,
 ) -> None:
     """Run the drop-zone → merged-table pipeline to completion
     (Trigger.AvailableNow semantics via processAllAvailable).
+
+    ``state_partitions`` sizes spark.sql.shuffle.partitions — the
+    state/merge-shuffle width fixed AT QUERY START — to state volume
+    (streaming/pipeline.py state_partitions_for, BASELINE.md §13)
+    instead of leaving the session default.
 
     ``drop_dir`` holds JSON-lines files of raw API listings (the
     ``data[]`` elements: ``{"id": ..., "attributes": {...}}``).
@@ -63,6 +69,8 @@ def stream_ingest_listings(
         raise ValueError(
             "row_checks and quarantine_path must be passed together"
         )
+    if state_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         flat = flatten_listings(batch)
@@ -184,10 +192,16 @@ def stream_scd2_ingest(
     tiebreak_cols: list[str] | None = None,
     max_files_per_trigger: int = 1,
     swap: str = "rename",
+    state_partitions: int | None = None,
 ) -> None:
     """Maintain an SCD type-2 dimension history from a stream of change
     snapshots (CDC feed / periodic dimension dumps in ``drop_dir`` as
     JSON-lines matching ``schema_ddl``).
+
+    ``state_partitions`` sizes spark.sql.shuffle.partitions — the
+    state/merge-shuffle width fixed AT QUERY START — to state volume
+    (streaming/pipeline.py state_partitions_for, BASELINE.md §13)
+    instead of leaving the session default.
 
     Per micro-batch, foreachBatch does the incremental-history dance:
 
@@ -236,6 +250,8 @@ def stream_scd2_ingest(
 
     if swap not in ("rename", "manifest"):
         raise ValueError(f"swap must be 'rename' or 'manifest', got {swap!r}")
+    if state_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
 
     staging = history_path.rstrip("/") + "._staging"
     aside = history_path.rstrip("/") + "._old"
@@ -400,6 +416,7 @@ def stream_ivm_refresh(
     cnt_col: str = "cnt",
     max_files_per_trigger: int = 1,
     keep: int = 2,
+    state_partitions: int | None = None,
 ) -> None:
     """Streaming incremental view maintenance: a CDC change feed
     (JSON-lines ``table_diff``-shaped files landing in ``diff_dir``)
@@ -440,6 +457,8 @@ def stream_ivm_refresh(
             f"stream_ivm_refresh: no live aggregate version at {agg_base!r} "
             "— bootstrap with manifest_publish(summing_agg(snapshot)) first"
         )
+    if state_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
 
     _MARKER = "_applied_batch"
 

@@ -33,8 +33,38 @@ EVENTS_SCHEMA_TEMPLATE = (
     "value double, props string"
 )
 
+# Final StreamingQueryProgress of the last drain_to_parquet run —
+# diagnostics/test surface (state partition counts, batch durations).
+LAST_PROGRESS: dict = {}
 
-def events_raw_schema(spark: SparkSession, events_path: str) -> tuple[str, str]:
+
+def state_partitions_for(
+    state_bytes: int,
+    bytes_per_partition: int = 64 * 1024 * 1024,
+    max_partitions: int | None = None,
+) -> int:
+    """The §13 sizing rule as code: state partitions ~ state volume /
+    per-partition memory budget, NEVER the batch shuffle width.
+
+    The per-trigger floor is the state-store commit fanout — ONE
+    commit file per STATE partition per trigger — so oversized
+    partition counts are pure ledger overhead at small state (measured
+    0.74 -> 0.36 s/batch going 32 -> 1 partitions on a ~800-group
+    state, BASELINE.md §13) while undersized ones OOM at 100 TB state.
+    64 MB/partition default keeps HDFS-backed state snapshots
+    executor-memory-friendly; cap with ``max_partitions`` (e.g. the
+    cluster's core count) when the estimate is loose."""
+    n = max(1, -(-state_bytes // bytes_per_partition))
+    if max_partitions is not None:
+        n = min(n, max_partitions)
+    return n
+
+
+def events_raw_schema(
+    spark: SparkSession,
+    events_path: str,
+    state_partitions: int | None = None,
+) -> tuple[str, str]:
     """Streaming reads need a declared schema, but the testdata's
     ``ts`` physical encoding varies by generation: INT64
     TIMESTAMP(NANOS) (readable only as ``bigint`` via nanosAsLong),
@@ -51,12 +81,19 @@ def events_raw_schema(spark: SparkSession, events_path: str) -> tuple[str, str]:
     # QUERY START and AQE does not coalesce it — under a vanilla
     # session's default 200 that is 200 near-empty state-store tasks
     # per micro-batch (measured 2-5x wall-clock on the stateful
-    # queries). Pin it to the core count here, the chokepoint every
-    # streaming reader passes through; batch queries are unaffected
-    # (AQE re-coalesces them regardless).
+    # queries). This is the chokepoint every streaming reader passes
+    # through, so the state-partition knob lives here:
+    # ``state_partitions`` (size to state volume — see
+    # :func:`state_partitions_for`, the measured §13 rule worth 2.4x
+    # on the per-trigger floor at dashboard-sized state) or the core
+    # count as the prior default. Batch queries are unaffected (AQE
+    # re-coalesces them regardless).
     from etl_mudah_spark.session import default_parallelism
 
-    spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(state_partitions if state_partitions else default_parallelism()),
+    )
     ts_dtype = dict(spark.read.parquet(events_path).dtypes)["ts"]
     return EVENTS_SCHEMA_TEMPLATE.format(ts=ts_dtype), ts_dtype
 
@@ -101,6 +138,14 @@ def drain_to_parquet(stream_df: DataFrame, spark: SparkSession, mode: str) -> Da
     try:
         q.processAllAvailable()
     finally:
+        # surface the final StreamingQueryProgress for observability:
+        # stateOperators[].numShufflePartitions is the ACTUAL state
+        # partition count the store committed per trigger — the number
+        # the state_partitions knob controls, pinned in
+        # tests/test_pipeline_e2e.py at two sizes
+        LAST_PROGRESS.clear()
+        if q.lastProgress is not None:
+            LAST_PROGRESS.update(q.lastProgress)
         q.stop()
     if not os.path.exists(path):
         # No micro-batch produced output: empty result, stream's schema.
@@ -108,8 +153,14 @@ def drain_to_parquet(stream_df: DataFrame, spark: SparkSession, mode: str) -> Da
     return spark.read.parquet(path)
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ddl, ts_dtype = events_raw_schema(spark, os.path.join(sf_dir, "events.parquet"))
+def _events_stream(
+    spark: SparkSession, sf_dir: str, state_partitions: int | None = None
+) -> DataFrame:
+    ddl, ts_dtype = events_raw_schema(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        state_partitions=state_partitions,
+    )
     raw = (
         spark.readStream.schema(ddl)
         .option("pathGlobFilter", "events.parquet")
@@ -118,15 +169,21 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_ts(raw, ts_dtype)
 
 
-def stream_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_hourly_event_counts(
+    spark: SparkSession, sf_dir: str, state_partitions: int | None = None
+) -> DataFrame:
     """Tumbling 1-hour windowed counts/sums per event_type, computed by a
     real streaming query and returned as a batch DataFrame.
 
     Complete output mode, staged to parquet; a 10-minute watermark
     bounds state in the append-mode production variant.
+    ``state_partitions`` sizes the state store to state volume
+    (:func:`state_partitions_for`) instead of the core-count default —
+    the measured 2.4x per-trigger-floor lever at dashboard-sized state
+    (BASELINE.md §13).
     """
     agg = (
-        _events_stream(spark, sf_dir)
+        _events_stream(spark, sf_dir, state_partitions)
         .withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -138,10 +195,13 @@ def stream_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain_to_parquet(agg, spark, "complete")
 
 
-def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming dedup on event_id within a watermark, counted per type."""
+def stream_dedup_events(
+    spark: SparkSession, sf_dir: str, state_partitions: int | None = None
+) -> DataFrame:
+    """Streaming dedup on event_id within a watermark, counted per type.
+    ``state_partitions``: see :func:`state_partitions_for` (§13)."""
     deduped = (
-        _events_stream(spark, sf_dir)
+        _events_stream(spark, sf_dir, state_partitions)
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["event_id"])
     )
@@ -460,7 +520,9 @@ def stream_value_quantile_sketch(
     )
 
 
-def stream_sliding_5min_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_sliding_5min_counts(
+    spark: SparkSession, sf_dir: str, state_partitions: int | None = None
+) -> DataFrame:
     """Sliding 5-minute / 1-minute-hop window counts maintained by the
     stream: watermarked APPEND mode, so each window's count is emitted
     exactly once, when the watermark proves it complete — the

@@ -149,3 +149,40 @@ def test_pipeline_merge_is_idempotent_under_replay(spark, tmp_path):
             key_cols=["listing_id"], order_cols=["ts", "listing_id"],
         )
     assert spark.read.parquet(table).count() == 2
+
+
+def test_state_partitions_knob_sizes_state_store(spark):
+    """BASELINE.md §13 as API (VERDICT r11 item 9): the builders'
+    ``state_partitions`` knob must control the ACTUAL state-store
+    partition count (one commit file per partition per trigger — the
+    measured per-trigger floor), pinned at two sizes via the final
+    StreamingQueryProgress. Results must be identical at any width."""
+    from etl_mudah_spark.streaming import pipeline as pl
+    from tests.conftest import SF_SMOKE
+
+    results = {}
+    for n in (2, 5):
+        df = pl.stream_hourly_event_counts(
+            spark, SF_SMOKE, state_partitions=n
+        )
+        results[n] = {
+            (r["hour_start"], r["event_type"]): (r["cnt"], r["total_value"])
+            for r in df.collect()
+        }
+        ops = pl.LAST_PROGRESS.get("stateOperators") or []
+        assert ops, "no stateOperators in final progress"
+        assert all(op["numShufflePartitions"] == n for op in ops), (
+            n, [op["numShufflePartitions"] for op in ops]
+        )
+    assert results[2] == results[5]
+
+
+def test_state_partitions_for_sizing_rule():
+    from etl_mudah_spark.streaming.pipeline import state_partitions_for
+
+    mb = 1024 * 1024
+    assert state_partitions_for(0) == 1            # floor: never 0
+    assert state_partitions_for(10 * mb) == 1      # dashboard-sized
+    assert state_partitions_for(65 * mb) == 2      # ceil division
+    assert state_partitions_for(64 * 64 * mb) == 64
+    assert state_partitions_for(64 * 64 * mb, max_partitions=32) == 32
