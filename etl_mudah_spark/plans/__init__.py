@@ -66,7 +66,8 @@ _PRIORITY = [
     #     displace the alphabetically-last fillers in (c);
     # (c) alphabetically-first r8-stale names filling the remainder.
     #     Round-13 should resume the r8-stale names at
-    #     nation_customer_stats, then nation_market_share onward.
+    #     nation_acctbal_concentration, then nation_customer_stats
+    #     onward.
     # Window discipline is MACHINE-CHECKED by
     # tests/test_correctness_rotation.py: never-rowed queries must all
     # sit in the window, and the filler slots must go to the stalest
@@ -96,7 +97,7 @@ _PRIORITY = [
     "promotable_widget_suppliers",
     "waiting_sole_late_supplier",
     # --- (b) new in round 12 (never driver-rowed) ---
-    # (none yet — add here as they register)
+    "big_orders_preagg",
     # --- (c) stalest r8 rows, alphabetically first ---
     "brand_type_supplier_counts",
     "cheapest_supplier_per_part",
@@ -126,7 +127,6 @@ _PRIORITY = [
     "late_shipment_priority",
     "lineitem_profile",
     "lineitem_unpivot_metrics",
-    "nation_acctbal_concentration",
 ]
 
 
