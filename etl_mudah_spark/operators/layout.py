@@ -10,7 +10,11 @@ selective-read index, bucketing replaces the join index.
   with the same bucket count join with NO shuffle exchange on either
   side — at 100 TB that turns the nightly fact⨝fact join from the
   cluster's biggest shuffle into a local zip per bucket. Sorted
-  buckets also skip the sort phase of the sort-merge join.
+  buckets also skip the sort phase of the sort-merge join. The same
+  layout makes a groupBy on the bucket key exchange-free — measured
+  worth 2x on the Q18-class ~1.5M-group aggregate at the x100 point
+  (BASELINE.md §17; the write-time rollup `big_orders_preagg` is the
+  stronger composition of the same idea).
 - ``write_partitioned_table``: hive-style partition directories;
   predicates on the partition column prune at PLANNING time (the
   driver never lists, opens, or schedules unmatched partitions).
