@@ -306,9 +306,15 @@ def run_headline(
             # suspenders) a negative delta is meaningless
             io[name] = {k: max(0, m1[k] - m0[k]) // n_runs for k in m1}
         timings[name] = round(statistics.median(reps), 3)
-        reps_used[name] = len(reps)
+        # reps_used counts EXECUTIONS (n_runs), not samples-in-stat: a
+        # slow query shows 2 with the cold run discarded — readable as
+        # "one warm measurement", never mistakable for a single cold
+        # rep (the r11 misreading).
+        reps_used[name] = n_runs
+        cold = " (cold discarded)" if len(reps) < n_runs else ""
         print(
-            f"  [{label}] {name}: {timings[name]}s (median of {len(reps)})",
+            f"  [{label}] {name}: {timings[name]}s "
+            f"(median of {len(reps)} of {n_runs} runs{cold})",
             file=sys.stderr,
         )
     return timings, io, reps_used
@@ -796,6 +802,10 @@ def main() -> None:
             "stat": "median",
             "sink": "noop",
             "merge_stat": "best",  # setup-dominated; best isolates the merge
+            # reps_used counts executions; when a query's FIRST rep
+            # exceeded SLOW_SINGLE_REP_SEC it got one warm follow-up
+            # and the cold sample was discarded from the stat
+            "slow_rep_policy": "warm follow-up, cold discarded",
         },
     }
 
@@ -937,7 +947,15 @@ def main() -> None:
         # staged (customer/orders/lineitem), and each query is sampled
         # once: at 10s+ magnitudes session noise is irrelevant
         # (SLOW_SINGLE_REP_SEC rationale).
-        subset = ["pricing_summary", "big_orders", "keep_one_per_order"]
+        # big_orders_preagg: the Q18 layout lever (write-time rollup,
+        # BASELINE.md §17) gets its own x100 series next to the
+        # re-aggregating form it replaces
+        subset = [
+            "pricing_summary",
+            "big_orders",
+            "big_orders_preagg",
+            "keep_one_per_order",
+        ]
         scratch = tempfile.mkdtemp(prefix="bench_x100_")
         saved_reps = N_REPS
         saved_slow = SLOW_SINGLE_REP_SEC
