@@ -158,3 +158,22 @@ def test_bulky_keys_never_on_line():
               "queries_multifile", "queries_sf_x10", "queries2_sf_x10",
               "queries2_errors_x10"):
         assert k not in line, k
+
+
+def test_bench_query_lists_resolve_in_registry():
+    """Every name bench.py times must exist in the registry (BENCH_FNS
+    production overrides excepted by construction) — a typo in
+    HEADLINE/HEADLINE2/the x100 subset would otherwise surface only as
+    a mid-run KeyError after minutes of staging."""
+    import etl_mudah_spark.plans  # noqa: F401  (registers queries)
+    from etl_mudah_spark.plans.registry import REGISTRY
+
+    for name in bench.HEADLINE + bench.HEADLINE2:
+        assert name in REGISTRY or name in bench.BENCH_FNS, name
+    # the x100 subset literal inside main(); pin the names it uses
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    for name in ("pricing_summary", "big_orders", "big_orders_preagg",
+                 "keep_one_per_order"):
+        assert f'"{name}"' in src and name in REGISTRY, name

@@ -64,3 +64,16 @@ def test_doc_dup_clusters_sizes_and_survivors(spark, expected):
     # exactly one survivor per cluster
     survivors = [r["doc_id"] for r in rows if r["is_survivor"]]
     assert sorted(survivors) == sorted(sizes)
+
+
+def test_doc_split_no_leakage_requires_convergence():
+    """The no_leakage=true contract is 'zero cross-split pairs BY
+    CONSTRUCTION', which only a completed transitive closure delivers —
+    the plan must pass on_nonconverged='raise' (ADVICE r11), never the
+    warn default that would emit a false audit row."""
+    import inspect
+
+    from etl_mudah_spark.plans import datapipe as dp
+
+    src = inspect.getsource(dp.doc_split_no_leakage)
+    assert 'on_nonconverged="raise"' in src
