@@ -141,11 +141,12 @@ BENCH_FNS = {
 # Second measured set (VERDICT r10 item 7): the 14 headliners cover the
 # TPC-H/star/stream classes, but 200+ registered queries — the LLM-prep
 # and eval tiers especially — previously had NO wall-time series, so a
-# perf regression there surfaced only if correctness broke. One rep
-# each at the x10 staged point (these run as registered, verification
-# twins included — this series tracks REGRESSION, not peak throughput;
-# set SPARK_GRAFT_BENCH_SET2=0 to skip). Failures are recorded
-# per-query, never fatal to the record.
+# perf regression there surfaced only if correctness broke. Two reps
+# each at the x10 staged point (one rep measured ±50%+ sampling swings
+# on the sub-5s queries, BASELINE.md §18; these run as registered,
+# verification twins included — this series tracks REGRESSION, not
+# peak throughput; set SPARK_GRAFT_BENCH_SET2=0 to skip). Failures are
+# recorded per-query, never fatal to the record.
 HEADLINE2 = [
     "corpus_prep_e2e",
     "doc_bm25_search",
@@ -945,7 +946,12 @@ def main() -> None:
                 ),
             }
             if os.environ.get("SPARK_GRAFT_BENCH_SET2", "1") != "0":
-                N_REPS = 1
+                # 2 reps, not 1: the round-12 set-2 read showed four
+                # sub-5s queries swinging >50% purely from single-rep
+                # sampling (BASELINE.md §18) — a regression series
+                # nobody can read isn't a series. Slow queries still
+                # stop after one WARM rep via the cold-discard policy.
+                N_REPS = 2
                 s2_timings: dict[str, float] = {}
                 s2_errors: dict[str, str] = {}
                 for s2name in HEADLINE2:
