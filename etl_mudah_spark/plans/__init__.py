@@ -55,78 +55,76 @@ from etl_mudah_spark.plans import mlq  # noqa: F401
 # CORRECTNESS_r{_WINDOW_ROUND}.json and goes red only if a LATER
 # round runs without a rotation — fixing the r10 lifecycle flaw where
 # the guard was red for half of every round by construction.
-_WINDOW_ROUND = 12
+_WINDOW_ROUND = 13
 
 _PRIORITY = [
-    # Round-12 window (exactly 50 names):
-    # (a) the 21 remaining r7-stale names (events_funnel, then
-    #     events_hourly onward alphabetically) — after this round, no
-    #     driver row is older than r8;
-    # (b) round-12 additions (never driver-rowed), if any — they
+    # Round-13 window (exactly 50 names):
+    # (a) the 22 remaining r8-stale names (nation_acctbal_concentration
+    #     onward alphabetically) — after this round, no driver row is
+    #     older than r9;
+    # (b) round-13 additions (never driver-rowed), if any — they
     #     displace the alphabetically-last fillers in (c);
-    # (c) alphabetically-first r8-stale names filling the remainder.
-    #     Round-13 should resume the r8-stale names at
-    #     nation_acctbal_concentration, then nation_customer_stats
-    #     onward.
+    # (c) alphabetically-first r9-stale names filling the remainder.
+    #     Round-14 should resume the r9-stale names at
+    #     doc_stratified_sample onward.
     # Window discipline is MACHINE-CHECKED by
-    # tests/test_correctness_rotation.py: never-rowed queries must all
-    # sit in the window, and the filler slots must go to the stalest
-    # recorded names — the rotation can no longer be silently missed.
-    # All registered queries are additionally sim-checked at sf0.01
-    # every round regardless (scripts/driver_sim.py).
-    # --- (a) the 21 r7-stale names ---
-    "events_funnel",
-    "events_hourly",
-    "events_hourly_dense",
-    "events_hourly_interpolated",
-    "events_json_stats",
-    "events_retention",
-    "events_session_concurrency",
-    "events_sessionize",
-    "events_stream_dedup",
-    "events_stream_hourly",
-    "events_stream_sessions",
-    "forecast_revenue_change",
-    "orders_customer_fk_audit",
-    "orders_per_customer_dist",
-    "orders_priority_agg_ivm",
-    "orders_quality_report",
-    "orders_reject_profile",
-    "orders_version_diff",
-    "parts_pareto_80",
-    "promotable_widget_suppliers",
-    "waiting_sole_late_supplier",
-    # --- (b) new in round 12 (never driver-rowed) ---
-    "big_orders_preagg",
-    # --- (c) stalest r8 rows, alphabetically first ---
-    "brand_type_supplier_counts",
-    "cheapest_supplier_per_part",
-    "customer_erasure_audit",
-    "customers_churned",
-    "customers_retained",
-    "customers_without_orders",
-    "doc_bigram_pmi",
-    "doc_chunks",
-    "doc_decontaminate_spans",
-    "doc_dup_clusters",
-    "doc_minhash_incremental",
-    "doc_minhash_near_dup",
-    "doc_prefix_jaccard",
-    "doc_quality_model",
-    "doc_simhash_near_dup",
-    "doc_weighted_sample",
-    "emb_cosine_near_dup_lsh",
-    "events_asof_last_view",
-    "events_daily_ewma",
-    "events_key_skew",
-    "events_promo_range_join",
-    "events_stream_attribution",
-    "events_user_hll",
-    "events_value_quantiles",
-    "idle_rich_customers_by_nation",
-    "late_shipment_priority",
-    "lineitem_profile",
-    "lineitem_unpivot_metrics",
+    # tests/test_correctness_rotation.py. All registered queries are
+    # additionally sim-checked at sf0.01 every round regardless
+    # (scripts/driver_sim.py).
+    # --- (a) the 22 r8-stale names ---
+    "nation_acctbal_concentration",
+    "nation_customer_stats",
+    "nation_market_share",
+    "orders_cube_status_priority",
+    "orders_pivot_status",
+    "part_basket_lift",
+    "part_name_fuzzy_pairs",
+    "price_bins",
+    "price_kde",
+    "price_model_r2",
+    "promo_revenue_by_month",
+    "qty_price_corr",
+    "rollup_region_nation",
+    "running_customer_revenue",
+    "salted_event_totals",
+    "share_above_avg",
+    "small_qty_part_revenue",
+    "state_market_stats",
+    "term_idf_top20",
+    "top_supplier_by_revenue",
+    "vocab_cms_topk",
+    "vocab_topk",
+    # --- (b) new in round 13 (never driver-rowed) ---
+    # (added as registered during the round)
+    # --- (c) stalest r9 rows, alphabetically first ---
+    "ann_batch_topk",
+    "ann_filtered_indexed",
+    "ann_filtered_topk",
+    "ann_ivfpq_filtered_topk",
+    "ann_pq_filtered_topk",
+    "big_orders",
+    "brand_price_regression",
+    "brand_share",
+    "customer_balance_neighbors",
+    "customer_order_links",
+    "customer_priority_scd2",
+    "customer_shard_routing",
+    "daily_revenue_changepoint",
+    "distinct_priorities",
+    "doc_bm25_search",
+    "doc_bpe_token_stats",
+    "doc_containment_pairs",
+    "doc_dedup_keep_best",
+    "doc_dup_triangles",
+    "doc_excise_repeated_spans",
+    "doc_hybrid_rrf",
+    "doc_keyness_g2",
+    "doc_lang_guess",
+    "doc_media_features",
+    "doc_quality",
+    "doc_quality_auc",
+    "doc_quality_calibration",
+    "doc_repeated_spans",
 ]
 
 
