@@ -69,7 +69,11 @@ def stream_ingest_listings(
         raise ValueError(
             "row_checks and quarantine_path must be passed together"
         )
+    prior_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions:
+        # Restored in the run's finally: streaming state width is fixed
+        # at query start, but later batch queries in this session must
+        # keep the session default (AQE only coalesces down, never up).
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
@@ -115,6 +119,7 @@ def stream_ingest_listings(
         q.processAllAvailable()
     finally:
         q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prior_shuffle)
 
 
 def stream_ingest_listings_live(
@@ -250,7 +255,11 @@ def stream_scd2_ingest(
 
     if swap not in ("rename", "manifest"):
         raise ValueError(f"swap must be 'rename' or 'manifest', got {swap!r}")
+    prior_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions:
+        # Restored in the run's finally: streaming state width is fixed
+        # at query start, but later batch queries in this session must
+        # keep the session default (AQE only coalesces down, never up).
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
 
     staging = history_path.rstrip("/") + "._staging"
@@ -402,6 +411,7 @@ def stream_scd2_ingest(
         q.processAllAvailable()
     finally:
         q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prior_shuffle)
 
 
 def stream_ivm_refresh(
@@ -457,7 +467,11 @@ def stream_ivm_refresh(
             f"stream_ivm_refresh: no live aggregate version at {agg_base!r} "
             "— bootstrap with manifest_publish(summing_agg(snapshot)) first"
         )
+    prior_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions:
+        # Restored in the run's finally: streaming state width is fixed
+        # at query start, but later batch queries in this session must
+        # keep the session default (AQE only coalesces down, never up).
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
 
     _MARKER = "_applied_batch"
@@ -497,3 +511,4 @@ def stream_ivm_refresh(
         q.processAllAvailable()
     finally:
         q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prior_shuffle)

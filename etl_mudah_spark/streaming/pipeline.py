@@ -37,6 +37,34 @@ EVENTS_SCHEMA_TEMPLATE = (
 # diagnostics/test surface (state partition counts, batch durations).
 LAST_PROGRESS: dict = {}
 
+# Single-slot save of the session's spark.sql.shuffle.partitions from
+# before a streaming builder resized it (events_raw_schema saves,
+# drain_to_parquet / the builder's own drain restores). Streaming state
+# width is fixed AT QUERY START, so the conf must stay resized until
+# .start() — a plain context manager around the set alone would restore
+# too early; this slot spans the build→start→drain window instead.
+# Without the restore, a stream sized to dashboard state (e.g.
+# state_partitions=1) would leave every LATER batch shuffle in the
+# session planned 1-wide: AQE only coalesces partitions DOWN, never up
+# (ADVICE r12).
+_PRIOR_SHUFFLE: list[str] = []
+
+
+def _save_and_set_shuffle_width(spark: SparkSession, n: int) -> None:
+    """Set the streaming state width, saving the session default once
+    per build→drain span (re-entrant: a builder reading two streams
+    saves only the true prior)."""
+    if not _PRIOR_SHUFFLE:
+        _PRIOR_SHUFFLE.append(spark.conf.get("spark.sql.shuffle.partitions"))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+
+
+def restore_shuffle_width(spark: SparkSession) -> None:
+    """Restore the pre-stream session shuffle width (no-op if nothing
+    is pending). Every drain path must call this in a finally."""
+    if _PRIOR_SHUFFLE:
+        spark.conf.set("spark.sql.shuffle.partitions", _PRIOR_SHUFFLE.pop())
+
 
 def state_partitions_for(
     state_bytes: int,
@@ -86,13 +114,15 @@ def events_raw_schema(
     # ``state_partitions`` (size to state volume — see
     # :func:`state_partitions_for`, the measured §13 rule worth 2.4x
     # on the per-trigger floor at dashboard-sized state) or the core
-    # count as the prior default. Batch queries are unaffected (AQE
-    # re-coalesces them regardless).
+    # count as the prior default. The session default is SAVED here and
+    # restored by the drain (drain_to_parquet finally) so later batch
+    # queries in the same session are planned at the session width, not
+    # the stream's — AQE only coalesces down, never up.
     from etl_mudah_spark.session import default_parallelism
 
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        str(state_partitions if state_partitions else default_parallelism()),
+    _save_and_set_shuffle_width(
+        spark,
+        state_partitions if state_partitions else default_parallelism(),
     )
     ts_dtype = dict(spark.read.parquet(events_path).dtypes)["ts"]
     return EVENTS_SCHEMA_TEMPLATE.format(ts=ts_dtype), ts_dtype
@@ -147,6 +177,7 @@ def drain_to_parquet(stream_df: DataFrame, spark: SparkSession, mode: str) -> Da
         if q.lastProgress is not None:
             LAST_PROGRESS.update(q.lastProgress)
         q.stop()
+        restore_shuffle_width(spark)
     if not os.path.exists(path):
         # No micro-batch produced output: empty result, stream's schema.
         return spark.createDataFrame([], stream_df.schema)
@@ -378,6 +409,7 @@ def stream_cms_counters(
         q.processAllAvailable()
     finally:
         q.stop()
+        restore_shuffle_width(spark)
     if latest["path"] is None:
         # empty stream: derive the group columns' REAL types from the
         # source schema (a hardcoded string type would break unions
@@ -567,4 +599,8 @@ def stream_sliding_5min_counts(
         )
         return drain_to_parquet(agg, spark, "append")
     finally:
+        # drain_to_parquet restores on success; this covers an
+        # exception between events_raw_schema and the drain (no-op when
+        # the drain already restored).
+        restore_shuffle_width(spark)
         shutil.rmtree(staging, ignore_errors=True)

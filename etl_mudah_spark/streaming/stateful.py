@@ -38,6 +38,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from etl_mudah_spark.streaming.pipeline import (
     drain_to_parquet,
     events_raw_schema,
+    restore_shuffle_width,
     normalize_ts,
 )
 
@@ -192,6 +193,7 @@ def stream_sessionize_native(
         out = drain_to_parquet(sessions, spark, "append")
         return out.where(F.col("user_id") != _SENTINEL_USER)
     finally:
+        restore_shuffle_width(spark)
         shutil.rmtree(staging, ignore_errors=True)
 
 
@@ -227,6 +229,7 @@ def stream_sessionize_stateful(
         out = drain_to_parquet(sessions, spark, "append")
         return out.where(F.col("user_id") != _SENTINEL_USER)
     finally:
+        restore_shuffle_width(spark)
         shutil.rmtree(staging, ignore_errors=True)
 
 
@@ -311,4 +314,5 @@ def stream_unconverted_views(
             .agg(F.count("*").alias("unconverted_views"))
         )
     finally:
+        restore_shuffle_width(spark)
         shutil.rmtree(staging, ignore_errors=True)

@@ -177,6 +177,57 @@ def test_state_partitions_knob_sizes_state_store(spark):
     assert results[2] == results[5]
 
 
+def test_state_partitions_knob_does_not_leak_into_session(spark):
+    """ADVICE r12 (medium): the builders size
+    spark.sql.shuffle.partitions for the stream's state AT QUERY START,
+    but must restore the session default afterward — AQE only coalesces
+    partitions DOWN, so a leaked width of 2 would underparallelize
+    every later batch shuffle planned in this session. Covers both the
+    pipeline drain path and the ingest foreachBatch path."""
+    from etl_mudah_spark.streaming import pipeline as pl
+    from tests.conftest import SF_SMOKE
+
+    default = spark.conf.get("spark.sql.shuffle.partitions")
+    pl.stream_hourly_event_counts(spark, SF_SMOKE, state_partitions=2).collect()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == default
+
+    # the no-knob path resizes to core count and must restore too
+    pl.stream_dedup_events(spark, SF_SMOKE).collect()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == default
+    assert not pl._PRIOR_SHUFFLE, "save slot must be empty after a drain"
+
+
+def test_ingest_state_partitions_restores_session_width(spark, tmp_path):
+    """The ingest twin of the leak test: stream_ingest_listings at
+    state_partitions=1 must leave the session default untouched."""
+    import json
+    import os
+
+    from etl_mudah_spark.streaming.ingest import stream_ingest_listings
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    row = {
+        "id": 1,
+        "attributes": {
+            "subject": "x", "price": 1.0, "brand": "b", "model": "m",
+            "mileage": "0 - 10000", "manufactured_year": "2020",
+            "region_name": "north", "list_time": "2024-01-01 00:00:00",
+        },
+    }
+    (drop / "b0.json").write_text(json.dumps(row) + "\n")
+    default = spark.conf.get("spark.sql.shuffle.partitions")
+    stream_ingest_listings(
+        spark,
+        drop_dir=str(drop),
+        table_path=str(tmp_path / "table"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        state_partitions=1,
+    )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == default
+    assert os.path.exists(str(tmp_path / "table"))
+
+
 def test_state_partitions_for_sizing_rule():
     from etl_mudah_spark.streaming.pipeline import state_partitions_for
 
