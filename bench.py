@@ -87,16 +87,13 @@ def _lsh_cosine_production(spark, sf_dir: str):
 _PREAGG_CACHE: dict[str, str] = {}
 
 
-def _big_orders_preagg_production(spark, sf_dir: str):
-    """big_orders_preagg as PRODUCTION runs it: the per-order rollup is
-    a MAINTAINED layout table (built/refreshed at write time, IVM —
-    BASELINE.md §17), so the bench builds it once per staged dir and
-    times the query against it. The registered query rebuilds the
-    rollup per call (hermetic for the driver); timing that per rep
-    would charge the one-off layout cost to every query."""
+def _prebuild_preagg(spark, sf_dir: str) -> str:
+    """Stage the Q18 per-order rollup once per staged dir (the
+    maintained layout table big_orders_preagg reads) and return its
+    path. Called EAGERLY before the x100 timing loop (ADVICE r12: the
+    lazy in-fn build landed the ~4.4 s one-off cost inside the first
+    timed rep)."""
     import atexit
-
-    from pyspark.sql import functions as F
 
     from etl_mudah_spark.functions.core import dsum2
     from etl_mudah_spark.tables import load
@@ -106,15 +103,38 @@ def _big_orders_preagg_production(spark, sf_dir: str):
         scratch = tempfile.mkdtemp(prefix="bench_preagg_")
         atexit.register(shutil.rmtree, scratch, ignore_errors=True)
         rollup = f"{scratch}/li_order_qty"
+        # Range-sorted by qty_sum: the HAVING filter (> 250) keeps
+        # ~1.5% of rows, so parquet row-group min/max stats skip nearly
+        # the whole rollup scan (x100: 2.24 s -> 1.85 s, r13 decomp).
+        # Free to maintain — IVM rewrites the rollup per refresh anyway.
         (
             load(spark, sf_dir, "lineitem")
             .groupBy("l_orderkey")
             .agg(dsum2("l_quantity").alias("qty_sum"))
+            .repartitionByRange(16, "qty_sum")
+            .sortWithinPartitions("qty_sum")
             .write.mode("overwrite")
             .parquet(rollup)
         )
         _PREAGG_CACHE[sf_dir] = rollup
-    orders = load(spark, sf_dir, "orders")
+    return rollup
+
+
+def _big_orders_preagg_production(spark, sf_dir: str):
+    """big_orders_preagg as PRODUCTION runs it: the per-order rollup is
+    a MAINTAINED layout table (built/refreshed at write time, IVM —
+    BASELINE.md §17), so the bench builds it once per staged dir and
+    times the query against it. The registered query rebuilds the
+    rollup per call (hermetic for the driver); timing that per rep
+    would charge the one-off layout cost to every query."""
+    from pyspark.sql import functions as F
+
+    from etl_mudah_spark.tables import load
+
+    rollup = _prebuild_preagg(spark, sf_dir)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
     cust = load(spark, sf_dir, "customer")
     q = spark.read.parquet(rollup).where(F.col("qty_sum") > 250)
     return (
@@ -222,7 +242,7 @@ def bench_merge_upsert(spark, sf_dir: str) -> float:
     return round(best, 3)
 
 
-def bench_srp_incremental(spark, sc_dir: str) -> float:
+def bench_srp_incremental(spark, sc_dir: str) -> dict:
     """Per-batch cost of the PRODUCTION embedding near-dup loop at the
     staged scale point: persisted SRP index over 90% of the corpus
     (built once, untimed — it amortizes across every future batch),
@@ -235,32 +255,114 @@ def bench_srp_incremental(spark, sc_dir: str) -> float:
     per 10% batch vs 66.9 s full re-pair in round 10). Parameters
     mirror scripts/neardup_threeway.py so the series stays comparable
     with the recorded r10 measurement.
+
+    Round-13 stabilization (VERDICT r12 item 2: 3.2-8.1 s on identical
+    code): the probe batch is staged to its own parquet at a PINNED
+    task width (the raw filter's split count varied with staging file
+    layout, and task-count jitter dominated the ±40% band at this ~4 s
+    magnitude), reps rise to min-of-3 after the warm-up, and the full
+    {min, med, max} band is returned — the scalar series key keeps the
+    min, the band lands in BENCH_DETAIL (srp_incremental_batch_band)
+    so the series carries its own spread.
     """
+    import statistics
+
     from pyspark.sql import functions as F
 
     from etl_mudah_spark.operators import similarity as sim
+    from etl_mudah_spark.session import default_parallelism
     from etl_mudah_spark.tables import load
 
     emb = load(spark, sc_dir, "embeddings")
     base = emb.where(F.col("vec_id") % 10 != 0)
-    batch = emb.where(F.col("vec_id") % 10 == 0)
     scratch = tempfile.mkdtemp(prefix="bench_srp_inc_")
     try:
         idx_dir = f"{scratch}/srp_index"
         sim.srp_index_build(base, idx_dir, dim=64, n_planes=8, n_tables=24)
+        batch_dir = f"{scratch}/batch"
+        (
+            emb.where(F.col("vec_id") % 10 == 0)
+            .repartition(default_parallelism())
+            .write.parquet(batch_dir)
+        )
 
         def one_batch():
+            # fresh read per rep: a reused DataFrame would hit Spark's
+            # shuffle-reuse and time skipped stages (round-11 trap note)
             sim.srp_dedup_incremental(
-                spark, batch, idx_dir, dim=64, n_planes=8, n_tables=24,
-                threshold=0.45,
+                spark, spark.read.parquet(batch_dir), idx_dir,
+                dim=64, n_planes=8, n_tables=24, threshold=0.45,
             ).write.mode("overwrite").format("noop").save()
 
         one_batch()  # untimed warm-up: Arrow/UDF worker + codegen state
         # (round-12 runs measured 3.2 vs 8.1 s min-of-2 without it)
-        best = float("inf")
-        for _ in range(2):
+        ts = []
+        for _ in range(3):
             t0 = time.perf_counter()
             one_batch()
+            ts.append(round(time.perf_counter() - t0, 3))
+        return {
+            "min": min(ts),
+            "med": round(statistics.median(ts), 3),
+            "max": max(ts),
+        }
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def bench_q18_ivm_refresh(spark, sc_dir: str) -> float:
+    """Per-batch maintenance cost of the Q18 rollup at the x100 staged
+    point (VERDICT r12 item 4): refresh the per-order summing aggregate
+    from a 10% insert batch via operators/ivm.incremental_agg and write
+    the new version — the cycle a maintained layout table actually pays
+    per ingest batch, measured next to the query it serves
+    (big_orders_preagg). Refresh reads the prior rollup + the batch and
+    rewrites the aggregate (O(rollup + batch)), never raw lineitem —
+    BASELINE.md notes refresh-vs-rebuild."""
+    from pyspark.sql import functions as F
+
+    from etl_mudah_spark.operators.ivm import incremental_agg, summing_agg
+    from etl_mudah_spark.tables import load
+
+    scratch = tempfile.mkdtemp(prefix="bench_q18_ivm_")
+    try:
+        li = load(spark, sc_dir, "lineitem").select("l_orderkey", "l_quantity")
+        base_dir = f"{scratch}/rollup_v0"
+        # Base = the maintained aggregate over the 90% "already
+        # ingested" corpus; the held-out 10% arrives as an insert diff.
+        summing_agg(
+            li.where(F.col("l_orderkey") % 10 != 0),
+            ["l_orderkey"],
+            {"qty_sum": "l_quantity"},
+        ).write.parquet(base_dir)
+        diff_dir = f"{scratch}/diff"
+        (
+            li.where(F.col("l_orderkey") % 10 == 0)
+            .select(
+                F.lit(None).cast("bigint").alias("old_l_orderkey"),
+                F.lit(None).cast(
+                    dict(li.dtypes)["l_quantity"]
+                ).alias("old_l_quantity"),
+                F.col("l_orderkey").alias("new_l_orderkey"),
+                F.col("l_quantity").alias("new_l_quantity"),
+                F.lit("insert").alias("change_type"),
+            )
+            .write.parquet(diff_dir)
+        )
+
+        def one_refresh(version: str) -> None:
+            incremental_agg(
+                spark.read.parquet(base_dir),
+                spark.read.parquet(diff_dir),
+                ["l_orderkey"],
+                {"qty_sum": "l_quantity"},
+            ).write.mode("overwrite").parquet(f"{scratch}/{version}")
+
+        one_refresh("warm")  # codegen/JIT warm-up, same policy as srp
+        best = float("inf")
+        for i in range(2):
+            t0 = time.perf_counter()
+            one_refresh(f"v{i + 1}")
             best = min(best, time.perf_counter() - t0)
         return round(best, 3)
     finally:
@@ -756,6 +858,7 @@ LINE_KEYS = (
     "value2_errors",
     "value_sf_x100",
     "srp_incremental_batch_sec",
+    "q18_ivm_refresh_sec",
     "merge_upsert_batch",
     "value_duckdb",
     "value_duckdb_sf_x10",
@@ -982,9 +1085,11 @@ def main() -> None:
                 # a 100 TB user plans around gets its own
                 # round-over-round line.
                 try:
-                    result["srp_incremental_batch_sec"] = (
-                        bench_srp_incremental(spark, sc_dir)
-                    )
+                    band = bench_srp_incremental(spark, sc_dir)
+                    # scalar series key keeps its r10-r12 meaning (the
+                    # best observed batch); the spread goes to detail
+                    result["srp_incremental_batch_sec"] = band["min"]
+                    result["srp_incremental_batch_band"] = band
                 except Exception as exc:  # recorded, never fatal
                     result["srp_incremental_error"] = str(exc)[:200]
             else:
@@ -1005,12 +1110,17 @@ def main() -> None:
         # (SLOW_SINGLE_REP_SEC rationale).
         # big_orders_preagg: the Q18 layout lever (write-time rollup,
         # BASELINE.md §17) gets its own x100 series next to the
-        # re-aggregating form it replaces
+        # re-aggregating form it replaces.
+        # doc_shard_pack_global (VERDICT r12 item 6): one shuffle-bound
+        # doc-tier query so the x100 series tracks the class the engine
+        # wins at the scale point that predicts 100 TB, not only the
+        # scan-bound headliners.
         subset = [
             "pricing_summary",
             "big_orders",
             "big_orders_preagg",
             "keep_one_per_order",
+            "doc_shard_pack_global",
         ]
         scratch = tempfile.mkdtemp(prefix="bench_x100_")
         saved_reps = N_REPS
@@ -1022,7 +1132,7 @@ def main() -> None:
                 sf_dir,
                 scratch,
                 factor=x2,
-                tables=["customer", "orders", "lineitem"],
+                tables=["customer", "orders", "lineitem", "documents"],
                 target_bytes=64 * 1024 * 1024,
                 cap=64,
                 # Row groups ARE the split granularity: without this the
@@ -1031,6 +1141,12 @@ def main() -> None:
                 # x100 — see operators/layout.py compact_files).
                 row_group_bytes=16 * 1024 * 1024,
             )
+            # Build the Q18 rollup BEFORE the timing loop (ADVICE r12):
+            # lazily building inside the first timed rep charged the
+            # one-off layout cost (~4.4 s at x100) to that rep's IO
+            # average and would define the record under any
+            # single-rep policy.
+            _prebuild_preagg(spark, sc_dir)
             # Median-of-3: reps=1 was measured to swing the three
             # 10s-magnitude queries 1.5-2.5x run to run (page-cache and
             # JIT state dominate a single sample even at this size), so
@@ -1048,17 +1164,50 @@ def main() -> None:
             result[f"value_sf_x{x2}"] = round(sum(x2_timings.values()), 3)
             ddb_x2 = run_duckdb(sc_dir, subset, default_parallelism())
             result[f"duckdb_sf_x{x2}"] = ddb_x2
-            result.setdefault("spark_vs_duckdb", {})[
-                f"x{x2}_scan_bound"
-            ] = round(
-                sum(x2_timings[n] for n in ddb_x2)
-                / sum(ddb_x2.values()),
+            # Ratio keys keep ONE meaning across rounds (ADVICE r12):
+            # x{x2}_scan_bound is the same-work set (Spark and DuckDB
+            # both compute from raw; pricing_summary / big_orders /
+            # keep_one_per_order — the r11 membership), the layout-tier
+            # and doc-tier queries get their own keys. The layout ratio
+            # is explicitly NOT apples-to-apples work (Spark reads the
+            # maintained rollup, DuckDB recomputes from raw lineitem) —
+            # that asymmetry IS the layout lever being measured.
+            same_work = [
+                n for n in ddb_x2
+                if n in ("pricing_summary", "big_orders", "keep_one_per_order")
+            ]
+            ratios = result.setdefault("spark_vs_duckdb", {})
+            ratios[f"x{x2}_scan_bound"] = round(
+                sum(x2_timings[n] for n in same_work)
+                / sum(ddb_x2[n] for n in same_work),
                 2,
             )
+            if "big_orders_preagg" in ddb_x2:
+                ratios[f"x{x2}_layout_tier"] = round(
+                    x2_timings["big_orders_preagg"]
+                    / ddb_x2["big_orders_preagg"],
+                    2,
+                )
+            if "doc_shard_pack_global" in ddb_x2:
+                ratios[f"x{x2}_doc_shuffle"] = round(
+                    x2_timings["doc_shard_pack_global"]
+                    / ddb_x2["doc_shard_pack_global"],
+                    2,
+                )
+            # The rollup's maintenance cost, in-series (VERDICT r12
+            # item 4): refresh the Q18 rollup from a 10% diff batch via
+            # operators/ivm.incremental_agg — the number that justifies
+            # "maintained table" next to the per-query rebuild.
+            try:
+                result["q18_ivm_refresh_sec"] = bench_q18_ivm_refresh(
+                    spark, sc_dir
+                )
+            except Exception as exc:  # pragma: no cover
+                result["q18_ivm_refresh_error"] = str(exc)[:200]
             result["scale_policy_x2"] = {
                 "factor": x2,
                 "bytes": sc_bytes,
-                "tables": ["customer", "orders", "lineitem"],
+                "tables": ["customer", "orders", "lineitem", "documents"],
                 "queries": subset,
                 "reps": 3,
             }

@@ -1270,6 +1270,36 @@ def _write_strata(
     )
 
 
+def _check_strata_keep_cols(
+    index_path: str, keep_cols: list[str] | None
+) -> None:
+    """Fail an index APPEND whose ``keep_cols`` disagrees with the
+    build's persisted ``_strata`` layout (ADVICE r12: omitting
+    keep_cols on an append to a strata-backed index silently skipped
+    the ``_strata`` append, so index_stratum_count undercounted forever
+    after and filtered queries sized shortlists from stale counts)."""
+    import os
+
+    import pyarrow.dataset as ds
+
+    strata_dir = f"{index_path}/_strata"
+    built_with = None
+    if os.path.exists(strata_dir):
+        built_with = sorted(
+            n
+            for n in ds.dataset(strata_dir, format="parquet").schema.names
+            if n != "n"
+        )
+    appending_with = sorted(keep_cols) if keep_cols else None
+    if built_with != appending_with:
+        raise ValueError(
+            f"index at {index_path!r} was built with strata over "
+            f"{built_with} but the append passes keep_cols="
+            f"{appending_with}; pass the build's keep_cols so the "
+            "_strata counts stay true (index_stratum_count reads them)"
+        )
+
+
 def index_stratum_count(index_path: str, where: dict) -> int:
     """Rows in the index matching the ``{keep_col: value}`` equality
     predicate, from the persisted ``_strata`` relation — a driver-side
@@ -1743,7 +1773,13 @@ def ivfpq_index_append(
     with the FROZEN codebooks, append into the batch's cells only.
     Centroid/codebook drift accumulates until :func:`ivf_maintain`'s
     policy (which generalizes: measure occupancy, re-fit past the
-    bound) triggers a rebuild."""
+    bound) triggers a rebuild.
+
+    ``keep_cols`` must match the build's: an append that omits it
+    against an index built with strata would silently skip the
+    ``_strata`` append, and every later filtered query would size its
+    shortlist from stale counts (ADVICE r12) — checked here, loudly."""
+    _check_strata_keep_cols(index_path, keep_cols)
     cents = [
         [float(x) for x in r["centroid"]]
         for r in sorted(

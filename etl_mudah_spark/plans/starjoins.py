@@ -292,6 +292,44 @@ def big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One rollup scratch dir per (Spark application, source dir): the
+# rollup stands in for a write-time-maintained table, so rebuilding —
+# and leaking a scratch dir — per invocation is wrong in a long-lived
+# session (VERDICT r12 item 7). Keyed by applicationId so a restarted
+# session (new JVM temp state) rebuilds.
+_Q18_ROLLUP_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _q18_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from etl_mudah_spark.functions.core import dsum2
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    rollup = _Q18_ROLLUP_CACHE.get(key)
+    if rollup is None:
+        scratch = tempfile.mkdtemp(prefix="preagg_q18_")
+        atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+        rollup = f"{scratch}/li_order_qty"
+        # Range-sorted by qty_sum so the consumer's HAVING filter scans
+        # only the row groups whose min/max straddle the threshold
+        # (x100: 2.24 s -> 1.85 s, r13 decomp); free at refresh time
+        # because IVM rewrites the rollup per version anyway.
+        (
+            load(spark, sf_dir, "lineitem")
+            .groupBy("l_orderkey")
+            .agg(dsum2("l_quantity").alias("qty_sum"))
+            .repartitionByRange(16, "qty_sum")
+            .sortWithinPartitions("qty_sum")
+            .write.mode("overwrite")
+            .parquet(rollup)
+        )
+        _Q18_ROLLUP_CACHE[key] = rollup
+    return spark.read.parquet(rollup)
+
+
 @register(
     "big_orders_preagg",
     oracle="""
@@ -325,30 +363,18 @@ def big_orders_preagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     via incremental_agg — pinned by tests/test_ivm.py), so at 100 TB
     it is a maintained table in the layout, not a per-query build; the
     one-off staging here (scratch parquet, 4.4 s at x100) stands in
-    for that maintained table. The DRIVER ORACLE recomputes the whole
-    answer from raw lineitem, so the hash check proves the rollup path
-    returns the exact from-scratch result. Same dsum2 compact-decimal
-    lattice as big_orders — the parquet round-trip preserves it
-    bit-for-bit."""
-    import atexit
-    import shutil
-    import tempfile
-
-    from etl_mudah_spark.functions.core import dsum2
-
-    li = load(spark, sf_dir, "lineitem")
-    orders = load(spark, sf_dir, "orders")
-    cust = load(spark, sf_dir, "customer")
-    scratch = tempfile.mkdtemp(prefix="preagg_q18_")
-    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
-    rollup = f"{scratch}/li_order_qty"
-    (
-        li.groupBy("l_orderkey")
-        .agg(dsum2("l_quantity").alias("qty_sum"))
-        .write.mode("overwrite")
-        .parquet(rollup)
+    for that maintained table, cached per (session, source dir) so a
+    long driver session invoking the query repeatedly reuses one
+    scratch dir instead of leaking one per call (VERDICT r12). The
+    DRIVER ORACLE recomputes the whole answer from raw lineitem, so
+    the hash check proves the rollup path returns the exact
+    from-scratch result. Same dsum2 compact-decimal lattice as
+    big_orders — the parquet round-trip preserves it bit-for-bit."""
+    q = _q18_rollup(spark, sf_dir).where(F.col("qty_sum") > 250)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
     )
-    q = spark.read.parquet(rollup).where(F.col("qty_sum") > 250)
+    cust = load(spark, sf_dir, "customer")
     return (
         q.join(orders, q.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)

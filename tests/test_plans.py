@@ -382,3 +382,22 @@ def test_ann_plan_builds_use_footer_counts_not_jobs(spark):
     # the filtered stratum count reads persisted index metadata
     src = inspect.getsource(dp.ann_pq_filtered_topk)
     assert "index_stratum_count" in src
+
+
+def test_big_orders_preagg_reuses_rollup_scratch(spark):
+    """VERDICT r12 item 7: the registered preagg query stands in for a
+    maintained layout table — repeated invocation in one session must
+    reuse one scratch rollup, not leak a dir per call."""
+    import glob
+    import tempfile
+
+    pat = tempfile.gettempdir() + "/preagg_q18_*"
+    fn = registry.REGISTRY["big_orders_preagg"].spark_fn
+    before = set(glob.glob(pat))
+    r1 = fn(spark, SF_SMOKE).collect()
+    mid = set(glob.glob(pat)) - before
+    r2 = fn(spark, SF_SMOKE).collect()
+    after = set(glob.glob(pat)) - before
+    assert len(mid) == 1, f"first call should stage exactly one dir: {mid}"
+    assert after == mid, f"second call leaked scratch: {after - mid}"
+    assert r1 == r2

@@ -156,3 +156,34 @@ def test_ivfpq_append_extends_strata(spark, emb, tmp_path):
     }
     for label, n in want.items():
         assert sim.index_stratum_count(idx, {"label": label}) == n
+
+
+def test_ivfpq_append_keep_cols_mismatch_raises(spark, emb, tmp_path):
+    """ADVICE r12: appending WITHOUT keep_cols to a strata-backed index
+    silently skipped the _strata append — index_stratum_count then
+    undercounted forever with no error. Now both directions of the
+    mismatch fail loudly before any rows land."""
+    import pytest
+
+    idx = str(tmp_path / "ivfpq_guard")
+    base = emb.where(F.col("vec_id") % 3 != 0)
+    batch = emb.where(F.col("vec_id") % 3 == 0)
+    sim.ivfpq_build_index(base, idx, n_cells=4, m=8, k=16, keep_cols=["label"])
+    with pytest.raises(ValueError, match="keep_cols"):
+        sim.ivfpq_index_append(spark, idx, batch)  # omitted
+    with pytest.raises(ValueError, match="keep_cols"):
+        sim.ivfpq_index_append(spark, idx, batch, keep_cols=["source"])
+    # no partial append happened: counts still equal the base's
+    want = {
+        r["label"]: r["n"]
+        for r in base.groupBy("label").agg(F.count("*").alias("n")).collect()
+    }
+    for label, n in want.items():
+        assert sim.index_stratum_count(idx, {"label": label}) == n
+
+    # strata-less index + keep_cols on append is the other direction
+    idx2 = str(tmp_path / "ivfpq_guard2")
+    sim.ivfpq_build_index(base, idx2, n_cells=4, m=8, k=16)
+    with pytest.raises(ValueError, match="keep_cols"):
+        sim.ivfpq_index_append(spark, idx2, batch, keep_cols=["label"])
+    sim.ivfpq_index_append(spark, idx2, batch)  # matching: fine
