@@ -72,6 +72,8 @@ def batch_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_id_col: str = "probe_id",
+    corpus_cols: tuple[str, ...] = (),
+    pair_filter=None,
 ) -> DataFrame:
     """Exact cosine top-k for EVERY probe in ONE corpus pass — the
     batch-retrieval shape a training pipeline actually runs (N query
@@ -90,16 +92,38 @@ def batch_topk(
 
     Ties break on (rounded cosine desc, id asc) in BOTH stages, so the
     result is deterministic and engine-reproducible.
+
+    PAIR-PREDICATE RETRIEVAL: ``pair_filter`` (a Column) restricts the
+    scored (probe, candidate) pairs BEFORE the top-k — the predicate
+    may reference any extra column the probe relation carries (they
+    ride the broadcast) and any ``corpus_cols`` (pruned into the scan).
+    This is the hard-negative-mining shape (candidates whose label
+    DIFFERS from the anchor's) and differs from metadata-filtered ANN
+    (ann_filtered_topk): the predicate relates the two SIDES, so it
+    cannot be pushed below the join — but it applies map-side on the
+    broadcast-joined stream, before any shuffle.
     """
     from pyspark.sql import Window
 
+    extra_probe = [
+        c for c in probes.columns if c not in (probe_id_col, vec_col)
+    ]
     p = probes.select(
-        F.col(probe_id_col), as_double(F.col(vec_col)).alias("_pv")
+        F.col(probe_id_col),
+        as_double(F.col(vec_col)).alias("_pv"),
+        *extra_probe,
     )
-    c = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("_cv"))
+    c = df.select(
+        F.col(id_col),
+        as_double(F.col(vec_col)).alias("_cv"),
+        *[F.col(x) for x in corpus_cols],
+    )
     scored = c.join(
         F.broadcast(p), F.col(id_col) != F.col(probe_id_col)
-    ).select(
+    )
+    if pair_filter is not None:
+        scored = scored.where(pair_filter)
+    scored = scored.select(
         probe_id_col,
         id_col,
         F.round(cosine(F.col("_cv"), F.col("_pv")), 4).alias("cosine_sim"),

@@ -66,7 +66,7 @@ _PRIORITY = [
     #     displace the alphabetically-last fillers in (c);
     # (c) alphabetically-first r9-stale names filling the remainder.
     #     Round-14 should resume the r9-stale names at
-    #     doc_stratified_sample onward.
+    #     doc_quality_calibration onward (doc_repeated_spans next).
     # Window discipline is MACHINE-CHECKED by
     # tests/test_correctness_rotation.py. All registered queries are
     # additionally sim-checked at sf0.01 every round regardless
@@ -95,7 +95,8 @@ _PRIORITY = [
     "vocab_cms_topk",
     "vocab_topk",
     # --- (b) new in round 13 (never driver-rowed) ---
-    # (added as registered during the round)
+    "emb_hard_negatives",
+    "source_overlap_matrix",
     # --- (c) stalest r9 rows, alphabetically first ---
     "ann_batch_topk",
     "ann_filtered_indexed",
@@ -123,8 +124,6 @@ _PRIORITY = [
     "doc_media_features",
     "doc_quality",
     "doc_quality_auc",
-    "doc_quality_calibration",
-    "doc_repeated_spans",
 ]
 
 

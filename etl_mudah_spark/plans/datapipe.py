@@ -316,6 +316,97 @@ def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_overlap_matrix",
+    oracle=f"""
+    WITH {{ctes}}, lab AS (
+        SELECT LEAST(da.source, db.source) AS source_a,
+               GREATEST(da.source, db.source) AS source_b,
+               p.doc_a, p.doc_b
+        FROM pairs p
+        JOIN documents da ON da.doc_id = p.doc_a
+        JOIN documents db ON db.doc_id = p.doc_b
+    ), expl AS (
+        SELECT DISTINCT source_a, source_b, d
+        FROM lab, UNNEST([doc_a, doc_b]) AS t(d)
+    )
+    SELECT l.source_a, l.source_b,
+           CAST(l.np AS BIGINT) AS n_pairs,
+           CAST(e.nd AS BIGINT) AS n_docs
+    FROM (
+        SELECT source_a, source_b, COUNT(*) AS np
+        FROM lab GROUP BY source_a, source_b
+    ) l
+    JOIN (
+        SELECT source_a, source_b, COUNT(*) AS nd
+        FROM expl GROUP BY source_a, source_b
+    ) e USING (source_a, source_b)
+    ORDER BY source_a, source_b
+    """.replace("{ctes}", _jaccard_pairs_ctes(0.2)),
+    doc=(
+        "Cross-source contamination matrix: near-dup pair counts and "
+        "distinct docs involved, per (source, source) cell."
+    ),
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources overlap — the curation question a corpus buyer
+    asks before mixing: per unordered (source, source) cell, the
+    number of exact near-dup pairs (df-capped 3-gram Jaccard >= 0.2,
+    same semantics as doc_ngram_jaccard) and the distinct documents
+    touched. Diagonal cells measure intra-source redundancy;
+    off-diagonal cells measure cross-source contamination (a source
+    republishing another's content inflates its apparent volume and
+    leaks eval data across mixture components).
+
+    Scale: the pair set is the expensive part and reuses the df-capped
+    inverted index (bounded fan-out). The two source lookups are plain
+    doc_id equi-joins of the (small) pair relation against the corpus
+    projection — AQE broadcasts the pair side when it measures small;
+    at 100 TB the pair set comes from the maintained MinHash index
+    instead, same downstream algebra."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(
+        docs, threshold=0.2, max_shingle_df=_NGRAM_MAX_SHINGLE_DF
+    ).select("doc_a", "doc_b")
+    src = docs.select("doc_id", "source")
+    lab = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("_sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("_sb")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+    )
+    n_pairs = lab.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("n_pairs")
+    )
+    n_docs = (
+        lab.select(
+            "source_a",
+            "source_b",
+            F.explode(F.array("doc_a", "doc_b")).alias("_d"),
+        )
+        .distinct()
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return n_pairs.join(n_docs, ["source_a", "source_b"]).orderBy(
+        "source_a", "source_b"
+    )
+
+
+@register(
     "doc_prefix_jaccard",
     oracle=rf"""
     WITH words AS (
@@ -768,6 +859,60 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(5)
     )
     return sim.batch_topk(emb, probes, k=5)
+
+
+@register(
+    "emb_hard_negatives",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+    ), scored AS (
+        SELECT b.vec_id AS probe_id, a.vec_id,
+               ROUND({_COS_SQL}, 4) AS cosine_sim
+        FROM e a JOIN e b
+          ON b.vec_id < 5 AND a.vec_id <> b.vec_id AND a.label <> b.label
+    )
+    SELECT probe_id, vec_id, cosine_sim, CAST(rnk AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY probe_id ORDER BY cosine_sim DESC, vec_id ASC
+        ) AS rnk FROM scored
+    ) WHERE rnk <= 5
+    """,
+    doc=(
+        "Hard-negative mining: per anchor (vec_id < 5), the 5 most "
+        "similar vectors with a DIFFERENT label — the contrastive-"
+        "training candidate set."
+    ),
+)
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard negatives: for each anchor, the
+    nearest neighbors whose ``label`` differs — the highest-loss
+    negatives a triplet/contrastive trainer wants. Built on
+    operators/similarity.batch_topk's pair-predicate path: the label
+    inequality relates the two join sides, so it cannot be a
+    pre-filter of either relation; it applies map-side on the
+    broadcast-joined stream before the salted top-k, so the corpus is
+    still scanned once for the whole anchor batch and no
+    corpus-partition window appears (the plan shape the scale audit
+    pins for all batch retrieval)."""
+    emb = load(spark, sf_dir, "embeddings")
+    probes = (
+        emb.where(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            "embedding",
+            F.col("label").alias("p_label"),
+        )
+        .limit(5)
+    )
+    return sim.batch_topk(
+        emb,
+        probes,
+        k=5,
+        corpus_cols=("label",),
+        pair_filter=F.col("label") != F.col("p_label"),
+    )
 
 
 # Minimum hits@10 for the ANN recall invariants: the approximate index

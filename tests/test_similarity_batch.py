@@ -128,3 +128,56 @@ def test_srp_incremental_equals_full_run_batch_pairs(spark, tmp_path):
         if r["id_a"] % 2 == 1 or r["id_b"] % 2 == 1
     }
     assert got == want and got, "known near-dup pairs exist at smoke scale"
+
+
+def test_batch_topk_pair_filter_mines_hard_negatives(spark):
+    """The pair-predicate path (round 13): with a label-inequality
+    filter, every returned candidate's label differs from its anchor's,
+    and the result equals per-probe brute force over the label-filtered
+    corpus (the filter changes WHICH rows rank, not how)."""
+    emb = load(spark, SF_SMOKE, "embeddings")
+    probes = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"),
+        "embedding",
+        F.col("label").alias("p_label"),
+    )
+    got = sim.batch_topk(
+        emb,
+        probes,
+        k=5,
+        corpus_cols=("label",),
+        pair_filter=F.col("label") != F.col("p_label"),
+    ).collect()
+    labels = {r["vec_id"]: r["label"] for r in
+              emb.select("vec_id", "label").collect()}
+    for r in got:
+        assert labels[r["vec_id"]] != labels[r["probe_id"]]
+    by_probe = {}
+    for r in got:
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    for pid, rows in by_probe.items():
+        rows.sort(key=lambda r: r["rank"])
+        qvec = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == pid).first()["embedding"]
+        ]
+        brute = sim.brute_force_topk(
+            emb.where(
+                (F.col("vec_id") != pid)
+                & (F.col("label") != labels[pid])
+            ),
+            qvec,
+            k=5,
+        ).collect()
+        assert [(r["vec_id"], r["cosine_sim"]) for r in rows] == [
+            (b["vec_id"], b["cosine_sim"]) for b in brute
+        ]
+
+
+def test_batch_topk_without_filter_unchanged_by_new_params(spark):
+    """Default-path regression pin: the new corpus_cols/pair_filter
+    parameters must not perturb the unfiltered result."""
+    emb = load(spark, SF_SMOKE, "embeddings")
+    a = sim.batch_topk(emb, _probes(emb), k=3).collect()
+    b = sim.batch_topk(emb, _probes(emb), k=3, corpus_cols=()).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
