@@ -74,6 +74,7 @@ def batch_topk(
     probe_id_col: str = "probe_id",
     corpus_cols: tuple[str, ...] = (),
     pair_filter=None,
+    keep_pair_cols: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k for EVERY probe in ONE corpus pass — the
     batch-retrieval shape a training pipeline actually runs (N query
@@ -123,10 +124,17 @@ def batch_topk(
     )
     if pair_filter is not None:
         scored = scored.where(pair_filter)
+    # keep_pair_cols rides the probe extras + corpus_cols through the
+    # top-k (the kNN-vote consumers need the pair's labels); they are
+    # carried, never partitioned on, so the window shape is unchanged.
+    carry = (
+        [*extra_probe, *corpus_cols] if keep_pair_cols else []
+    )
     scored = scored.select(
         probe_id_col,
         id_col,
         F.round(cosine(F.col("_cv"), F.col("_pv")), 4).alias("cosine_sim"),
+        *carry,
     )
     w_partial = Window.partitionBy(probe_id_col, "_salt").orderBy(
         F.desc("cosine_sim"), F.asc(id_col)
@@ -142,7 +150,7 @@ def batch_topk(
         F.desc("cosine_sim"), F.asc(id_col)
     )
     return (
-        partial.select(probe_id_col, id_col, "cosine_sim")
+        partial.select(probe_id_col, id_col, "cosine_sim", *carry)
         .withColumn("rank", F.row_number().over(w_final))
         .where(F.col("rank") <= k)
     )

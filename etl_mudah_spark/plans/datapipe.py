@@ -862,6 +862,102 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_knn_label_agreement",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+    ), scored AS (
+        SELECT b.vec_id AS probe_id, b.label AS probe_label,
+               a.label AS cand_label,
+               ROUND({_COS_SQL}, 4) AS cosine_sim, a.vec_id
+        FROM e a JOIN e b ON b.vec_id < 25 AND a.vec_id <> b.vec_id
+    ), knn AS (
+        SELECT probe_id, probe_label, cand_label
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY probe_id ORDER BY cosine_sim DESC, vec_id ASC
+            ) AS rnk FROM scored
+        ) WHERE rnk <= 5
+    ), votes AS (
+        SELECT probe_id, probe_label, cand_label, COUNT(*) AS n
+        FROM knn GROUP BY probe_id, probe_label, cand_label
+    ), winner AS (
+        SELECT probe_id, probe_label, cand_label AS voted
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY probe_id ORDER BY n DESC, cand_label ASC
+            ) AS r FROM votes
+        ) WHERE r = 1
+    )
+    SELECT probe_label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           ROUND(AVG(CASE WHEN voted = probe_label THEN 1.0 ELSE 0.0 END), 4)
+             AS agree_rate
+    FROM winner GROUP BY probe_label ORDER BY probe_label
+    """,
+    doc=(
+        "Leave-one-out 5-NN label agreement per label over a 25-anchor "
+        "panel — the embedding/label consistency eval."
+    ),
+)
+def emb_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do an embedding's nearest neighbors share its label? — the
+    cheapest label-quality/embedding-quality eval a curation pipeline
+    runs (low agreement flags noisy labels or a collapsed embedding
+    space). Leave-one-out 5-NN majority vote over a 25-anchor panel,
+    reported as per-label agreement rates.
+
+    Scale: one corpus pass scores the whole anchor panel
+    (operators/similarity.batch_topk — broadcast anchors, salted
+    two-stage top-k); the vote and agreement finishers are bounded
+    aggregates over panel*k rows. A full-corpus eval swaps the panel
+    for a sampled one (doc_stratified_sample's seeded policy) — the
+    panel size, not the corpus, bounds driver-side state. Votes tie-
+    break (count desc, label asc) so the result is deterministic."""
+    emb = load(spark, sf_dir, "embeddings")
+    probes = (
+        emb.where(F.col("vec_id") < 25)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            "embedding",
+            F.col("label").alias("probe_label"),
+        )
+        .limit(25)
+    )
+    knn = sim.batch_topk(
+        emb, probes, k=5, corpus_cols=("label",), keep_pair_cols=True
+    )
+    from pyspark.sql import Window
+
+    votes = knn.groupBy("probe_id", "probe_label", "label").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("n"), F.asc("label")
+    )
+    winner = (
+        votes.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select("probe_id", "probe_label", F.col("label").alias("voted"))
+    )
+    return (
+        winner.groupBy(F.col("probe_label").alias("label"))
+        .agg(
+            F.count("*").alias("n_probes"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("voted") == F.col("probe_label"), 1.0
+                    ).otherwise(0.0)
+                ),
+                4,
+            ).alias("agree_rate"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
     "emb_hard_negatives",
     oracle=f"""
     WITH e AS (
