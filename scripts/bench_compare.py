@@ -31,6 +31,7 @@ SCALARS = [
     "value_sf_x100",
     "merge_upsert_batch",
     "srp_incremental_batch_sec",
+    "q18_ivm_refresh_sec",
     "streaming_rows_per_sec",
     "streaming_rows_per_sec_state_sized",
     "streaming_rows_per_sec_saturated",

@@ -398,6 +398,9 @@ def test_big_orders_preagg_reuses_rollup_scratch(spark):
     mid = set(glob.glob(pat)) - before
     r2 = fn(spark, SF_SMOKE).collect()
     after = set(glob.glob(pat)) - before
-    assert len(mid) == 1, f"first call should stage exactly one dir: {mid}"
+    # <= 1: an earlier test in the same session may already have
+    # populated the per-(application, sf_dir) cache — then BOTH calls
+    # reuse it and stage nothing, which is exactly the contract.
+    assert len(mid) <= 1, f"first call staged more than one dir: {mid}"
     assert after == mid, f"second call leaked scratch: {after - mid}"
     assert r1 == r2
