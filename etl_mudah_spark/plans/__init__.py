@@ -66,7 +66,7 @@ _PRIORITY = [
     #     displace the alphabetically-last fillers in (c);
     # (c) alphabetically-first r9-stale names filling the remainder.
     #     Round-14 should resume the r9-stale names at
-    #     doc_quality_auc onward (doc_quality_calibration,
+    #     doc_quality onward (doc_quality_auc, doc_quality_calibration,
     #     doc_repeated_spans next).
     # Window discipline is MACHINE-CHECKED by
     # tests/test_correctness_rotation.py. All registered queries are
@@ -98,6 +98,7 @@ _PRIORITY = [
     # --- (b) new in round 13 (never driver-rowed) ---
     "emb_hard_negatives",
     "emb_knn_label_agreement",
+    "emb_label_separation",
     "source_overlap_matrix",
     # --- (c) stalest r9 rows, alphabetically first ---
     "ann_batch_topk",
@@ -124,7 +125,6 @@ _PRIORITY = [
     "doc_keyness_g2",
     "doc_lang_guess",
     "doc_media_features",
-    "doc_quality",
 ]
 
 

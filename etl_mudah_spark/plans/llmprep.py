@@ -263,6 +263,126 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "emb_label_separation",
+    oracle="""
+    WITH cent AS (
+        SELECT label, i AS pos, ROUND(AVG(embedding[i + 1]::DOUBLE), 6) AS cv
+        FROM embeddings, UNNEST(range(len(embedding))) AS t(i)
+        GROUP BY label, i
+    ), mem AS (
+        SELECT e.vec_id, e.label,
+               SUM(e.embedding[c.pos + 1]::DOUBLE * c.cv) AS dot,
+               SUM(e.embedding[c.pos + 1]::DOUBLE
+                   * e.embedding[c.pos + 1]::DOUBLE) AS nx,
+               SUM(c.cv * c.cv) AS nc
+        FROM embeddings e JOIN cent c ON c.label = e.label
+        GROUP BY e.vec_id, e.label
+    ), coh AS (
+        SELECT label, ROUND(AVG(dot / (SQRT(nx) * SQRT(nc))), 4) AS cohesion
+        FROM mem GROUP BY label
+    ), cc AS (
+        SELECT a.label AS la, b.label AS lb,
+               SUM(a.cv * b.cv) AS dot,
+               SUM(a.cv * a.cv) AS na,
+               SUM(b.cv * b.cv) AS nb
+        FROM cent a JOIN cent b ON a.pos = b.pos AND a.label <> b.label
+        GROUP BY a.label, b.label
+    ), sep AS (
+        SELECT la AS label,
+               ROUND(MAX(dot / (SQRT(na) * SQRT(nb))), 4) AS separation
+        FROM cc GROUP BY la
+    )
+    SELECT c.label, c.cohesion, s.separation,
+           ROUND(c.cohesion - s.separation, 4) AS margin
+    FROM coh c JOIN sep s USING (label) ORDER BY c.label
+    """,
+    doc=(
+        "Per-label embedding cohesion (mean member-to-centroid cosine) "
+        "vs separation (max inter-centroid cosine) and their margin."
+    ),
+)
+def emb_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the label structure real in embedding space? Per label:
+    cohesion = mean cosine of members to their own centroid,
+    separation = max cosine of the centroid to any OTHER centroid,
+    margin = cohesion - separation. A near-zero or negative margin
+    flags labels the embedding cannot distinguish — the aggregate-level
+    companion to emb_knn_label_agreement's instance-level vote.
+
+    Scale: centroids are a bounded (labels x dim) aggregate; members
+    score against their label's ASSEMBLED centroid via a broadcast
+    join + in-row zip_with fold (map-side, no corpus x dim shuffle);
+    the centroid-centroid matrix is bounded (labels²). Centroid values
+    round to 6 on both sides BEFORE the cosines, so the compounded
+    float path stays oracle-reproducible at the 4-decimal outputs."""
+    from etl_mudah_spark.operators.similarity import as_double
+
+    emb = load(spark, sf_dir, "embeddings")
+    long = emb.select(
+        "label", F.posexplode(as_double(F.col("embedding"))).alias("pos", "val")
+    )
+    cent = long.groupBy("label", "pos").agg(
+        F.round(F.avg("val"), 6).alias("cv")
+    )
+    # bounded: one row per label, array ordered by pos (an Aggregate on
+    # the path, so the broadcast below is provably bounded to the audit)
+    cent_arr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+            lambda s: s["cv"],
+        ).alias("c")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("x"), F.col("c"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    sq = lambda col: F.aggregate(  # noqa: E731
+        F.transform(col, lambda a: a * a), F.lit(0.0), lambda acc, v: acc + v
+    )
+    mem = (
+        emb.select("label", as_double(F.col("embedding")).alias("x"))
+        .join(F.broadcast(cent_arr), "label")
+        .select(
+            "label",
+            (dot / (F.sqrt(sq(F.col("x"))) * F.sqrt(sq(F.col("c"))))).alias(
+                "cos"
+            ),
+        )
+    )
+    coh = mem.groupBy("label").agg(F.round(F.avg("cos"), 4).alias("cohesion"))
+    a = cent.select(F.col("label").alias("la"), "pos", F.col("cv").alias("av"))
+    b = cent.select(F.col("label").alias("lb"), "pos", F.col("cv").alias("bv"))
+    cc = (
+        a.join(b, "pos")
+        .where(F.col("la") != F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(
+            F.sum(F.col("av") * F.col("bv")).alias("dot"),
+            F.sum(F.col("av") * F.col("av")).alias("na"),
+            F.sum(F.col("bv") * F.col("bv")).alias("nb"),
+        )
+    )
+    sep = cc.groupBy(F.col("la").alias("label")).agg(
+        F.round(
+            F.max(F.col("dot") / (F.sqrt("na") * F.sqrt("nb"))), 4
+        ).alias("separation")
+    )
+    return (
+        coh.join(sep, "label")
+        .select(
+            "label",
+            "cohesion",
+            "separation",
+            F.round(F.col("cohesion") - F.col("separation"), 4).alias(
+                "margin"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
 def centroid_assemble(per: DataFrame) -> DataFrame:
     """Presentation-layer re-assembly of long-form centroids into one
     ``array<double>`` row per label, ordered by position."""
