@@ -43,6 +43,26 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _unit_project(
+    df: DataFrame, vec_col, out: str, keep: list
+) -> DataFrame:
+    """Project ``df`` to ``keep`` + a unit-normalized ``out`` array.
+
+    Two steps on purpose: the norm lands in its own column first, so
+    the divide-lambda references a scalar column instead of embedding
+    the aggregate fold — inlined into the lambda, the norm would be
+    re-evaluated per ELEMENT (dim× the work; these higher-order
+    functions are interpreted, not codegen'd)."""
+    return (
+        df.select(*keep, as_double(vec_col).alias("_v"))
+        .withColumn("_n", F.greatest(l2_norm(F.col("_v")), F.lit(1e-12)))
+        .select(
+            *keep,
+            F.transform(F.col("_v"), lambda x: x / F.col("_n")).alias(out),
+        )
+    )
+
+
 def brute_force_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -109,15 +129,19 @@ def batch_topk(
     extra_probe = [
         c for c in probes.columns if c not in (probe_id_col, vec_col)
     ]
-    p = probes.select(
-        F.col(probe_id_col),
-        as_double(F.col(vec_col)).alias("_pv"),
-        *extra_probe,
+    # Normalize BOTH sides in the projections below the join (each row
+    # once), so the per-(probe, candidate) work is ONE dot-product fold
+    # instead of dot + two norms — the norms were being recomputed per
+    # PAIR, i.e. |probes| times per corpus row (round 13; matters for
+    # the interpreted higher-order-function path Spark evaluates these
+    # lambdas on).
+    p = _unit_project(
+        probes, F.col(vec_col), "_pv",
+        [F.col(probe_id_col), *extra_probe],
     )
-    c = df.select(
-        F.col(id_col),
-        as_double(F.col(vec_col)).alias("_cv"),
-        *[F.col(x) for x in corpus_cols],
+    c = _unit_project(
+        df, F.col(vec_col), "_cv",
+        [F.col(id_col), *[F.col(x) for x in corpus_cols]],
     )
     scored = c.join(
         F.broadcast(p), F.col(id_col) != F.col(probe_id_col)
@@ -133,7 +157,7 @@ def batch_topk(
     scored = scored.select(
         probe_id_col,
         id_col,
-        F.round(cosine(F.col("_cv"), F.col("_pv")), 4).alias("cosine_sim"),
+        F.round(dot(F.col("_cv"), F.col("_pv")), 4).alias("cosine_sim"),
         *carry,
     )
     w_partial = Window.partitionBy(probe_id_col, "_salt").orderBy(
