@@ -48,11 +48,14 @@ def _unit_project(
 ) -> DataFrame:
     """Project ``df`` to ``keep`` + a unit-normalized ``out`` array.
 
-    Two steps on purpose: the norm lands in its own column first, so
-    the divide-lambda references a scalar column instead of embedding
-    the aggregate fold — inlined into the lambda, the norm would be
-    re-evaluated per ELEMENT (dim× the work; these higher-order
-    functions are interpreted, not codegen'd)."""
+    Normalizing below the join is the whole point: batch_topk's
+    per-(probe, candidate) cosine used to fold dot + BOTH norms per
+    pair, re-evaluating each corpus row's norm once per probe — on the
+    interpreted higher-order-function path that was ~3x the arithmetic
+    of the bare dot left here (measured 9.7 s -> 1.9 s on the 25-anchor
+    kNN panel at sf0.01). The norm gets its own column first purely for
+    plan readability; a micro-benchmark showed Spark does NOT
+    re-evaluate an inlined norm per element."""
     return (
         df.select(*keep, as_double(vec_col).alias("_v"))
         .withColumn("_n", F.greatest(l2_norm(F.col("_v")), F.lit(1e-12)))
