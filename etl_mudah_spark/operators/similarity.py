@@ -132,6 +132,29 @@ def batch_topk(
     extra_probe = [
         c for c in probes.columns if c not in (probe_id_col, vec_col)
     ]
+    # Name-collision guard (ADVICE r13): after the projections, the
+    # joined pair relation carries probe-side {probe_id_col, extras}
+    # next to corpus-side {id_col, corpus_cols}. A shared name makes
+    # the post-join select / pair_filter ambiguous (AnalysisException
+    # at best, silent wrong-side resolution at worst) — callers
+    # previously avoided it only by convention (p_label renames).
+    probe_side = [probe_id_col, *extra_probe]
+    corpus_side = [id_col, *corpus_cols]
+    clash = set(probe_side) & set(corpus_side)
+    if clash:
+        raise ValueError(
+            f"batch_topk: column name(s) {sorted(clash)} appear on both "
+            "the probe and corpus sides of the pair relation; alias the "
+            "probe extras (e.g. 'label' -> 'probe_label') or corpus_cols "
+            "so pair_filter and the output are unambiguous"
+        )
+    reserved = {"_pv", "_cv", "_v", "_n", "_salt", "_rn", "rank", "cosine_sim"}
+    taken = reserved & set(probe_side + list(corpus_side))
+    if taken:
+        raise ValueError(
+            f"batch_topk: column name(s) {sorted(taken)} collide with "
+            "internal working columns; rename them before calling"
+        )
     # Normalize BOTH sides in the projections below the join (each row
     # once), so the per-(probe, candidate) work is ONE dot-product fold
     # instead of dot + two norms — the norms were being recomputed per

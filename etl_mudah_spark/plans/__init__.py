@@ -55,76 +55,75 @@ from etl_mudah_spark.plans import mlq  # noqa: F401
 # CORRECTNESS_r{_WINDOW_ROUND}.json and goes red only if a LATER
 # round runs without a rotation — fixing the r10 lifecycle flaw where
 # the guard was red for half of every round by construction.
-_WINDOW_ROUND = 13
+_WINDOW_ROUND = 14
 
 _PRIORITY = [
-    # Round-13 window (exactly 50 names):
-    # (a) the 22 remaining r8-stale names (nation_acctbal_concentration
-    #     onward alphabetically) — after this round, no driver row is
-    #     older than r9;
-    # (b) round-13 additions (never driver-rowed), if any — they
+    # Round-14 window (exactly 50 names):
+    # (a) the 26 remaining r9-stale names (doc_quality onward) — after
+    #     this round, no driver row is older than r10;
+    # (b) round-14 additions (never driver-rowed), if any — they
     #     displace the alphabetically-last fillers in (c);
-    # (c) alphabetically-first r9-stale names filling the remainder.
-    #     Round-14 should resume the r9-stale names at
-    #     doc_quality onward (doc_quality_auc, doc_quality_calibration,
-    #     doc_repeated_spans next).
+    # (c) alphabetically-first r10-stale names filling the remainder.
+    #     Round-15 should resume the r10-stale names at
+    #     events_conformal_interval onward.
     # Window discipline is MACHINE-CHECKED by
     # tests/test_correctness_rotation.py. All registered queries are
     # additionally sim-checked at sf0.01 every round regardless
     # (scripts/driver_sim.py).
-    # --- (a) the 22 r8-stale names ---
-    "nation_acctbal_concentration",
-    "nation_customer_stats",
-    "nation_market_share",
-    "orders_cube_status_priority",
-    "orders_pivot_status",
-    "part_basket_lift",
-    "part_name_fuzzy_pairs",
-    "price_bins",
-    "price_kde",
-    "price_model_r2",
-    "promo_revenue_by_month",
-    "qty_price_corr",
-    "rollup_region_nation",
-    "running_customer_revenue",
-    "salted_event_totals",
-    "share_above_avg",
-    "small_qty_part_revenue",
-    "state_market_stats",
-    "term_idf_top20",
-    "top_supplier_by_revenue",
-    "vocab_cms_topk",
-    "vocab_topk",
-    # --- (b) new in round 13 (never driver-rowed) ---
-    "emb_hard_negatives",
-    "emb_knn_label_agreement",
-    "emb_label_separation",
-    "source_overlap_matrix",
-    # --- (c) stalest r9 rows, alphabetically first ---
-    "ann_batch_topk",
-    "ann_filtered_indexed",
-    "ann_filtered_topk",
-    "ann_ivfpq_filtered_topk",
-    "ann_pq_filtered_topk",
-    "big_orders",
-    "brand_price_regression",
-    "brand_share",
-    "customer_balance_neighbors",
-    "customer_order_links",
-    "customer_priority_scd2",
-    "customer_shard_routing",
-    "daily_revenue_changepoint",
-    "distinct_priorities",
-    "doc_bm25_search",
-    "doc_bpe_token_stats",
-    "doc_containment_pairs",
-    "doc_dedup_keep_best",
-    "doc_dup_triangles",
-    "doc_excise_repeated_spans",
-    "doc_hybrid_rrf",
-    "doc_keyness_g2",
-    "doc_lang_guess",
-    "doc_media_features",
+    # --- (a) the 26 r9-stale names ---
+    "doc_quality",
+    "doc_quality_auc",
+    "doc_quality_calibration",
+    "doc_repeated_spans",
+    "doc_stratified_sample",
+    "doc_tfidf_similar",
+    "events_daily_acf",
+    "events_markov_transitions",
+    "events_stream_cms_users",
+    "events_user_paths",
+    "events_value_drift_psi",
+    "events_value_winsorized",
+    "lineitem_bloom_semijoin",
+    "lineitem_zone_pruned_revenue",
+    "orders_benford_audit",
+    "orders_cms_heavy_customers",
+    "orders_dow_seasonality",
+    "orders_hll_distinct",
+    "orders_replica_diff",
+    "part_brand_target_encoding",
+    "part_brand_type_mi",
+    "part_er_match_scores",
+    "part_price_size_frontier",
+    "priority_customer_overlap",
+    "supplier_customer_pagerank",
+    "supplier_reach_khop",
+    # --- (b) new in round 14 (never driver-rowed) ---
+    # (added as they are registered this round)
+    # --- (c) stalest r10 rows, alphabetically first ---
+    "ann_ivfpq_maintained",
+    "ann_recall_at_k",
+    "corpus_prep_e2e",
+    "customer_k_anonymity",
+    "customer_km_survival",
+    "customer_revenue_gini",
+    "customer_revenue_lorenz",
+    "customer_rfm_segments",
+    "daily_revenue_theilsen",
+    "doc_cluster_modularity",
+    "doc_lang_kappa",
+    "doc_novelty_scores",
+    "doc_quality_avg_precision",
+    "doc_quality_brier",
+    "doc_quality_pr_curve",
+    "doc_readability",
+    "doc_split_leakage",
+    "doc_token_budget_mix",
+    "doc_token_stats",
+    "doc_unigram_surprisal",
+    "emb_pca_variance",
+    "emb_semantic_dedup",
+    "emb_srp_incremental_dedup",
+    "events_ab_test",
 ]
 
 

@@ -783,6 +783,25 @@ _COS_SQL = """
        * sqrt(list_sum(list_transform(b.v, x -> x * x))))
 """
 
+# Unit-normalized cosine mirroring operators/similarity.batch_topk's
+# float path EXACTLY (ADVICE r13): Spark scores
+# round(dot(unit_a, unit_b), 4) with each vector normalized ONCE by
+# greatest(norm, 1e-12) (_unit_project). The oracles of the
+# batch_topk-backed queries share that operation order so a value near
+# a .00005 rounding boundary cannot flip the 4th decimal in one engine
+# only, and an all-zero vector scores 0.0 in both engines instead of
+# NULL/NaN on the oracle's divide. The raw dot/(|a||b|) form above
+# stays for the brute_force_topk-backed oracles, which compute exactly
+# that on the Spark side.
+_COS_UNIT_SQL = """
+    list_sum(list_transform(list_zip(
+        list_transform(a.v, x -> x / greatest(
+            sqrt(list_sum(list_transform(a.v, y -> y * y))), 1e-12)),
+        list_transform(b.v, x -> x / greatest(
+            sqrt(list_sum(list_transform(b.v, y -> y * y))), 1e-12))
+    ), x -> x[1] * x[2]))
+"""
+
 
 @register(
     "emb_norm_stats",
@@ -828,7 +847,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     scored AS (
         SELECT b.vec_id AS probe_id, a.vec_id,
-               ROUND({_COS_SQL}, 4) AS cosine_sim
+               ROUND({_COS_UNIT_SQL}, 4) AS cosine_sim
         FROM e a JOIN e b ON b.vec_id < 5 AND a.vec_id <> b.vec_id
     )
     SELECT probe_id, vec_id, cosine_sim, CAST(rnk AS INTEGER) AS rank
@@ -869,7 +888,7 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), scored AS (
         SELECT b.vec_id AS probe_id, b.label AS probe_label,
                a.label AS cand_label,
-               ROUND({_COS_SQL}, 4) AS cosine_sim, a.vec_id
+               ROUND({_COS_UNIT_SQL}, 4) AS cosine_sim, a.vec_id
         FROM e a JOIN e b ON b.vec_id < 25 AND a.vec_id <> b.vec_id
     ), knn AS (
         SELECT probe_id, probe_label, cand_label
@@ -964,7 +983,7 @@ def emb_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
     ), scored AS (
         SELECT b.vec_id AS probe_id, a.vec_id,
-               ROUND({_COS_SQL}, 4) AS cosine_sim
+               ROUND({_COS_UNIT_SQL}, 4) AS cosine_sim
         FROM e a JOIN e b
           ON b.vec_id < 5 AND a.vec_id <> b.vec_id AND a.label <> b.label
     )
@@ -2510,7 +2529,7 @@ def _ann_recall_oracle() -> str:
         SELECT b.probe_id, a.vec_id,
                ROW_NUMBER() OVER (
                    PARTITION BY b.probe_id
-                   ORDER BY ROUND({_COS_SQL}, 4) DESC, a.vec_id ASC
+                   ORDER BY ROUND({_COS_UNIT_SQL}, 4) DESC, a.vec_id ASC
                ) AS rn
         FROM e a
         JOIN (SELECT vec_id AS probe_id, v FROM e

@@ -20,6 +20,7 @@ different source — that is the point of Structured Streaming).
 from __future__ import annotations
 
 import atexit
+import functools
 import glob
 import os
 import shutil
@@ -64,6 +65,27 @@ def restore_shuffle_width(spark: SparkSession) -> None:
     is pending). Every drain path must call this in a finally."""
     if _PRIOR_SHUFFLE:
         spark.conf.set("spark.sql.shuffle.partitions", _PRIOR_SHUFFLE.pop())
+
+
+def _restores_shuffle_width(fn):
+    """Builder-level leak guard (ADVICE r13): every public builder saves
+    the session shuffle width via events_raw_schema and relies on
+    drain_to_parquet's ``finally`` to restore it — but an exception
+    BETWEEN the save and the drain (plan construction, source staging)
+    left the session resized AND the save slot populated, so the next
+    builder skipped its own save and restored the leaked width instead
+    of the true session default. Wrapping the whole builder makes the
+    restore unconditional on every exit path; after a successful drain
+    the slot is already empty and the extra restore is a no-op."""
+
+    @functools.wraps(fn)
+    def wrapper(spark, *args, **kwargs):
+        try:
+            return fn(spark, *args, **kwargs)
+        finally:
+            restore_shuffle_width(spark)
+
+    return wrapper
 
 
 def state_partitions_for(
@@ -200,6 +222,7 @@ def _events_stream(
     return normalize_ts(raw, ts_dtype)
 
 
+@_restores_shuffle_width
 def stream_hourly_event_counts(
     spark: SparkSession, sf_dir: str, state_partitions: int | None = None
 ) -> DataFrame:
@@ -226,6 +249,7 @@ def stream_hourly_event_counts(
     return drain_to_parquet(agg, spark, "complete")
 
 
+@_restores_shuffle_width
 def stream_dedup_events(
     spark: SparkSession, sf_dir: str, state_partitions: int | None = None
 ) -> DataFrame:
@@ -240,6 +264,7 @@ def stream_dedup_events(
     return result.groupBy("event_type").agg(F.count("*").alias("cnt"))
 
 
+@_restores_shuffle_width
 def stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: purchases attributed to a prior
     view by the same user within 30 minutes.
@@ -285,6 +310,7 @@ def stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_restores_shuffle_width
 def stream_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-STATIC join: the events stream enriched with the customer
     dimension (user_id = c_custkey), aggregated per nation.
@@ -311,6 +337,7 @@ def stream_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain_to_parquet(agg, spark, "complete")
 
 
+@_restores_shuffle_width
 def stream_hourly_user_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming build of the mergeable-sketch table
     (operators/rollup.py shape): per-hour HLL sketches of user_id
@@ -331,6 +358,7 @@ def stream_hourly_user_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain_to_parquet(agg, spark, "complete")
 
 
+@_restores_shuffle_width
 def stream_cms_counters(
     spark: SparkSession,
     sf_dir: str,
@@ -430,6 +458,7 @@ def stream_cms_counters(
     return spark.read.parquet(latest["path"])
 
 
+@_restores_shuffle_width
 def stream_value_drift_bins(
     spark: SparkSession,
     sf_dir: str,
@@ -498,6 +527,7 @@ def _stream_side_bin_counts(
     )
 
 
+@_restores_shuffle_width
 def stream_value_ks_binned(
     spark: SparkSession,
     sf_dir: str,
@@ -518,6 +548,7 @@ def stream_value_ks_binned(
     return ks_binned_from_counts(wide, n_bins)
 
 
+@_restores_shuffle_width
 def stream_value_quantile_sketch(
     spark: SparkSession,
     sf_dir: str,
@@ -552,6 +583,7 @@ def stream_value_quantile_sketch(
     )
 
 
+@_restores_shuffle_width
 def stream_sliding_5min_counts(
     spark: SparkSession, sf_dir: str, state_partitions: int | None = None
 ) -> DataFrame:

@@ -197,6 +197,32 @@ def test_state_partitions_knob_does_not_leak_into_session(spark):
     assert not pl._PRIOR_SHUFFLE, "save slot must be empty after a drain"
 
 
+def test_builder_exception_restores_session_width(spark):
+    """ADVICE r13 (low): an exception BETWEEN a builder's shuffle-width
+    save (events_raw_schema) and its drain must still restore the
+    session default AND empty the save slot — otherwise the session
+    stays resized and the NEXT builder skips its own save, restoring
+    the leaked width instead of the true default. Exercised by pointing
+    a builder at a dir with no events file (fails after the save, at
+    stream construction)."""
+    import pytest
+
+    from etl_mudah_spark.streaming import pipeline as pl
+    from tests.conftest import SF_SMOKE
+
+    default = spark.conf.get("spark.sql.shuffle.partitions")
+    with pytest.raises(Exception):
+        pl.stream_hourly_event_counts(
+            spark, "/nonexistent-sf-dir", state_partitions=2
+        )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == default
+    assert not pl._PRIOR_SHUFFLE, "save slot must be empty after failure"
+
+    # and the next builder still saves/restores the TRUE default
+    pl.stream_dedup_events(spark, SF_SMOKE, state_partitions=3).collect()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == default
+
+
 def test_ingest_state_partitions_restores_session_width(spark, tmp_path):
     """The ingest twin of the leak test: stream_ingest_listings at
     state_partitions=1 must leave the session default untouched."""

@@ -404,3 +404,37 @@ def test_big_orders_preagg_reuses_rollup_scratch(spark):
     assert len(mid) <= 1, f"first call staged more than one dir: {mid}"
     assert after == mid, f"second call leaked scratch: {after - mid}"
     assert r1 == r2
+
+
+def test_q18_rollup_cache_invalidates_on_restage(spark, tmp_path):
+    """ADVICE r13: a restaged sf_dir (ingest rewriting the same path
+    within one application) must REBUILD the rollup, not serve results
+    from the stale one — the cache key carries a lineitem file
+    fingerprint (count, bytes, max mtime)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from etl_mudah_spark.plans import starjoins as sj
+
+    sf = str(tmp_path)
+    for t in ("lineitem", "orders", "customer"):
+        shutil.copy(f"{SF_SMOKE}/{t}.parquet", f"{sf}/{t}.parquet")
+    fn = registry.REGISTRY["big_orders_preagg"].spark_fn
+    r1 = fn(spark, sf).collect()
+    fp1 = sj._lineitem_fingerprint(sf)
+
+    # restage: halve lineitem in place (same path, new content)
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    half = li.where(F.col("l_orderkey") % 2 == 0)
+    half.write.mode("overwrite").parquet(f"{sf}/li_new.parquet")
+    os.remove(f"{sf}/lineitem.parquet")
+    shutil.move(f"{sf}/li_new.parquet", f"{sf}/lineitem.parquet")
+
+    fp2 = sj._lineitem_fingerprint(sf)
+    assert fp1 != fp2, "fingerprint must change on restage"
+    r2 = fn(spark, sf).collect()
+    want = registry.REGISTRY["big_orders"].spark_fn(spark, sf).collect()
+    assert r2 == want
+    assert r1 != r2, "halved lineitem must change the top-20"

@@ -181,3 +181,58 @@ def test_batch_topk_without_filter_unchanged_by_new_params(spark):
     a = sim.batch_topk(emb, _probes(emb), k=3).collect()
     b = sim.batch_topk(emb, _probes(emb), k=3, corpus_cols=()).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_batch_topk_per_anchor_result_is_panel_size_invariant(spark):
+    """Panel-size property (VERDICT r13 item 8): each anchor's kNN rows
+    depend only on (anchor, corpus), never on which OTHER anchors share
+    the panel — so growing emb_knn_label_agreement's 25-anchor panel
+    must not change any existing anchor's neighbors or vote. Pinned by
+    exact equality of the shared anchors' rows at two panel sizes, each
+    already brute-force-pinned by the tests above."""
+    emb = load(spark, SF_SMOKE, "embeddings")
+
+    def knn(panel_n):
+        probes = emb.where(F.col("vec_id") < panel_n).select(
+            F.col("vec_id").alias("probe_id"),
+            "embedding",
+            F.col("label").alias("probe_label"),
+        )
+        rows = sim.batch_topk(
+            emb, probes, k=5, corpus_cols=("label",), keep_pair_cols=True
+        ).collect()
+        return sorted(
+            (r["probe_id"], r["rank"], r["vec_id"], r["cosine_sim"],
+             r["probe_label"], r["label"])
+            for r in rows
+            if r["probe_id"] < 10
+        )
+
+    small, big = knn(10), knn(25)
+    assert small and small == big
+
+
+def test_batch_topk_rejects_cross_side_name_collisions(spark):
+    """Collision guard (ADVICE r13): a probe extra sharing a name with
+    id_col or a corpus_cols entry used to resolve ambiguously (or throw
+    a bare AnalysisException deep in the join); it must fail fast with
+    a descriptive error instead."""
+    import pytest
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    # probe carries 'label' un-renamed while corpus_cols also asks for
+    # 'label' — the exact footgun the kNN/hard-negative callers dodge
+    # by convention
+    probes = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding", "label"
+    )
+    with pytest.raises(ValueError, match="label"):
+        sim.batch_topk(emb, probes, k=3, corpus_cols=("label",))
+    # internal working names are reserved too
+    probes2 = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"),
+        "embedding",
+        F.col("label").alias("cosine_sim"),
+    )
+    with pytest.raises(ValueError, match="cosine_sim"):
+        sim.batch_topk(emb, probes2, k=3)
