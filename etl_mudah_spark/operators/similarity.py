@@ -206,6 +206,136 @@ def batch_topk(
     )
 
 
+def mmr_topk(
+    df: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    *,
+    shortlist: int = 20,
+    lam: float = 0.7,
+    penalty: float = 0.3,
+    salt_buckets: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified retrieval: per probe,
+    greedily select ``k`` results from the exact cosine top-``shortlist``,
+    each step maximizing ``lam * relevance - penalty * max-similarity-to-
+    already-selected`` — the re-rank a RAG retriever or a
+    diversity-aware training sampler runs so the result set is not k
+    near-copies of the same document.
+
+    Scale design: stage 1 is :func:`batch_topk` (one corpus pass for
+    the whole probe batch, salted two-stage top-k); everything after
+    operates on the BOUNDED shortlist — ``probes x shortlist`` rows,
+    ``probes x shortlist^2`` pair similarities — and is localCheckpointed
+    so the k-1 greedy iterations (driver-side loop over DataFrames,
+    bounded by the PARAMETER k, never by data) do not replay the corpus
+    scan once per selection step. Scores round to 6 and ties break on
+    (score desc, id asc), so the greedy path is deterministic and
+    oracle-reproducible; ``lam``/``penalty`` are both explicit literals
+    because ``1 - 0.7`` is not the double ``0.3``.
+
+    Returns one row per (probe, step): ``probe_id, id, step (1..k),
+    rel`` (the rounded cosine from stage 1) and ``mmr_score``.
+    """
+    from pyspark.sql import Window
+
+    base = batch_topk(
+        df,
+        probes,
+        k=shortlist,
+        salt_buckets=salt_buckets,
+        id_col=id_col,
+        vec_col=vec_col,
+        probe_id_col=probe_id_col,
+    )
+    unit = _unit_project(df, F.col(vec_col), "_uv", [F.col(id_col)])
+    # bounded: probes x shortlist rows with their unit vectors; the
+    # eager localCheckpoint truncates lineage so the greedy iterations
+    # below reference a materialized tiny relation instead of
+    # re-running the corpus scan ~3^k times (plan-reuse blowup of the
+    # recursive union) — same discipline as the iterative graph ops.
+    cand = (
+        base.select(probe_id_col, id_col, F.col("cosine_sim").alias("rel"))
+        .join(unit, id_col)
+        .localCheckpoint()
+    )
+    a = cand.select(
+        probe_id_col, F.col(id_col).alias("_ia"), F.col("_uv").alias("_va")
+    )
+    b = cand.select(
+        probe_id_col, F.col(id_col).alias("_ib"), F.col("_uv").alias("_vb")
+    )
+    psim = (
+        a.join(b, probe_id_col)
+        .where(F.col("_ia") != F.col("_ib"))
+        .select(
+            probe_id_col,
+            "_ia",
+            "_ib",
+            F.round(dot(F.col("_va"), F.col("_vb")), 4).alias("_sim"),
+        )
+        .localCheckpoint()
+    )
+    slim = cand.select(probe_id_col, id_col, "rel")
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.desc("_score"), F.asc(id_col)
+    )
+    sel = (
+        slim.withColumn("_score", F.round(F.lit(lam) * F.col("rel"), 6))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            probe_id_col,
+            id_col,
+            "rel",
+            F.col("_score").alias("mmr_score"),
+            F.lit(1).alias("step"),
+        )
+    )
+    for step in range(2, k + 1):
+        chosen = sel.select(probe_id_col, F.col(id_col).alias("_ib"))
+        maxsim = (
+            psim.join(chosen, [probe_id_col, "_ib"])
+            .groupBy(probe_id_col, "_ia")
+            .agg(F.max("_sim").alias("_maxsim"))
+            .withColumnRenamed("_ia", id_col)
+        )
+        pick = (
+            slim.join(
+                sel.select(probe_id_col, id_col),
+                [probe_id_col, id_col],
+                "left_anti",
+            )
+            .join(maxsim, [probe_id_col, id_col])
+            .withColumn(
+                "_score",
+                F.round(
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(penalty) * F.col("_maxsim"),
+                    6,
+                ),
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(
+                probe_id_col,
+                id_col,
+                "rel",
+                F.col("_score").alias("mmr_score"),
+                F.lit(step).alias("step"),
+            )
+        )
+        # checkpoint the accumulated selection each step: without it
+        # the recursive union re-executes every prior step's joins and
+        # windows ~3^k times (measured 26 s -> ~8 s at sf0.01); each
+        # checkpoint is a probes x step-row job.
+        sel = sel.unionByName(pick).localCheckpoint()
+    return sel.select(probe_id_col, id_col, "step", "rel", "mmr_score")
+
+
 def probe_row(
     df: DataFrame,
     probe_id: int = 0,

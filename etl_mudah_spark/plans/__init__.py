@@ -65,7 +65,8 @@ _PRIORITY = [
     #     displace the alphabetically-last fillers in (c);
     # (c) alphabetically-first r10-stale names filling the remainder.
     #     Round-15 should resume the r10-stale names at
-    #     events_conformal_interval onward.
+    #     emb_srp_incremental_dedup onward (the round-14 additions
+    #     displaced emb_srp_incremental_dedup and events_ab_test).
     # Window discipline is MACHINE-CHECKED by
     # tests/test_correctness_rotation.py. All registered queries are
     # additionally sim-checked at sf0.01 every round regardless
@@ -98,7 +99,8 @@ _PRIORITY = [
     "supplier_customer_pagerank",
     "supplier_reach_khop",
     # --- (b) new in round 14 (never driver-rowed) ---
-    # (added as they are registered this round)
+    "emb_sim_label_calibration",
+    "emb_mmr_diverse_topk",
     # --- (c) stalest r10 rows, alphabetically first ---
     "ann_ivfpq_maintained",
     "ann_recall_at_k",
@@ -122,8 +124,6 @@ _PRIORITY = [
     "doc_unigram_surprisal",
     "emb_pca_variance",
     "emb_semantic_dedup",
-    "emb_srp_incremental_dedup",
-    "events_ab_test",
 ]
 
 

@@ -1030,6 +1030,193 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "emb_sim_label_calibration",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+    ), scored AS (
+        SELECT b.vec_id AS probe_id, b.label AS probe_label,
+               a.label AS cand_label,
+               ROUND({_COS_UNIT_SQL}, 4) AS cosine_sim, a.vec_id
+        FROM e a JOIN e b ON b.vec_id < 25 AND a.vec_id <> b.vec_id
+    ), knn AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY probe_id ORDER BY cosine_sim DESC, vec_id ASC
+            ) AS rnk FROM scored
+        ) WHERE rnk <= 10
+    )
+    SELECT CAST(FLOOR(cosine_sim * 5) AS INT) AS sim_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(CASE WHEN cand_label = probe_label
+                          THEN 1.0 ELSE 0.0 END), 4) AS same_label_rate,
+           ROUND(AVG(cosine_sim), 4) AS avg_sim
+    FROM knn GROUP BY sim_bin ORDER BY sim_bin
+    """,
+    doc=(
+        "Similarity-score calibration: 10-NN pairs over the 25-anchor "
+        "panel, binned by cosine (width 0.2), with the same-label rate "
+        "per bin — how predictive similarity is of label agreement."
+    ),
+)
+def emb_sim_label_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does higher cosine actually mean same-label? The calibration
+    read behind every similarity threshold a curation pipeline picks
+    (dedup thresholds, hard-negative cutoffs): bin the panel's 10-NN
+    pair similarities and report the per-bin same-label rate. A flat
+    curve flags an embedding whose scores carry no label signal — the
+    threshold-level companion to emb_knn_label_agreement's vote.
+
+    Scale: one batch_topk corpus pass for the whole panel (broadcast
+    bounded anchors, salted two-stage top-k), then a bounded aggregate
+    over panel*k pairs grouped by <= 10 fixed-width bins."""
+    emb = load(spark, sf_dir, "embeddings")
+    probes = (
+        emb.where(F.col("vec_id") < 25)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            "embedding",
+            F.col("label").alias("probe_label"),
+        )
+        .limit(25)
+    )
+    knn = sim.batch_topk(
+        emb, probes, k=10, corpus_cols=("label",), keep_pair_cols=True
+    )
+    return (
+        knn.select(
+            F.floor(F.col("cosine_sim") * 5).cast("int").alias("sim_bin"),
+            F.when(F.col("label") == F.col("probe_label"), 1.0)
+            .otherwise(0.0)
+            .alias("same"),
+            "cosine_sim",
+        )
+        .groupBy("sim_bin")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg("same"), 4).alias("same_label_rate"),
+            F.round(F.avg("cosine_sim"), 4).alias("avg_sim"),
+        )
+        .orderBy("sim_bin")
+    )
+
+
+# MMR panel parameters: small probe panel, bounded shortlist, k picks.
+MMR_PROBES = 3
+MMR_SHORTLIST = 20
+MMR_K = 5
+
+
+def _mmr_oracle(
+    n_probes: int = MMR_PROBES,
+    shortlist: int = MMR_SHORTLIST,
+    k: int = MMR_K,
+    lam: str = "0.7",
+    mu: str = "0.3",
+) -> str:
+    """Unrolled MMR greedy as SQL: shortlist + pair-sim CTEs (both on
+    the unit float path batch_topk/mmr_topk compute), then one CTE per
+    greedy step — step s scores the not-yet-selected shortlist against
+    sel{s-1} and picks the (score desc, id asc) winner. k is a fixed
+    parameter, so the unroll is bounded and mechanical."""
+    unit = (
+        "list_transform(v, x -> x / greatest("
+        "sqrt(list_sum(list_transform(v, y -> y * y))), 1e-12))"
+    )
+    steps = []
+    for s in range(2, k + 1):
+        steps.append(f"""s{s} AS (
+        SELECT probe_id, vec_id, rel, mmr_score, {s} AS step FROM (
+            SELECT c.probe_id, c.vec_id, c.rel,
+                   ROUND({lam} * c.rel - {mu} * m.maxsim, 6) AS mmr_score,
+                   row_number() OVER (
+                       PARTITION BY c.probe_id
+                       ORDER BY ROUND({lam} * c.rel - {mu} * m.maxsim, 6)
+                                DESC, c.vec_id ASC
+                   ) AS rn
+            FROM sl c
+            JOIN (SELECT p.probe_id, p.ia, MAX(p.sim) AS maxsim
+                  FROM ps p JOIN sel{s - 1} q
+                    ON q.probe_id = p.probe_id AND q.vec_id = p.ib
+                  GROUP BY p.probe_id, p.ia) m
+              ON m.probe_id = c.probe_id AND m.ia = c.vec_id
+            ANTI JOIN sel{s - 1} x
+              ON x.probe_id = c.probe_id AND x.vec_id = c.vec_id
+        ) WHERE rn = 1
+    )""")
+        steps.append(
+            f"""sel{s} AS (
+        SELECT * FROM sel{s - 1} UNION ALL SELECT * FROM s{s}
+    )"""
+        )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), u AS (
+        SELECT vec_id, {unit} AS uv FROM e
+    ), scored AS (
+        SELECT b.vec_id AS probe_id, a.vec_id,
+               ROUND({_COS_UNIT_SQL}, 4) AS rel
+        FROM e a JOIN e b ON b.vec_id < {n_probes} AND a.vec_id <> b.vec_id
+    ), sl AS (
+        SELECT probe_id, vec_id, rel FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY probe_id ORDER BY rel DESC, vec_id ASC
+            ) AS rnk FROM scored
+        ) WHERE rnk <= {shortlist}
+    ), ps AS (
+        SELECT x.probe_id, x.vec_id AS ia, y.vec_id AS ib,
+               ROUND(list_sum(list_transform(
+                   list_zip(ua.uv, ub.uv), t -> t[1] * t[2])), 4) AS sim
+        FROM sl x
+        JOIN sl y ON x.probe_id = y.probe_id AND x.vec_id <> y.vec_id
+        JOIN u ua ON ua.vec_id = x.vec_id
+        JOIN u ub ON ub.vec_id = y.vec_id
+    ), sel1 AS (
+        SELECT probe_id, vec_id, rel,
+               ROUND({lam} * rel, 6) AS mmr_score, 1 AS step
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY probe_id
+                ORDER BY ROUND({lam} * rel, 6) DESC, vec_id ASC
+            ) AS rn FROM sl
+        ) WHERE rn = 1
+    ), {', '.join(steps)}
+    SELECT probe_id, vec_id, CAST(step AS INT) AS step, rel, mmr_score
+    FROM sel{k} ORDER BY probe_id, step
+    """
+
+
+@register(
+    "emb_mmr_diverse_topk",
+    oracle=_mmr_oracle(),
+    doc=(
+        f"MMR diversified retrieval: per anchor (vec_id < {MMR_PROBES}), "
+        f"{MMR_K} greedy picks from the exact top-{MMR_SHORTLIST} "
+        "maximizing 0.7*relevance - 0.3*max-sim-to-selected."
+    ),
+)
+def emb_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware retrieval (operators/similarity.mmr_topk): the
+    re-rank a RAG retriever or diversity-aware training sampler runs so
+    the top-k is not k near-copies of one document. One batch_topk
+    corpus pass builds the bounded shortlist; the greedy loop runs over
+    probes x shortlist(^2) localCheckpointed rows, bounded by the k
+    PARAMETER, never by data. The oracle unrolls the same greedy in
+    SQL on the same rounded float path, so the driver hash-verifies
+    every pick and score."""
+    emb = load(spark, sf_dir, "embeddings")
+    probes = (
+        emb.where(F.col("vec_id") < MMR_PROBES)
+        .select(F.col("vec_id").alias("probe_id"), "embedding")
+        .limit(MMR_PROBES)
+    )
+    return sim.mmr_topk(
+        emb, probes, k=MMR_K, shortlist=MMR_SHORTLIST, lam=0.7, penalty=0.3
+    ).orderBy("probe_id", "step")
+
+
 # Minimum hits@10 for the ANN recall invariants: the approximate index
 # must recover >= 9 of the exact top-10 (measured 10/10 for both SRP
 # and PQ at sf0.01; one-neighbor slack for testdata drift).

@@ -48,6 +48,8 @@ _BNLJ_ALLOWED = {
     "ann_batch_topk",  # probe batch (5 rows) broadcast, non-equi self-exclusion
     "emb_hard_negatives",  # same 5-row limit()-bounded anchor batch broadcast; the label-inequality pair filter rides the same non-equi join
     "emb_knn_label_agreement",  # 25-row limit()-bounded anchor panel broadcast, same batch_topk non-equi shape
+    "emb_sim_label_calibration",  # the same 25-row limit()-bounded panel broadcast (batch_topk, k=10)
+    "emb_mmr_diverse_topk",  # 3-row limit()-bounded anchor batch broadcast in the shortlist pass (batch_topk); the greedy steps join bounded checkpointed relations
     "ann_bruteforce_topk",  # 1-row probe_row broadcast (round-6 df-probe)
     "ann_filtered_topk",  # same 1-row probe_row broadcast
     "ann_filtered_indexed",  # same 1-row probe_row broadcast over the IVF scan

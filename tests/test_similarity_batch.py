@@ -212,6 +212,120 @@ def test_batch_topk_per_anchor_result_is_panel_size_invariant(spark):
     assert small and small == big
 
 
+def _half_up(x: float, places: int) -> float:
+    """Mirror Spark's F.round (BigDecimal.valueOf + HALF_UP): Python's
+    built-in round is banker's and would diverge at .5 boundaries."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-places)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def test_mmr_topk_matches_greedy_reference(spark):
+    """mmr_topk must equal a from-scratch Python replication of the
+    greedy on the same rounded float path: per step, argmax of
+    0.7*rel - 0.3*max-sim-to-selected with (score desc, id asc) ties —
+    every pick, rel, and score exactly equal."""
+    import math
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    probes = (
+        emb.where(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("probe_id"), "embedding")
+        .limit(3)
+    )
+    got = sim.mmr_topk(
+        emb, probes, k=5, shortlist=10, lam=0.7, penalty=0.3
+    ).collect()
+    base = sim.batch_topk(emb, probes, k=10).collect()
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+
+    def unit(v):
+        n = max(math.sqrt(sum(x * x for x in v)), 1e-12)
+        return [x / n for x in v]
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    for pid in (0, 1, 2):
+        sl = sorted(
+            (r for r in base if r["probe_id"] == pid),
+            key=lambda r: r["rank"],
+        )
+        cands = [(r["vec_id"], r["cosine_sim"]) for r in sl]
+        selected = []
+        for _step in range(5):
+            chosen_ids = [c for c, _, _ in selected]
+            best = None
+            for cid, rel in cands:
+                if cid in chosen_ids:
+                    continue
+                if selected:
+                    ms = max(
+                        _half_up(dot(unit(vecs[cid]), unit(vecs[s])), 4)
+                        for s in chosen_ids
+                    )
+                    score = _half_up(0.7 * rel - 0.3 * ms, 6)
+                else:
+                    score = _half_up(0.7 * rel, 6)
+                if (
+                    best is None
+                    or score > best[2]
+                    or (score == best[2] and cid < best[0])
+                ):
+                    best = (cid, rel, score)
+            selected.append(best)
+        got_p = sorted(
+            (r for r in got if r["probe_id"] == pid),
+            key=lambda r: r["step"],
+        )
+        assert [(r["step"], r["vec_id"], r["rel"], r["mmr_score"]) for r in got_p] == [
+            (i + 1, c, rel, sc) for i, (c, rel, sc) in enumerate(selected)
+        ]
+
+
+def test_mmr_topk_structure_and_diversity_penalty(spark):
+    """Structural pins: k distinct picks per probe, all drawn from the
+    relevance shortlist; step 1 IS the relevance argmax; and from step
+    2 on the picked scores are non-increasing (each candidate's
+    max-sim-to-selected only grows as the set grows, and the previous
+    argmax left the pool — note a NEGATIVE max-sim is a reward, so
+    step 2 may legitimately exceed 0.7x rel and even step 1's
+    score)."""
+    emb = load(spark, SF_SMOKE, "embeddings")
+    probes = (
+        emb.where(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("probe_id"), "embedding")
+        .limit(3)
+    )
+    got = sim.mmr_topk(emb, probes, k=4, shortlist=12).collect()
+    base = sim.batch_topk(emb, probes, k=12).collect()
+    top1 = {
+        r["probe_id"]: r["vec_id"] for r in base if r["rank"] == 1
+    }
+    short = {}
+    for r in base:
+        short.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    by_probe = {}
+    for r in got:
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    assert sorted(by_probe) == [0, 1, 2]
+    for pid, rows in by_probe.items():
+        ids = [r["vec_id"] for r in sorted(rows, key=lambda r: r["step"])]
+        assert len(ids) == 4 and len(set(ids)) == 4
+        assert set(ids) <= short[pid]
+        assert ids[0] == top1[pid]
+        tail = [
+            r["mmr_score"]
+            for r in sorted(rows, key=lambda r: r["step"])
+            if r["step"] >= 2
+        ]
+        assert tail == sorted(tail, reverse=True)
+
+
 def test_batch_topk_rejects_cross_side_name_collisions(spark):
     """Collision guard (ADVICE r13): a probe extra sharing a name with
     id_col or a corpus_cols entry used to resolve ambiguously (or throw
