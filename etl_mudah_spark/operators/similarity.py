@@ -1086,6 +1086,41 @@ def srp_index_build(
     ).parquet(f"{path}/vectors")
 
 
+def srp_index_append(
+    batch: DataFrame,
+    path: str,
+    dim: int,
+    n_planes: int = 12,
+    n_tables: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append an ingested batch to a persisted SRP index built by
+    :func:`srp_index_build` — the maintenance half of the streaming
+    ingest loop: once a batch has been deduped against the index
+    (:func:`srp_dedup_incremental`), appending it makes every LATER
+    batch see it, so cross-batch pairs surface exactly once.
+
+    O(batch): hashes and writes only the batch (parquet append = new
+    files, no rewrite of the existing index). The (dim, n_planes,
+    n_tables) MUST match the build — the hyperplane family is
+    deterministic in those parameters, and a mismatched append would
+    silently put batch vectors in a different hash space (the same
+    contract-mismatch class ivfpq_index_append guards; here the
+    parameters are caller-held rather than persisted, matching
+    srp_dedup_incremental's existing contract).
+    """
+    buckets = srp_buckets_udf(dim, n_planes, n_tables)
+    batch.select(
+        F.col(id_col), buckets(F.col(vec_col)).alias("bkts")
+    ).write.mode("append").parquet(f"{path}/buckets")
+    batch.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("norm", l2_norm(F.col("v"))).write.mode("append").parquet(
+        f"{path}/vectors"
+    )
+
+
 def srp_dedup_incremental(
     spark: SparkSession,
     batch: DataFrame,

@@ -2651,6 +2651,91 @@ def emb_srp_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "emb_stream_srp_ingest",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT CAST(COUNT(*) AS BIGINT) AS exact_pairs, TRUE AS recall_ok
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE (a.vec_id % 10 = 0 OR b.vec_id % 10 = 0)
+      AND {_COS_SQL} >= {SRP_INCR_THRESHOLD}
+    """,
+    doc=(
+        "Streaming SRP near-dup ingest: the 10% held-out set arrives "
+        "as file-source micro-batches; each is deduped against the "
+        "persisted 90% index then appended to it (foreachBatch). Same "
+        "recall invariant as the one-shot incremental twin."
+    ),
+)
+def emb_stream_srp_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-ingest loop of a 100 TB embedding corpus as ONE
+    Structured Streaming query
+    (streaming/ingest.stream_srp_dedup_ingest): encoder shards land in
+    a drop zone, each micro-batch hashes only itself against the
+    persisted SRP index (O(batch) — corpus projections computed once
+    at build), emits its near-dup pairs, and is appended to the index
+    so later batches see it. Cross-batch pairs surface exactly once
+    (at their later side's arrival); the deterministic hyperplane
+    family makes the union over micro-batches EXACTLY equal the
+    one-shot ``emb_srp_incremental_dedup`` pair set (pinned in
+    tests/test_similarity_batch.py), so the same recall-vs-exact
+    oracle verifies it. 4 micro-batches here; batch count is a
+    harness parameter, not a semantic one."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from etl_mudah_spark.streaming.ingest import stream_srp_dedup_ingest
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 10 != 0)
+    batch = emb.where(F.col("vec_id") % 10 == 0)
+    b, t = sim.srp_params(SRP_INCR_THRESHOLD, 0.95, max_tables=96)
+    scratch = tempfile.mkdtemp(prefix="srp_stream_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    idx = f"{scratch}/idx"
+    sim.srp_index_build(base, idx, dim=EMB_DIM, n_planes=b, n_tables=t)
+    # 4 deterministic range shards = 4 micro-batches (maxFilesPerTrigger=1)
+    batch.repartitionByRange(4, "vec_id").write.parquet(f"{scratch}/drop")
+    found = (
+        stream_srp_dedup_ingest(
+            spark,
+            f"{scratch}/drop",
+            idx,
+            f"{scratch}/pairs",
+            f"{scratch}/ckpt",
+            dim=EMB_DIM,
+            threshold=SRP_INCR_THRESHOLD,
+            n_planes=b,
+            n_tables=t,
+        )
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
+    e = emb.select("vec_id", sim.as_double(F.col("embedding")).alias("v"))
+    a_, b_ = e.alias("a"), e.alias("b")
+    cos = sim.cosine(F.col("a.v"), F.col("b.v"))
+    exact = (
+        a_.join(b_, F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(
+            (
+                (F.col("a.vec_id") % 10 == 0)
+                | (F.col("b.vec_id") % 10 == 0)
+            )
+            & (cos >= SRP_INCR_THRESHOLD)
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+    )
+    return _recall_row(
+        exact, found, SRP_INCR_RECALL_FLOOR, keys=("id_a", "id_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # ann_recall_at_k: recall@10 as a driver-verified MEASUREMENT.
 #

@@ -512,3 +512,102 @@ def stream_ivm_refresh(
     finally:
         q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", prior_shuffle)
+
+
+def stream_srp_dedup_ingest(
+    spark: SparkSession,
+    batch_dir: str,
+    index_path: str,
+    pairs_path: str,
+    checkpoint_dir: str,
+    *,
+    dim: int,
+    threshold: float = 0.45,
+    n_planes: int = 12,
+    n_tables: int = 16,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming embedding near-dup ingest: a file-source stream of
+    embedding batches (in production: the drop zone an encoder job
+    lands shards into, or Kafka) is deduped micro-batch by micro-batch
+    against the persisted SRP index, and each deduped batch is then
+    APPENDED to the index — the full daily-ingest loop of a 100 TB
+    embedding corpus as one Structured Streaming query, instead of the
+    externally-orchestrated batch calls of
+    ``operators/similarity.srp_dedup_incremental``.
+
+    Order of operations inside each micro-batch (micro-batches of one
+    streaming query execute serially, so this sequencing is safe):
+
+    1. ``srp_dedup_incremental(batch, index)`` — pairs of the batch
+       against the corpus-so-far (base corpus + every earlier batch)
+       plus the batch's internal pairs. O(batch) hashing; corpus
+       projections are never recomputed.
+    2. Append the found pairs to ``pairs_path``.
+    3. ``srp_index_append(batch, index)`` — later batches now see this
+       one, so every cross-batch pair surfaces exactly once (when its
+       LATER side arrives); within-batch pairs come from step 1's
+       internal self-join; nothing is reachable twice.
+
+    The union over all micro-batches therefore equals the one-shot
+    incremental result over the concatenated batch — the same
+    deterministic hyperplane family scores the same collisions
+    whichever side of a micro-batch boundary a pair lands on — which
+    equality is pinned exactly in tests/test_similarity_batch.py.
+
+    At-least-once note: step 2 is a blind append, so a crash between
+    it and the checkpoint commit could duplicate a batch's pairs on
+    replay — consumers read pairs with the same least/greatest +
+    distinct normalization the overlap contract already requires
+    (srp_dedup_incremental docstring); the index append is rerun-safe
+    for the DEDUP result (duplicate bucket rows re-collide into
+    already-emitted pairs, removed by the same normalization).
+
+    Returns a lazy batch read of the accumulated pairs (never a
+    driver-side collect).
+    """
+    from etl_mudah_spark.operators import similarity as sim
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        sim.srp_dedup_incremental(
+            spark,
+            batch,
+            index_path,
+            dim=dim,
+            threshold=threshold,
+            n_planes=n_planes,
+            n_tables=n_tables,
+        ).write.mode("append").parquet(pairs_path)
+        sim.srp_index_append(
+            batch,
+            index_path,
+            dim=dim,
+            n_planes=n_planes,
+            n_tables=n_tables,
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "vec_id bigint, embedding array<float>, label int"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(batch_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    import os
+
+    if not os.path.exists(pairs_path):
+        return spark.createDataFrame(
+            [], "id_a bigint, id_b bigint, cosine_sim double"
+        )
+    return spark.read.parquet(pairs_path)

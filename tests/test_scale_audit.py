@@ -58,6 +58,7 @@ _BNLJ_ALLOWED = {
     "ann_ivfpq_filtered_topk",  # same, over the pruned composite index scan
     "emb_semantic_dedup",  # exact all-pairs TWIN side (verification tier, like emb_cosine_near_dup) + 1-row stats broadcast
     "emb_srp_incremental_dedup",  # the same exact all-pairs TWIN side (batch-touching restriction) verifying the incremental index path
+    "emb_stream_srp_ingest",  # same exact all-pairs TWIN side verifying the streaming ingest loop (the streamed pairs themselves come from the bucketed incremental path)
     "vocab_cms_topk",  # 1-row corpus-count broadcast for the CMS slack bound
     "doc_split_no_leakage",  # two 1-row audit aggregates (naive/cluster cross-pair counts) crossJoined onto the 3-row split summary
     "customer_balance_deciles",

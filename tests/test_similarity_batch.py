@@ -350,3 +350,51 @@ def test_batch_topk_rejects_cross_side_name_collisions(spark):
     )
     with pytest.raises(ValueError, match="cosine_sim"):
         sim.batch_topk(emb, probes2, k=3)
+
+
+def test_stream_srp_ingest_equals_one_shot_incremental(spark, tmp_path):
+    """The streaming ingest loop (per-micro-batch dedup + index
+    append) must EXACTLY equal the one-shot srp_dedup_incremental over
+    the concatenated batch: the hyperplane family is deterministic, so
+    a pair collides in the same first table whether its two sides
+    arrive in one micro-batch, in two, or one pre-indexed — cross-batch
+    pairs surface exactly once via the append, never zero or twice."""
+    from etl_mudah_spark.plans.datapipe import EMB_DIM
+    from etl_mudah_spark.streaming.ingest import stream_srp_dedup_ingest
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    corpus = emb.where(F.col("vec_id") % 2 == 0)
+    batch = emb.where(F.col("vec_id") % 2 == 1)
+
+    one_idx = str(tmp_path / "one_idx")
+    sim.srp_index_build(corpus, one_idx, dim=EMB_DIM, n_planes=8, n_tables=24)
+    one = sim.srp_dedup_incremental(
+        spark, batch, one_idx, dim=EMB_DIM, threshold=0.45,
+        n_planes=8, n_tables=24,
+    )
+    want = {
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+        for r in one.collect()
+    }
+
+    st_idx = str(tmp_path / "st_idx")
+    sim.srp_index_build(corpus, st_idx, dim=EMB_DIM, n_planes=8, n_tables=24)
+    batch.repartitionByRange(3, "vec_id").write.parquet(
+        str(tmp_path / "drop")
+    )
+    streamed = stream_srp_dedup_ingest(
+        spark,
+        str(tmp_path / "drop"),
+        st_idx,
+        str(tmp_path / "pairs"),
+        str(tmp_path / "ckpt"),
+        dim=EMB_DIM,
+        threshold=0.45,
+        n_planes=8,
+        n_tables=24,
+    )
+    got = {
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+        for r in streamed.collect()
+    }
+    assert got == want and got, "known near-dup pairs exist at smoke scale"
