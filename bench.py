@@ -425,7 +425,11 @@ SLOW_SINGLE_REP_SEC = 10.0
 
 
 def run_headline(
-    spark, sf_dir: str, label: str, names: list[str] | None = None
+    spark,
+    sf_dir: str,
+    label: str,
+    names: list[str] | None = None,
+    band_names: frozenset[str] = frozenset(),
 ) -> tuple[
     dict[str, float],
     dict[str, dict[str, int]],
@@ -448,9 +452,18 @@ def run_headline(
     raw: dict[str, list[float]] = {}
     for name in names if names is not None else HEADLINE:
         fn = BENCH_FNS.get(name) or registry.REGISTRY[name].spark_fn
+        # band members: the early break would leave a slow query's
+        # band a single warm sample (min=med=max — exactly what it
+        # failed to do for emb_cosine_near_dup_lsh at x10 in r14's
+        # record), so they always take 1 cold + max(N_REPS, 3) warm
+        # reps. Cost is bounded: band membership is per-point opt-in
+        # for the queries whose epoch spread dominates that point's
+        # round-over-round movement.
+        in_band = name in band_names
+        n_target = max(N_REPS, 3) + 1 if in_band else N_REPS
         reps = []
         m0 = _stage_totals(spark)
-        for i in range(N_REPS):
+        for i in range(n_target):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             # noop sink: full execution of every column, nothing
@@ -461,12 +474,19 @@ def run_headline(
             # early break for slow queries — but never after the first
             # rep alone (SLOW_SINGLE_REP_SEC rationale): a slow FIRST
             # rep gets one warm follow-up before stopping.
-            if reps[-1] > SLOW_SINGLE_REP_SEC and (i > 0 or N_REPS == 1):
+            if (
+                not in_band
+                and reps[-1] > SLOW_SINGLE_REP_SEC
+                and (i > 0 or N_REPS == 1)
+            ):
                 break
         n_runs = len(reps)
-        if n_runs > 1 and reps[0] > SLOW_SINGLE_REP_SEC:
+        if n_runs > 1 and (in_band or reps[0] > SLOW_SINGLE_REP_SEC):
             # discard the cold sample a slow first rep represents; the
-            # recorded stat is over warm reps only (VERDICT r11 item 3)
+            # recorded stat is over warm reps only (VERDICT r11 item
+            # 3). Band members discard it unconditionally — their
+            # first rep is a declared warm-up (srp-band policy), so
+            # the band is exactly the warm samples.
             reps = reps[1:]
         m1 = _stage_totals(spark)
         if m0 is not None and m1 is not None:
@@ -1069,7 +1089,10 @@ def main() -> None:
             )
             N_REPS = min(3, saved_reps)
             sc_timings, sc_io, sc_reps, sc_raw = run_headline(
-                spark, sc_dir, f"x{scale_factor}"
+                spark,
+                sc_dir,
+                f"x{scale_factor}",
+                band_names=frozenset({"emb_cosine_near_dup_lsh"}),
             )
             # The x10 total's round-over-round swings are dominated by
             # this one query's epoch sensitivity (VERDICT r13 item 7);
