@@ -261,6 +261,39 @@ def minhash_index_build(
     ).write.mode("overwrite").parquet(f"{path}/shingles")
 
 
+def minhash_index_append(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> None:
+    """Append an ingested batch to a persisted MinHash index built by
+    :func:`minhash_index_build` — the maintenance half of the
+    streaming text-ingest loop (the Jaccard-family twin of
+    similarity.srp_index_append): after a batch is deduped against the
+    index, appending it makes every later batch see it, so
+    cross-batch pairs surface exactly once.
+
+    O(batch): signatures and shingles are computed and written for the
+    batch only (parquet append under the same ``partitionBy(band_id)``
+    layout = new files inside the band partitions, no rewrite). The
+    (num_hashes, bands, shingle_n) contract must match the build —
+    the hash family is deterministic in those parameters.
+    """
+    buckets = minhash_band_buckets(
+        batch, id_col, text_col, num_hashes, bands, shingle_n
+    )
+    buckets.write.mode("append").partitionBy("band_id").parquet(
+        f"{path}/bands"
+    )
+    batch.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh")
+    ).write.mode("append").parquet(f"{path}/shingles")
+
+
 def minhash_dedup_incremental(
     spark,
     batch: DataFrame,

@@ -1463,6 +1463,69 @@ def doc_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_row(exact, found, MINHASH_RECALL_FLOOR)
 
 
+@register(
+    "doc_stream_minhash_ingest",
+    oracle=f"""
+    WITH {_jaccard_pairs_ctes(0.5, "NOT (doc_a % 2 = 0 AND doc_b % 2 = 0)")}
+    SELECT CAST(COUNT(*) AS BIGINT) AS exact_pairs, TRUE AS recall_ok
+    FROM pairs
+    """,
+    doc=(
+        "Streaming MinHash near-dup ingest: the odd-doc_id half "
+        "arrives as file-source micro-batches, each deduped against "
+        "the persisted even-half index then appended to it. Same "
+        "recall invariant as the one-shot incremental twin."
+    ),
+)
+def doc_stream_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text side of the streaming-ingest family
+    (streaming/ingest.stream_minhash_dedup_ingest — the Jaccard twin
+    of emb_stream_srp_ingest): crawler/scrape shards land in a drop
+    zone, each micro-batch hashes only itself against the persisted
+    band index (planning-time pruned via the partitionBy(band_id)
+    layout), emits its near-dup pairs, and is appended so later
+    batches see it. Cross-batch pairs surface exactly once; the
+    deterministic band family makes the union over micro-batches
+    exactly equal the one-shot incremental pair set (pinned in
+    tests/test_dedup.py at 3 shards), so the same recall-vs-exact
+    oracle applies. 2 micro-batches here — the minhash expression tree
+    is codegen-heavy and recompiles per micro-batch, so the registered
+    smoke keeps the per-batch fixed cost low; batch count is a harness
+    parameter, not a semantic one."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from etl_mudah_spark.streaming.ingest import stream_minhash_dedup_ingest
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    scratch = tempfile.mkdtemp(prefix="mh_stream_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    idx = f"{scratch}/idx"
+    dd.minhash_index_build(corpus, idx)
+    batch.repartitionByRange(2, "doc_id").write.parquet(f"{scratch}/drop")
+    streamed = stream_minhash_dedup_ingest(
+        spark,
+        f"{scratch}/drop",
+        idx,
+        f"{scratch}/pairs",
+        f"{scratch}/ckpt",
+        threshold=0.5,
+    )
+    found = streamed.select(
+        F.least("doc_a", "doc_b").alias("doc_a"),
+        F.greatest("doc_a", "doc_b").alias("doc_b"),
+    ).distinct()
+    exact = dd.ngram_jaccard_pairs(
+        docs, threshold=0.5, max_shingle_df=_NGRAM_MAX_SHINGLE_DF
+    ).where(~((F.col("doc_a") % 2 == 0) & (F.col("doc_b") % 2 == 0))).select(
+        "doc_a", "doc_b"
+    )
+    return _recall_row(exact, found, MINHASH_RECALL_FLOOR)
+
+
 # SQL twin of operators/dedup.py word_shingles(text, 3): distinct word
 # 3-grams, empty below 3 tokens.
 _SHINGLE3_SQL = (

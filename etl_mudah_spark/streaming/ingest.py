@@ -611,3 +611,81 @@ def stream_srp_dedup_ingest(
             [], "id_a bigint, id_b bigint, cosine_sim double"
         )
     return spark.read.parquet(pairs_path)
+
+
+def stream_minhash_dedup_ingest(
+    spark: SparkSession,
+    batch_dir: str,
+    index_path: str,
+    pairs_path: str,
+    checkpoint_dir: str,
+    *,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming text near-dup ingest — the Jaccard-family twin of
+    :func:`stream_srp_dedup_ingest`: document batches land as
+    file-source micro-batches, each is deduped against the persisted
+    MinHash index (``operators/dedup.minhash_dedup_incremental`` —
+    O(batch) hashing, corpus signatures never recomputed; the
+    ``partitionBy(band_id)`` index layout prunes the collision join at
+    planning time) and then appended to the index
+    (:func:`operators/dedup.minhash_index_append`), so cross-batch
+    pairs surface exactly once when their later side arrives.
+
+    Same serial-micro-batch sequencing, at-least-once append contract,
+    and exactly-equals-the-one-shot-incremental guarantee as the SRP
+    twin (the band hash family is deterministic, so a pair's candidate
+    collision and its exact-Jaccard verification are identical
+    whichever side of a micro-batch boundary each document lands on) —
+    pinned in tests/test_dedup.py.
+
+    Returns a lazy batch read of the accumulated
+    ``(doc_a, doc_b, jaccard)`` pairs.
+    """
+    from etl_mudah_spark.operators import dedup as dd
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        dd.minhash_dedup_incremental(
+            spark,
+            batch,
+            index_path,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_n=shingle_n,
+            threshold=threshold,
+        ).write.mode("append").parquet(pairs_path)
+        dd.minhash_index_append(
+            batch,
+            index_path,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_n=shingle_n,
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(batch_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    import os
+
+    if not os.path.exists(pairs_path):
+        return spark.createDataFrame(
+            [], "doc_a bigint, doc_b bigint, jaccard double"
+        )
+    return spark.read.parquet(pairs_path)

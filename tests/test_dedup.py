@@ -533,3 +533,51 @@ def test_exact_dedup_rejects_unknown_method(spark):
 
     with _pt.raises(ValueError, match="method"):
         exact_dedup(df, ["k"], ["o"], method="nope")
+
+
+def test_stream_minhash_ingest_equals_one_shot_incremental(spark, tmp_path):
+    """The streaming text-ingest loop (per-micro-batch dedup + index
+    append) must EXACTLY equal the one-shot minhash_dedup_incremental
+    over the concatenated batch: the band hash family is
+    deterministic, so a pair collides in the same (band_id, band_hash)
+    whether its two sides arrive in one micro-batch, in two, or one
+    pre-indexed — cross-batch pairs surface exactly once via the
+    append, never zero or twice."""
+    from etl_mudah_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_index_build,
+    )
+    from etl_mudah_spark.streaming.ingest import stream_minhash_dedup_ingest
+
+    full_df = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    corpus = full_df.where(F.col("doc_id") % 2 == 0)
+    batch = full_df.where(F.col("doc_id") % 2 == 1)
+
+    def pairset(df):
+        return {
+            (frozenset((r["doc_a"], r["doc_b"])), round(r["jaccard"], 6))
+            for r in df.collect()
+        }
+
+    one_idx = str(tmp_path / "one_idx")
+    minhash_index_build(corpus, one_idx)
+    want = pairset(
+        minhash_dedup_incremental(spark, batch, one_idx, threshold=0.3)
+    )
+
+    st_idx = str(tmp_path / "st_idx")
+    minhash_index_build(corpus, st_idx)
+    batch.repartitionByRange(3, "doc_id").write.parquet(
+        str(tmp_path / "drop")
+    )
+    got = pairset(
+        stream_minhash_dedup_ingest(
+            spark,
+            str(tmp_path / "drop"),
+            st_idx,
+            str(tmp_path / "pairs"),
+            str(tmp_path / "ckpt"),
+            threshold=0.3,
+        )
+    )
+    assert got == want and got, "known near-dup pairs exist in the corpus"

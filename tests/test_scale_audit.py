@@ -41,6 +41,7 @@ _BNLJ_ALLOWED = {
     "doc_minhash_near_dup",
     "doc_simhash_near_dup",
     "doc_minhash_incremental",
+    "doc_stream_minhash_ingest",  # same 1-row recall-invariant crossJoin shape as doc_minhash_incremental, fed by the streaming ingest loop
     "emb_cosine_near_dup_lsh",
     "ann_srp_topk",
     "ann_pq_topk",
