@@ -318,6 +318,74 @@ def bench_srp_incremental(spark, sc_dir: str) -> dict:
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+def bench_stream_srp_ingest(spark, sc_dir: str) -> dict:
+    """Drain time of the STREAMING embedding near-dup ingest loop at
+    the x10 staged point (streaming/ingest.stream_srp_dedup_ingest):
+    the same 90%-index / 10%-batch split as
+    :func:`bench_srp_incremental` directly above, but the batch
+    arrives as 4 file-source micro-batches, each deduped then appended
+    to the index inside one Structured Streaming query. The delta vs
+    ``srp_incremental_batch_sec`` is therefore the measured price of
+    the streaming harness itself (per-trigger planning/codegen,
+    checkpoint commits, index appends) — the number that sizes
+    micro-batches for a daily-ingest deployment: per-batch fixed cost
+    vs ingest latency.
+
+    Each rep streams into a FRESH COPY of the once-built index (the
+    append mutates it; a reused index would double-see earlier reps'
+    batches) with a fresh checkpoint — same min-of-reps-after-warmup
+    policy as the srp series. Returns {min, med, max} over 2 warm
+    reps (the drain is ~4x the one-shot batch cost, so the budget
+    holds at fewer samples).
+    """
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from etl_mudah_spark.operators import similarity as sim
+    from etl_mudah_spark.streaming.ingest import stream_srp_dedup_ingest
+    from etl_mudah_spark.tables import load
+
+    emb = load(spark, sc_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 10 != 0)
+    scratch = tempfile.mkdtemp(prefix="bench_srp_stream_")
+    try:
+        idx0 = f"{scratch}/idx0"
+        sim.srp_index_build(base, idx0, dim=64, n_planes=8, n_tables=24)
+        (
+            emb.where(F.col("vec_id") % 10 == 0)
+            .repartitionByRange(4, "vec_id")
+            .write.parquet(f"{scratch}/drop")
+        )
+
+        def one_drain(rep: int) -> float:
+            idx = f"{scratch}/idx_rep{rep}"
+            shutil.copytree(idx0, idx)
+            t0 = time.perf_counter()
+            stream_srp_dedup_ingest(
+                spark,
+                f"{scratch}/drop",
+                idx,
+                f"{scratch}/pairs{rep}",
+                f"{scratch}/ckpt{rep}",
+                dim=64,
+                threshold=0.45,
+                n_planes=8,
+                n_tables=24,
+            ).write.mode("overwrite").format("noop").save()
+            return round(time.perf_counter() - t0, 3)
+
+        one_drain(0)  # untimed warm-up (Arrow/codegen, as srp series)
+        ts = [one_drain(r) for r in (1, 2)]
+        return {
+            "min": min(ts),
+            "med": round(statistics.median(ts), 3),
+            "max": max(ts),
+        }
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def bench_q18_ivm_refresh(spark, sc_dir: str) -> float:
     """Per-batch maintenance cost of the Q18 rollup at the x100 staged
     point (VERDICT r12 item 4): refresh the per-order summing aggregate
@@ -913,6 +981,7 @@ LINE_KEYS = (
     "value2_errors",
     "value_sf_x100",
     "srp_incremental_batch_sec",
+    "stream_srp_ingest_sec",
     "q18_ivm_refresh_sec",
     "merge_upsert_batch",
     "value_duckdb",
@@ -1192,6 +1261,14 @@ def main() -> None:
                     result["srp_incremental_batch_band"] = band
                 except Exception as exc:  # recorded, never fatal
                     result["srp_incremental_error"] = str(exc)[:200]
+                try:
+                    sband = bench_stream_srp_ingest(spark, sc_dir)
+                    # delta vs srp_incremental_batch_sec = streaming
+                    # harness overhead (4 triggers + appends + ckpt)
+                    result["stream_srp_ingest_sec"] = sband["min"]
+                    result["stream_srp_ingest_band"] = sband
+                except Exception as exc:  # recorded, never fatal
+                    result["stream_srp_ingest_error"] = str(exc)[:200]
             else:
                 result.setdefault("surfaces_skipped", []).append("srp_inc")
         finally:

@@ -28,8 +28,12 @@ def main() -> None:
         sc_dir, _ = bench.stage_scaled(
             spark, SF_DIR, scratch, factor=10, tables=["embeddings"]
         )
-        band = bench.bench_srp_incremental(spark, sc_dir)
-        print(json.dumps({"srp_incremental_batch_band": band}))
+        out = {"srp_incremental_batch_band": bench.bench_srp_incremental(spark, sc_dir)}
+        if os.environ.get("SRP_PROBE_STREAM", "1") != "0":
+            out["stream_srp_ingest_band"] = bench.bench_stream_srp_ingest(
+                spark, sc_dir
+            )
+        print(json.dumps(out))
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
