@@ -187,6 +187,76 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_dedup_token_savings",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, source, len({_WORDS_SQL}) AS n_tok,
+               md5(substr(text, 1, 40)) AS k
+        FROM documents
+    ), flagged AS (
+        SELECT source, n_tok,
+               row_number() OVER (PARTITION BY k ORDER BY doc_id ASC) = 1
+                   AS kept
+        FROM keyed
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS total_docs,
+           CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)
+               AS removed_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN kept THEN 0 ELSE n_tok END) AS BIGINT)
+               AS removed_tokens,
+           ROUND(SUM(CASE WHEN kept THEN 0 ELSE n_tok END) * 100.0
+                 / SUM(n_tok), 4) AS savings_pct
+    FROM flagged GROUP BY source ORDER BY source
+    """,
+    doc=(
+        "Per-source token savings of exact dedup: the fraction of each "
+        "source's tokens carried by removed duplicate docs (40-char "
+        "prefix-hash key, deterministic min-doc_id survivor)."
+    ),
+)
+def doc_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operational read behind every dedup decision: how many
+    TOKENS (the unit training budgets are priced in, not docs) does
+    exact dedup remove, per source? A source with a high savings_pct
+    is paying its crawl/storage bill for near-zero marginal data —
+    the number that reprioritizes acquisition. Removed tokens are
+    attributed to the source of the REMOVED doc (a cross-source dup
+    group bills every source except the survivor's).
+
+    Scale: one keyed window (partitioned by the hash key — never
+    global) + one per-source aggregate; same shuffle count as
+    doc_exact_dedup with the token sum riding along."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        tx.token_count("text").alias("n_tok"),
+        F.md5(F.substring("text", 1, 40)).alias("k"),
+    )
+    w = Window.partitionBy("k").orderBy(F.asc("doc_id"))
+    flagged = docs.withColumn("kept", F.row_number().over(w) == 1)
+    removed_tok = F.sum(F.when(F.col("kept"), 0).otherwise(F.col("n_tok")))
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("total_docs"),
+            F.sum(F.when(F.col("kept"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("removed_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            removed_tok.cast("bigint").alias("removed_tokens"),
+            F.round(removed_tok * 100.0 / F.sum("n_tok"), 4).alias(
+                "savings_pct"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 # Document-frequency cutoff for the registered n-gram-Jaccard query.
 # Without it the inverted index is O(Σ df(shingle)²) — one boilerplate
 # shingle shared by a million docs creates 10¹² candidate rows. With it

@@ -383,6 +383,107 @@ def emb_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "emb_label_outliers",
+    oracle="""
+    WITH cent AS (
+        SELECT label, i AS pos, ROUND(AVG(embedding[i + 1]::DOUBLE), 6) AS cv
+        FROM embeddings, UNNEST(range(len(embedding))) AS t(i)
+        GROUP BY label, i
+    ), mem AS (
+        SELECT e.vec_id, e.label,
+               ROUND(SUM(e.embedding[c.pos + 1]::DOUBLE * c.cv)
+                     / (SQRT(SUM(e.embedding[c.pos + 1]::DOUBLE
+                                 * e.embedding[c.pos + 1]::DOUBLE))
+                        * SQRT(SUM(c.cv * c.cv))), 4) AS cos_centroid
+        FROM embeddings e JOIN cent c ON c.label = e.label
+        GROUP BY e.vec_id, e.label
+    ), st AS (
+        SELECT label, AVG(cos_centroid) AS mu,
+               STDDEV_SAMP(cos_centroid) AS sd
+        FROM mem GROUP BY label
+    )
+    SELECT m.vec_id, m.label, m.cos_centroid,
+           ROUND((m.cos_centroid - s.mu) / NULLIF(s.sd, 0), 2) AS z
+    FROM mem m JOIN st s USING (label)
+    WHERE ROUND((m.cos_centroid - s.mu) / NULLIF(s.sd, 0), 2) <= -2.0
+    ORDER BY m.label, m.vec_id
+    """,
+    doc=(
+        "Label-conditional embedding outliers: members whose cosine to "
+        "their own label centroid sits >= 2 sample-stddevs below the "
+        "label mean — mislabel / contamination candidates."
+    ),
+)
+def emb_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mislabel-detection read every labeled-corpus audit runs:
+    score each member against its OWN label centroid, standardize
+    within the label, and surface the low tail (z <= -2). A member far
+    below its label's own cohesion distribution is a labeling error,
+    a contamination artifact, or a genuine hard case — the instance-
+    level companion to emb_label_separation's aggregate margin.
+
+    Scale: centroids are the bounded (labels x dim) aggregate,
+    broadcast assembled (same provably-Aggregate-bounded shape as
+    emb_label_separation); members score map-side, the per-label
+    stats are a labels-row relation equi-joined back. Per-member
+    cosines round to 4 BEFORE the stats on both engines, z rounds to
+    2 before the threshold compare, and sd=0 degenerate labels emit
+    no rows (null z) — one shared float path end to end."""
+    from etl_mudah_spark.operators.similarity import as_double
+
+    emb = load(spark, sf_dir, "embeddings")
+    long = emb.select(
+        "label", F.posexplode(as_double(F.col("embedding"))).alias("pos", "val")
+    )
+    cent = long.groupBy("label", "pos").agg(
+        F.round(F.avg("val"), 6).alias("cv")
+    )
+    cent_arr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+            lambda s: s["cv"],
+        ).alias("c")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("x"), F.col("c"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    sq = lambda col: F.aggregate(  # noqa: E731
+        F.transform(col, lambda a: a * a), F.lit(0.0), lambda acc, v: acc + v
+    )
+    mem = (
+        emb.select(
+            "vec_id", "label", as_double(F.col("embedding")).alias("x")
+        )
+        .join(F.broadcast(cent_arr), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                dot / (F.sqrt(sq(F.col("x"))) * F.sqrt(sq(F.col("c")))), 4
+            ).alias("cos_centroid"),
+        )
+    )
+    st = mem.groupBy("label").agg(
+        F.avg("cos_centroid").alias("mu"),
+        F.stddev_samp("cos_centroid").alias("sd"),
+    )
+    z = F.round(
+        (F.col("cos_centroid") - F.col("mu"))
+        / F.when(F.col("sd") != 0, F.col("sd")),
+        2,
+    )
+    return (
+        mem.join(st, "label")
+        .withColumn("z", z)
+        .where(F.col("z") <= -2.0)
+        .select("vec_id", "label", "cos_centroid", "z")
+        .orderBy("label", "vec_id")
+    )
+
+
 def centroid_assemble(per: DataFrame) -> DataFrame:
     """Presentation-layer re-assembly of long-form centroids into one
     ``array<double>`` row per label, ordered by position."""
