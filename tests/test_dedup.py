@@ -581,3 +581,56 @@ def test_stream_minhash_ingest_equals_one_shot_incremental(spark, tmp_path):
         )
     )
     assert got == want and got, "known near-dup pairs exist in the corpus"
+
+
+def test_stream_minhash_ingest_replay_is_idempotent_after_normalization(
+    spark, tmp_path
+):
+    """The documented at-least-once contract: a replayed micro-batch
+    (crash between the pairs append and the checkpoint commit) may
+    duplicate rows in the raw pairs sink and re-append its docs to the
+    index, but the consumer-side least/greatest + distinct
+    normalization yields the SAME pair set — re-colliding a known doc
+    only re-finds already-emitted pairs (self-pairs are filtered by
+    the id inequality)."""
+    from etl_mudah_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_index_append,
+        minhash_index_build,
+    )
+    from etl_mudah_spark.streaming.ingest import stream_minhash_dedup_ingest
+
+    full_df = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    corpus = full_df.where(F.col("doc_id") % 2 == 0)
+    batch = full_df.where(F.col("doc_id") % 2 == 1)
+    idx = str(tmp_path / "idx")
+    minhash_index_build(corpus, idx)
+    batch.repartitionByRange(3, "doc_id").write.parquet(
+        str(tmp_path / "drop")
+    )
+    pairs_path = str(tmp_path / "pairs")
+    streamed = stream_minhash_dedup_ingest(
+        spark,
+        str(tmp_path / "drop"),
+        idx,
+        pairs_path,
+        str(tmp_path / "ckpt"),
+        threshold=0.3,
+    )
+
+    def norm(df):
+        return {
+            (min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"]))
+            for r in df.collect()
+        }
+
+    before = norm(streamed)
+    # replay the last micro-batch by hand: dedup against the
+    # already-appended index, append pairs, re-append the docs
+    replayed = batch.where(F.col("doc_id") >= 4)
+    minhash_dedup_incremental(
+        spark, replayed, idx, threshold=0.3
+    ).write.mode("append").parquet(pairs_path)
+    minhash_index_append(replayed, idx)
+    after = norm(spark.read.parquet(pairs_path))
+    assert after == before and before
