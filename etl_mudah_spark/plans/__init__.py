@@ -65,10 +65,10 @@ _PRIORITY = [
     #     displace the alphabetically-last fillers in (c);
     # (c) alphabetically-first r10-stale names filling the remainder.
     #     Round-15 should resume the r10-stale names at
-    #     doc_token_stats onward (the round-14 additions displaced
-    #     doc_token_stats, doc_unigram_surprisal, emb_pca_variance,
-    #     emb_semantic_dedup, emb_srp_incremental_dedup and
-    #     events_ab_test).
+    #     doc_token_budget_mix onward (the round-14 additions
+    #     displaced doc_token_budget_mix, doc_token_stats,
+    #     doc_unigram_surprisal, emb_pca_variance, emb_semantic_dedup,
+    #     emb_srp_incremental_dedup and events_ab_test).
     # Window discipline is MACHINE-CHECKED by
     # tests/test_correctness_rotation.py. All registered queries are
     # additionally sim-checked at sf0.01 every round regardless
@@ -107,6 +107,7 @@ _PRIORITY = [
     "doc_stream_minhash_ingest",
     "doc_dedup_token_savings",
     "emb_label_outliers",
+    "doc_stream_curation_gate",
     # --- (c) stalest r10 rows, alphabetically first ---
     "ann_ivfpq_maintained",
     "ann_recall_at_k",
@@ -125,7 +126,6 @@ _PRIORITY = [
     "doc_quality_pr_curve",
     "doc_readability",
     "doc_split_leakage",
-    "doc_token_budget_mix",
 ]
 
 

@@ -257,6 +257,109 @@ def doc_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_stream_curation_gate",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, source, text, {_WORDS_SQL} AS w FROM documents
+    ), m AS (
+        SELECT doc_id, source, len(w) AS n_tok,
+               len(list_distinct(w)) * 1.0 / len(w) AS ttr,
+               CASE WHEN len(w) >= 3
+                    THEN (len(w) - 2 - len(list_distinct(list_transform(
+                             range(1, len(w) - 1),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))))
+                         * 1.0 / (len(w) - 2)
+                    ELSE 0.0 END AS dup3,
+               md5(substr(text, 1, 40)) AS k
+        FROM t
+    ), q AS (
+        SELECT *, (n_tok >= 30 AND ttr >= 0.35 AND dup3 <= 0.1) AS pass
+        FROM m
+    ), p AS (
+        SELECT doc_id, source, n_tok,
+               row_number() OVER (PARTITION BY k ORDER BY doc_id ASC) AS rn
+        FROM q WHERE pass
+    )
+    SELECT source, outcome,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM (
+        SELECT source, n_tok, 'accepted' AS outcome FROM p WHERE rn = 1
+        UNION ALL
+        SELECT source, n_tok, 'rejected_dup' FROM p WHERE rn > 1
+        UNION ALL
+        SELECT source, n_tok, 'rejected_quality' FROM q WHERE NOT pass
+    ) GROUP BY source, outcome ORDER BY source, outcome
+    """,
+    doc=(
+        "Streaming curation gate: documents stream through the "
+        "doc_clean_pipeline rule set + first-arrival exact-dup gate "
+        "against a persisted key index; per-(source, outcome) doc and "
+        "token accounting."
+    ),
+)
+def doc_stream_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admission control for a continuously-fed corpus
+    (streaming/ingest.stream_doc_curation_gate): each micro-batch is
+    quality-gated map-side (the doc_clean_pipeline rules), deduped
+    first-arrival-wins against the persisted accepted-key index, and
+    the gate's ledger lands per batch — accept/reject decisions are
+    made AT THE DOOR, once, instead of re-cleaning the accumulated
+    corpus per ingest. Shards are staged in ascending doc_id order
+    (sequential writes; the file source triggers oldest-first), so
+    first-arrival equals the batch pipeline's min-doc_id survivor and
+    the whole streamed ledger is SQL-reproducible — the oracle
+    recomputes every outcome from scratch and the driver
+    hash-verifies the per-(source, outcome) accounting."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from etl_mudah_spark.streaming.ingest import stream_doc_curation_gate
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    scratch = tempfile.mkdtemp(prefix="gate_stream_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    # bootstrap an empty accepted-key index
+    spark.createDataFrame([], "k string").write.parquet(f"{scratch}/keys")
+    # 3 ascending doc_id shards, written SEQUENTIALLY so file-source
+    # modification times follow doc_id order (first-arrival == min id)
+    bounds = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    step = max(1, (hi - lo + 1 + 2) // 3)
+    for s in range(3):
+        shard = docs.where(F.col("doc_id") >= lo + s * step)
+        if s < 2:
+            shard = shard.where(F.col("doc_id") < lo + (s + 1) * step)
+        shard.repartition(1).write.mode("append").parquet(
+            f"{scratch}/drop"
+        )
+    acc, rej = stream_doc_curation_gate(
+        spark,
+        f"{scratch}/drop",
+        f"{scratch}/keys",
+        f"{scratch}/accepted",
+        f"{scratch}/rejected",
+        f"{scratch}/ckpt",
+    )
+    ledger = acc.select(
+        "source", "n_tok", F.lit("accepted").alias("outcome")
+    ).unionByName(rej.select("source", "n_tok", F.col("reason").alias("outcome")))
+    return (
+        ledger.groupBy("source", "outcome")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("source", "outcome")
+    )
+
+
 # Document-frequency cutoff for the registered n-gram-Jaccard query.
 # Without it the inverted index is O(Σ df(shingle)²) — one boilerplate
 # shingle shared by a million docs creates 10¹² candidate rows. With it

@@ -689,3 +689,152 @@ def stream_minhash_dedup_ingest(
             [], "doc_a bigint, doc_b bigint, jaccard double"
         )
     return spark.read.parquet(pairs_path)
+
+
+def stream_doc_curation_gate(
+    spark: SparkSession,
+    batch_dir: str,
+    key_index: str,
+    accepted_path: str,
+    rejected_path: str,
+    checkpoint_dir: str,
+    *,
+    min_tokens: int = 30,
+    min_ttr: float = 0.35,
+    max_dup3: float = 0.1,
+    max_files_per_trigger: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Streaming corpus curation gate: document shards stream through
+    the SAME rule set as the batch ``doc_clean_pipeline`` (token
+    floor, type-token-ratio floor, 3-gram-repetition ceiling, exact
+    dedup on the 40-char-prefix content key) with first-arrival-wins
+    dedup against a persisted key index — the admission control a
+    continuously-fed corpus runs at the door, instead of re-cleaning
+    the accumulated corpus per batch.
+
+    Per micro-batch (serial, like the dedup-ingest loops):
+
+    1. Quality metrics are pure column algebra (map-side, scan speed);
+       failures land in ``rejected_path`` with reason
+       ``rejected_quality``.
+    2. Passing docs dedup within the batch (min-doc_id survivor per
+       key) and against the persisted key index (keys of every
+       PREVIOUSLY ACCEPTED doc); losers land as ``rejected_dup``.
+    3. Survivors append to ``accepted_path``; their keys append to the
+       index. Quality-rejected keys are deliberately NOT indexed — a
+       later clean duplicate of a rejected doc is new content.
+
+    The index holds only accepted KEYS (16-byte md5 per accepted doc),
+    so the per-batch dup probe is an equi-join of the batch against a
+    key relation — at 100 TB corpus, still a key-shuffle of O(batch)
+    probe rows against a bucketable key table, never a text rescan.
+
+    When shards arrive in ascending doc_id order (the registered plan
+    writes them sequentially, and the file source triggers oldest
+    first), the accepted set equals the batch pipeline's global
+    min-doc_id-survivor semantics exactly — which is what the DuckDB
+    oracle of ``doc_stream_curation_gate`` verifies.
+
+    Returns lazy reads ``(accepted, rejected)``:
+    ``accepted(doc_id, source, n_tok)`` and
+    ``rejected(doc_id, source, n_tok, reason)``.
+    """
+    from etl_mudah_spark.operators import dedup as dd
+    from etl_mudah_spark.operators import text as tx
+    from pyspark.sql import Window
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        w = tx.words("text")
+        gr = dd.word_ngrams(F.col("text"), 3)
+        n_gr = F.size(gr)
+        dup3 = F.when(n_gr <= 0, F.lit(0.0)).otherwise(
+            (n_gr - F.size(F.array_distinct(gr))) / n_gr
+        )
+        metered = batch.select(
+            "doc_id",
+            "source",
+            F.size(w).alias("n_tok"),
+            (F.size(F.array_distinct(w)) / F.size(w)).alias("ttr"),
+            dup3.alias("dup3"),
+            F.md5(F.substring("text", 1, 40)).alias("k"),
+        )
+        ok = (
+            (F.col("n_tok") >= min_tokens)
+            & (F.col("ttr") >= min_ttr)
+            & (F.col("dup3") <= max_dup3)
+        )
+        metered.where(~ok).select(
+            "doc_id",
+            "source",
+            "n_tok",
+            F.lit("rejected_quality").alias("reason"),
+        ).write.mode("append").parquet(rejected_path)
+        passing = metered.where(ok).select("doc_id", "source", "n_tok", "k")
+        seen = spark.read.parquet(key_index)
+        rn = F.row_number().over(
+            Window.partitionBy("k").orderBy(F.asc("doc_id"))
+        )
+        flagged = (
+            passing.join(seen, "k", "left_semi")
+            .select("doc_id")
+            .withColumn("_dup", F.lit(True))
+        )
+        # materialize once: ranked feeds three writes (rejected_dup,
+        # accepted, key append), and the key append must not hold a
+        # live read of key_index in its lineage while appending to it
+        ranked = (
+            passing.join(flagged, "doc_id", "left")
+            .withColumn("_rn", rn)
+            .localCheckpoint()
+        )
+        accepted = ranked.where(
+            F.col("_dup").isNull() & (F.col("_rn") == 1)
+        )
+        ranked.where(
+            F.col("_dup").isNotNull() | (F.col("_rn") > 1)
+        ).select(
+            "doc_id",
+            "source",
+            "n_tok",
+            F.lit("rejected_dup").alias("reason"),
+        ).write.mode("append").parquet(rejected_path)
+        accepted.select("doc_id", "source", "n_tok").write.mode(
+            "append"
+        ).parquet(accepted_path)
+        accepted.select("k").write.mode("append").parquet(key_index)
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, source string"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(batch_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    import os
+
+    acc = (
+        spark.read.parquet(accepted_path)
+        if os.path.exists(accepted_path)
+        else spark.createDataFrame(
+            [], "doc_id bigint, source string, n_tok bigint"
+        )
+    )
+    rej = (
+        spark.read.parquet(rejected_path)
+        if os.path.exists(rejected_path)
+        else spark.createDataFrame(
+            [], "doc_id bigint, source string, n_tok bigint, reason string"
+        )
+    )
+    return acc, rej

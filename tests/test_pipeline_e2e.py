@@ -263,3 +263,47 @@ def test_state_partitions_for_sizing_rule():
     assert state_partitions_for(65 * mb) == 2      # ceil division
     assert state_partitions_for(64 * 64 * mb) == 64
     assert state_partitions_for(64 * 64 * mb, max_partitions=32) == 32
+
+
+def test_stream_doc_curation_gate_outcomes(spark, tmp_path):
+    """Pin the gate's per-doc decisions across shard boundaries:
+    first-arrival-wins dedup (cross-shard AND within-shard), quality
+    rejection, and the deliberate contract that a quality-REJECTED
+    doc's key is NOT indexed — a later clean doc with the same
+    40-char prefix is new content, not a duplicate."""
+    from pyspark.sql import functions as F
+
+    from etl_mudah_spark.streaming.ingest import stream_doc_curation_gate
+
+    good_a = " ".join(f"alpha{i}" for i in range(40))
+    junk = "tiny doc " + "x" * 50  # >40 chars, 3 tokens -> quality fail
+    rows = [
+        (0, good_a, "s0"),                            # accepted
+        (1, good_a + " tail0 tail1", "s0"),           # dup of 0 (same shard)
+        (2, junk, "s1"),                              # rejected_quality
+        (3, junk[:40] + " " + " ".join(f"beta{i}" for i in range(40)), "s1"),
+        # 3 shares doc 2's key but doc 2 was never indexed -> accepted
+        (4, good_a + " tail2 tail3 tail4", "s2"),     # dup of 0 (later shard)
+        (5, " ".join(f"gamma{i}" for i in range(40)), "s2"),  # accepted
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    spark.createDataFrame([], "k string").write.parquet(str(tmp_path / "keys"))
+    for lo, hi in ((0, 2), (2, 4), (4, 6)):
+        docs.where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).repartition(1).write.mode("append").parquet(str(tmp_path / "drop"))
+    acc, rej = stream_doc_curation_gate(
+        spark,
+        str(tmp_path / "drop"),
+        str(tmp_path / "keys"),
+        str(tmp_path / "accepted"),
+        str(tmp_path / "rejected"),
+        str(tmp_path / "ckpt"),
+    )
+    assert {r["doc_id"] for r in acc.collect()} == {0, 3, 5}
+    got_rej = {r["doc_id"]: r["reason"] for r in rej.collect()}
+    assert got_rej == {
+        1: "rejected_dup",
+        2: "rejected_quality",
+        4: "rejected_dup",
+    }
