@@ -65,8 +65,8 @@ _PRIORITY = [
     #     displace the alphabetically-last fillers in (c);
     # (c) alphabetically-first r10-stale names filling the remainder.
     #     Round-15 should resume the r10-stale names at
-    #     doc_token_budget_mix onward (the round-14 additions
-    #     displaced doc_token_budget_mix, doc_token_stats,
+    #     doc_split_leakage onward (the round-14 additions displaced
+    #     doc_split_leakage, doc_token_budget_mix, doc_token_stats,
     #     doc_unigram_surprisal, emb_pca_variance, emb_semantic_dedup,
     #     emb_srp_incremental_dedup and events_ab_test).
     # Window discipline is MACHINE-CHECKED by
@@ -108,6 +108,7 @@ _PRIORITY = [
     "doc_dedup_token_savings",
     "emb_label_outliers",
     "doc_stream_curation_gate",
+    "doc_neardup_token_savings",
     # --- (c) stalest r10 rows, alphabetically first ---
     "ann_ivfpq_maintained",
     "ann_recall_at_k",
@@ -125,7 +126,6 @@ _PRIORITY = [
     "doc_quality_brier",
     "doc_quality_pr_curve",
     "doc_readability",
-    "doc_split_leakage",
 ]
 
 

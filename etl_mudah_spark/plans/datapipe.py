@@ -1699,6 +1699,77 @@ def doc_stream_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_row(exact, found, MINHASH_RECALL_FLOOR)
 
 
+@register(
+    "doc_neardup_token_savings",
+    oracle=f"""
+    WITH {_jaccard_pairs_ctes(0.5)}, red AS (
+        SELECT DISTINCT doc_b AS doc_id FROM pairs
+    ), m AS (
+        SELECT doc_id, source, len({_WORDS_SQL}) AS n_tok FROM documents
+    )
+    SELECT m.source,
+           CAST(COUNT(*) AS BIGINT) AS total_docs,
+           CAST(SUM(CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS redundant_docs,
+           CAST(SUM(m.n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN r.doc_id IS NULL THEN 0 ELSE m.n_tok END)
+                AS BIGINT) AS redundant_tokens,
+           ROUND(SUM(CASE WHEN r.doc_id IS NULL THEN 0 ELSE m.n_tok END)
+                 * 100.0 / SUM(m.n_tok), 4) AS savings_pct
+    FROM m LEFT JOIN red r ON r.doc_id = m.doc_id
+    GROUP BY m.source ORDER BY m.source
+    """,
+    doc=(
+        "Per-source token savings of NEAR-dup dedup (exact 3-gram "
+        "Jaccard >= 0.5, df-capped index): tokens carried by docs "
+        "dominated by a smaller-id near-duplicate."
+    ),
+)
+def doc_neardup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup tier's companion to doc_dedup_token_savings: in
+    web-scale corpora near-duplicates carry far more redundant mass
+    than byte-exact copies, and this is the per-source accounting of
+    it. A doc is redundant iff it has ANY near-dup partner with a
+    smaller doc_id — the greedy keep-min-id pass, which upper-bounds
+    what cluster-survivor dedup removes (a transitive chain's tail
+    counts redundant even if its direct partner was itself removed).
+
+    Scale: candidate pairs come from the df-capped shingle inverted
+    index (the documented O(sum df^2)-bounded path, same semantics on
+    both engines); the redundant-id set is a distinct projection
+    equi-joined back — no new join shape beyond doc_ngram_jaccard."""
+    pairs = dd.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents").select("doc_id", "text"),
+        threshold=0.5,
+        max_shingle_df=_NGRAM_MAX_SHINGLE_DF,
+    )
+    red = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    m = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", tx.token_count("text").alias("n_tok")
+    )
+    flagged = m.join(
+        red.withColumn("_red", F.lit(True)), "doc_id", "left"
+    )
+    red_tok = F.sum(
+        F.when(F.col("_red").isNull(), 0).otherwise(F.col("n_tok"))
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("total_docs"),
+            F.sum(F.when(F.col("_red").isNull(), 0).otherwise(1))
+            .cast("bigint")
+            .alias("redundant_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            red_tok.cast("bigint").alias("redundant_tokens"),
+            F.round(red_tok * 100.0 / F.sum("n_tok"), 4).alias(
+                "savings_pct"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 # SQL twin of operators/dedup.py word_shingles(text, 3): distinct word
 # 3-grams, empty below 3 tokens.
 _SHINGLE3_SQL = (
