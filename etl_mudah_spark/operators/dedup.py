@@ -294,6 +294,43 @@ def minhash_index_append(
     ).write.mode("append").parquet(f"{path}/shingles")
 
 
+def minhash_index_compact(
+    spark,
+    path: str,
+    target_file_bytes: int = 32 * 1024 * 1024,
+    max_files: int | None = None,
+) -> int:
+    """Compact a streamed-into MinHash index's small files — the
+    operational closer of the streaming ingest loop: a per-trigger
+    ``minhash_index_append`` writes a few files per micro-batch, and a
+    year of 12-h triggers turns each band partition into ~10^3 tiny
+    files whose listing + footer reads dominate the incremental-dedup
+    probe's planning time. Runs ``layout.compact_files`` (staged
+    rewrite, rename swap, crash-recoverable) on every ``band_id=``
+    partition INDIVIDUALLY — the hive layout carries band_id in the
+    directory name, so per-partition rewrites preserve the
+    planning-time band pruning the index exists for — then on the
+    shingles dir. Quiesce the ingest stream for the swap (same
+    contract as compact_files). Returns the new total file count.
+
+    Dedup results are EXACTLY unchanged (same rows, relocated) —
+    pinned in tests/test_dedup.py.
+    """
+    import glob as _glob
+
+    from etl_mudah_spark.operators.layout import compact_files
+
+    n = 0
+    for band_dir in sorted(_glob.glob(f"{path}/bands/band_id=*")):
+        n += compact_files(
+            spark, band_dir, target_file_bytes, max_files=max_files
+        )
+    n += compact_files(
+        spark, f"{path}/shingles", target_file_bytes, max_files=max_files
+    )
+    return n
+
+
 def minhash_dedup_incremental(
     spark,
     batch: DataFrame,

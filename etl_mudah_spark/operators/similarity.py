@@ -1121,6 +1121,33 @@ def srp_index_append(
     )
 
 
+def srp_index_compact(
+    spark,
+    path: str,
+    target_file_bytes: int = 32 * 1024 * 1024,
+    max_files: int | None = None,
+) -> int:
+    """Compact a streamed-into SRP index's small files — the cosine
+    twin of ``dedup.minhash_index_compact``: per-trigger
+    ``srp_index_append`` writes accumulate until listing + footer
+    reads dominate the per-batch probe's planning time. Runs
+    ``layout.compact_files`` (staged rewrite, rename swap,
+    crash-recoverable) on the buckets and vectors dirs; quiesce the
+    ingest stream for the swap. Returns the new total file count.
+    Dedup results are exactly unchanged — pinned in
+    tests/test_similarity_batch.py.
+    """
+    from etl_mudah_spark.operators.layout import compact_files
+
+    n = compact_files(
+        spark, f"{path}/buckets", target_file_bytes, max_files=max_files
+    )
+    n += compact_files(
+        spark, f"{path}/vectors", target_file_bytes, max_files=max_files
+    )
+    return n
+
+
 def srp_dedup_incremental(
     spark: SparkSession,
     batch: DataFrame,

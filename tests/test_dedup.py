@@ -634,3 +634,50 @@ def test_stream_minhash_ingest_replay_is_idempotent_after_normalization(
     minhash_index_append(replayed, idx)
     after = norm(spark.read.parquet(pairs_path))
     assert after == before and before
+
+
+def test_minhash_index_compact_preserves_results(spark, tmp_path):
+    """Compacting a streamed-into index (build + two appends = many
+    small files per band partition) must leave incremental-dedup
+    results EXACTLY unchanged while reducing the file count — the
+    compaction relocates rows, never changes them, and keeps the
+    band_id hive layout that prunes the probe join."""
+    import glob
+
+    from etl_mudah_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_index_append,
+        minhash_index_build,
+        minhash_index_compact,
+    )
+
+    full_df = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    idx = str(tmp_path / "idx")
+    minhash_index_build(full_df.where(F.col("doc_id") <= 1), idx)
+    minhash_index_append(full_df.where(F.col("doc_id").isin(2, 3)), idx)
+    minhash_index_append(full_df.where(F.col("doc_id").isin(4)), idx)
+    probe = full_df.where(F.col("doc_id") == 5)
+
+    def pairset():
+        return {
+            (min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"]),
+             round(r["jaccard"], 6))
+            for r in minhash_dedup_incremental(
+                spark, probe, idx, threshold=0.1
+            ).collect()
+        }
+
+    def n_files():
+        return len(
+            [
+                f
+                for f in glob.glob(f"{idx}/**/*.parquet", recursive=True)
+                if "_precompact" not in f
+            ]
+        )
+
+    before_pairs, before_files = pairset(), n_files()
+    minhash_index_compact(spark, idx, max_files=1)
+    after_pairs, after_files = pairset(), n_files()
+    assert after_pairs == before_pairs
+    assert after_files < before_files

@@ -398,3 +398,53 @@ def test_stream_srp_ingest_equals_one_shot_incremental(spark, tmp_path):
         for r in streamed.collect()
     }
     assert got == want and got, "known near-dup pairs exist at smoke scale"
+
+
+def test_srp_index_compact_preserves_results(spark, tmp_path):
+    """Compacting a streamed-into SRP index (build + two appends) must
+    leave incremental-dedup results exactly unchanged while reducing
+    the file count."""
+    import glob
+
+    from etl_mudah_spark.plans.datapipe import EMB_DIM
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    idx = str(tmp_path / "idx")
+    sim.srp_index_build(
+        emb.where(F.col("vec_id") % 4 == 0), idx,
+        dim=EMB_DIM, n_planes=8, n_tables=24,
+    )
+    sim.srp_index_append(
+        emb.where(F.col("vec_id") % 4 == 1), idx,
+        dim=EMB_DIM, n_planes=8, n_tables=24,
+    )
+    sim.srp_index_append(
+        emb.where(F.col("vec_id") % 4 == 2), idx,
+        dim=EMB_DIM, n_planes=8, n_tables=24,
+    )
+    probe = emb.where(F.col("vec_id") % 4 == 3)
+
+    def pairset():
+        return {
+            (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]),
+             r["cosine_sim"])
+            for r in sim.srp_dedup_incremental(
+                spark, probe, idx, dim=EMB_DIM, threshold=0.45,
+                n_planes=8, n_tables=24,
+            ).collect()
+        }
+
+    def n_files():
+        return len(
+            [
+                f
+                for f in glob.glob(f"{idx}/**/*.parquet", recursive=True)
+                if "_precompact" not in f
+            ]
+        )
+
+    before_pairs, before_files = pairset(), n_files()
+    sim.srp_index_compact(spark, idx, max_files=1)
+    after_pairs, after_files = pairset(), n_files()
+    assert after_pairs == before_pairs and before_pairs
+    assert after_files < before_files
