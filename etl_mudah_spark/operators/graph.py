@@ -198,6 +198,9 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    # _ck tracks the round's CHECKPOINTED frame (unpersist must target
+    # the materialized object itself, not the projection derived below)
+    _ck = labels
 
     converged = False
     try:
@@ -208,6 +211,15 @@ def connected_components(
                 .groupBy("a")
                 .agg(F.min("component").alias("_nbr"))
             )
+            # The change flag is computed INSIDE the propagation select
+            # (new label < old label ⟺ a strictly smaller neighbor
+            # label arrived), and the checkpoint is LAZY so the single
+            # `changed` count below both materializes the round's
+            # labels and decides convergence — ONE job per round where
+            # the previous form ran three (eager checkpoint, then a
+            # new-vs-old join recomputing the comparison the select
+            # already knew, round 14; per-round fixed cost dominates on
+            # the small dup graphs every caller feeds this).
             new_labels = (
                 labels.join(prop, labels["node"] == prop["a"], "left")
                 .select(
@@ -215,19 +227,19 @@ def connected_components(
                     F.least(
                         F.col("component"), F.coalesce(F.col("_nbr"), F.col("component"))
                     ).alias("component"),
+                    (
+                        F.coalesce(F.col("_nbr"), F.col("component"))
+                        < F.col("component")
+                    ).alias("_changed"),
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .where(F.col("n.component") != F.col("o.component"))
-                .count()
-            )
+            changed = new_labels.where(F.col("_changed")).count()
             # new_labels is materialized and the convergence count has
             # run — the previous round's checkpoint blocks are dead.
-            labels.unpersist()
-            labels = new_labels
+            _ck.unpersist()
+            _ck = new_labels
+            labels = new_labels.select("node", "component")
             if changed == 0:
                 converged = True
                 break

@@ -474,7 +474,14 @@ def srp_buckets_udf(dim: int, n_planes: int, n_tables: int):
         packed = _pack_signs(mat @ planes_t > 0, n_planes, n_tables)
         return pd.Series(list(packed))
 
-    return buckets
+    # The function IS deterministic (fixed integer-mix hyperplanes), but
+    # it is declared non-deterministic so the optimizer may not duplicate
+    # it: every caller explodes or filters on the result, and the pushed
+    # null/size filter otherwise lands BELOW a second copy of the UDF —
+    # two ArrowEvalPython nodes per scan, each corpus row paying the
+    # (dim x t*b) matmul twice (the guide's filter-duplication pattern).
+    # Measured on the capped near-dup query at sf0.1: ~2x end to end.
+    return buckets.asNondeterministic()
 
 
 def _query_buckets(query_vec: list[float], n_planes: int, n_tables: int) -> list[int]:
@@ -1201,6 +1208,14 @@ def srp_dedup_incremental(
             == F.element_at(F.col("_bbkts"), (j + 1).cast("int")),
         )
     )
+    # shuffle_hash kept after a round-14 A/B: dropping the hints to let
+    # the planner broadcast the small batch side measured WORSE in the
+    # streaming ingest loop ({17.4-17.7}s vs {10.6-11.5}s per x10 drain
+    # band) — the static planner broadcasts/SMJs unpredictably here, and
+    # a forced broadcast of the batch would be an unbounded-relation
+    # hint (the scale audit's OOM-by-hint class). The corpus-side
+    # shuffle this keeps is index-bucket rows (ids + 8t bytes), never
+    # vectors.
     cand = (
         cx.hint("shuffle_hash")
         .join(nb.hint("shuffle_hash"), ["_tbl", "_bkt"])
