@@ -564,8 +564,17 @@ def _packing_cum(sf_dir: str, df: DataFrame, val_col: str) -> DataFrame:
     count (dense 0..n-1 doc_id contract), zero Spark jobs."""
     n = table_num_rows(sf_dir, "documents")
     b = max(1, -(-n // PACK_BUCKETS))
+    # The two-phase running sum reads its input TWICE (per-bucket
+    # totals, then the offset-joined per-bucket window), and every
+    # caller's input here is expensive per row (words() regex split,
+    # or the Arrow BPE encode in the shard-pack/corpus-prep paths). A
+    # lazy localCheckpoint materializes the (source, doc_id, n_tok)
+    # projection once inside the timed query instead of re-running the
+    # text pass per consumer (round 14; the same pattern as
+    # tfidf_cosine_pairs' tf boundary). Bytes stored are the projected
+    # columns only, never the text.
     return smp.grouped_bucketed_running_sum(
-        df,
+        df.localCheckpoint(eager=False),
         ["source"],
         # integer DIV, not floor(x / b): double division loses exactness
         # past 2^53 doc_ids — still monotonic, but bucket widths would
@@ -667,8 +676,14 @@ def doc_shard_pack_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tx.words("text")).cast("bigint").alias("n_tok"),
     )
     ok = F.md5(F.col("doc_id").cast("string"))
+    # Same double-read boundary as _packing_cum: without the lazy
+    # checkpoint the scan + words() split + md5 run once for the
+    # per-prefix totals AND once for the offset-joined window —
+    # measured 19-29 s -> see OPTIMIZATION_r14.md at the x100
+    # data-proportional staging. Stored rows are (doc_id, source,
+    # n_tok, _ok) — ~60 B/doc, never the text.
     cum = smp.bucketed_running_sum(
-        docs.withColumn("_ok", ok),
+        docs.withColumn("_ok", ok).localCheckpoint(eager=False),
         F.substring("_ok", 1, 2),
         [F.col("_ok"), F.col("doc_id")],
         F.col("n_tok"),
