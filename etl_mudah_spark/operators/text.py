@@ -38,7 +38,18 @@ def words(col: Column | str) -> Column:
 
 
 def token_count(col: Column | str) -> Column:
-    """Whitespace token count."""
+    """Whitespace token count.
+
+    Kept as ``size(split(...))`` DELIBERATELY: the allocation-free
+    ``regexp_count(trim(c), '\\s+') + 1`` twin (provably equal on every
+    non-null string — split(limit=-1) keeps empty pieces, so pieces ==
+    separator matches + 1) was A/B'd on the x100 1.09 GB documents
+    staging in round 14 and measured NO faster (min 4.12 vs 4.21 s,
+    medians 4.51 vs 4.99 — the zstd scan + regex matching dominate and
+    Java's split-token allocation is noise); see OPTIMIZATION_r14.md.
+    The equality itself stays pinned in tests/test_optimization_r14.py
+    so a future re-attempt starts from the proof, not the derivation.
+    """
     return F.size(words(col))
 
 

@@ -1864,7 +1864,7 @@ def doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = clusters.join(
         docs.select(
             F.col("doc_id").alias("node"),
-            F.size(tx.words("text")).alias("n_tokens"),
+            tx.token_count("text").alias("n_tokens"),
         ),
         "node",
     )
@@ -2193,7 +2193,7 @@ def doc_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(1.0)
     ).otherwise(F.lit(0.4))
     kept = smp.keymod_flag("doc_id", weight, buckets=10)
-    n_tok = F.size(tx.words("text")).cast("bigint")
+    n_tok = tx.token_count("text").cast("bigint")
     return (
         docs.select("source", kept.alias("kept"), n_tok.alias("n_tok"))
         .groupBy("source")
@@ -2620,7 +2620,7 @@ def doc_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
-        F.size(tx.words("text")).cast("bigint").alias("n_tok"),
+        tx.token_count("text").cast("bigint").alias("n_tok"),
     )
     budget = F.when(
         F.substring("source", 4, 10).cast("int") % 2 == 0,

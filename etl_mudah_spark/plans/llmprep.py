@@ -213,6 +213,9 @@ def _bm25_scored(docs: DataFrame, terms: tuple[str, ...]) -> DataFrame:
     Only docs containing at least one query term appear."""
     toks = docs.select(
         "doc_id",
+        # size(words) inline: the same select explodes the words array,
+        # so codegen subexpression elimination computes the split once
+        # and size() rides it free.
         F.size(tx.words("text")).cast("double").alias("dl"),
         F.explode(tx.words("text")).alias("term"),
     ).select("doc_id", "dl", F.lower("term").alias("term"))
@@ -224,7 +227,7 @@ def _bm25_scored(docs: DataFrame, terms: tuple[str, ...]) -> DataFrame:
     dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
     stats = docs.agg(
         F.count("*").cast("double").alias("n"),
-        F.avg(F.size(tx.words("text"))).alias("avgdl"),
+        F.avg(tx.token_count("text")).alias("avgdl"),
     )
     idf = F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     denom = F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
@@ -533,7 +536,7 @@ def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select(
             split.alias("split"),
-            F.size(tx.words("text")).cast("bigint").alias("n_tok"),
+            tx.token_count("text").cast("bigint").alias("n_tok"),
             "n_chars",
         )
         .groupBy("split")
@@ -617,7 +620,7 @@ def doc_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays sequential, so determinism is preserved. Integer-only
     arithmetic: the oracle comparison is exact."""
     docs = load(spark, sf_dir, "documents").select(
-        "source", "doc_id", F.size(tx.words("text")).cast("bigint").alias("n_tok")
+        "source", "doc_id", tx.token_count("text").cast("bigint").alias("n_tok")
     )
     cum = _packing_cum(sf_dir, docs, "n_tok")
     return (
@@ -673,8 +676,17 @@ def doc_shard_pack_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
-        F.size(tx.words("text")).cast("bigint").alias("n_tok"),
+        tx.token_count("text").cast("bigint").alias("n_tok"),
     )
+    # The hex _ok stays a 32-char STRING deliberately: the 16-byte
+    # unhex(md5) recode (order-preserving — Spark compares BinaryType
+    # unsigned, pinned in tests/test_optimization_r14.py) was A/B'd in
+    # round 14 at this x100 staging (checksum-identical over 122,504
+    # shards) and measured NO faster — interleaved/rotated, fresh-
+    # session, and an 11M-row synthetic isolation all read parity or
+    # slightly worse (hex min 4.77 / med 5.44 vs bin 4.88 / 6.16 on the
+    # isolation); UTF8String comparison is word-wise and the sort-key
+    # bytes are not the bottleneck. See OPTIMIZATION_r14.md.
     ok = F.md5(F.col("doc_id").cast("string"))
     # Same double-read boundary as _packing_cum: without the lazy
     # checkpoint the scan + words() split + md5 run once for the
@@ -790,7 +802,7 @@ def doc_shard_pack_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
         "source",
         "doc_id",
-        F.size(tx.words("text")).cast("bigint").alias("n_tok"),
+        tx.token_count("text").cast("bigint").alias("n_tok"),
     )
 
     def pack(df: DataFrame) -> DataFrame:
@@ -874,7 +886,7 @@ def doc_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shard fingerprints (min/sum of doc_id) make membership, not just
     counts, oracle-checked."""
     docs = load(spark, sf_dir, "documents").select(
-        "doc_id", F.size(tx.words("text")).cast("bigint").alias("n_tok")
+        "doc_id", tx.token_count("text").cast("bigint").alias("n_tok")
     )
     ordered = smp.md5_global_order(docs, "doc_id")
     return (
@@ -1811,7 +1823,7 @@ def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     route to simplification). No UDF — regexp_count is JVM-side
     codegen."""
     docs = load(spark, sf_dir, "documents").select("lang", "text")
-    nw = F.size(tx.words("text"))
+    nw = tx.token_count("text")
     syl = F.regexp_count(F.lower("text"), F.lit("[aeiouy]+"))
     sent = F.greatest(F.lit(1), F.regexp_count("text", F.lit("[.!?]+")))
     flesch = (
@@ -2059,6 +2071,14 @@ def corpus_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", "text", "n_tokens")
     )
+    # `e` feeds three consumers (the pairs pipeline via CC's eager sym
+    # checkpoint, the survivor-scoring join, the staged `nd` write) —
+    # a lazy localCheckpoint boundary here (the §4/§5 round-14 pattern)
+    # was A/B'd at the x10 staging (rotated, paired reps) and measured
+    # PARITY: old min 18.66/med 25.15 vs ckpt 18.24/24.21, old winning
+    # 4/6 paired reps — storing the text-carrying rows costs what the
+    # two saved recomputes save. Left unckpointed; evidence in
+    # OPTIMIZATION_r14.md and scripts/corpus_prep_ab_r14.py.
     e = dd.exact_dedup(
         q.withColumn("k", F.md5(F.substring("text", 1, 40))), ["k"], ["doc_id"]
     ).drop("k")

@@ -89,3 +89,67 @@ def test_packing_cum_materializes_input_once(spark):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "ExistingRDD" in plan
     assert plan.count("Scan parquet") == 0
+
+
+def test_token_count_equals_regexp_count_form_adversarially(spark):
+    # MEASURED-REJECTED twin, equality kept pinned (round 14): the
+    # allocation-free `regexp_count(trim, '\s+') + 1` form of
+    # token_count was A/B'd on the x100 documents staging and was NO
+    # faster, so token_count stays size(split). The equivalence proof
+    # stays here so a future re-attempt starts from it: split(limit=-1)
+    # keeps empty pieces, so pieces == separator matches + 1 on EVERY
+    # non-null string — empties, all-whitespace, and non-space
+    # whitespace that trim() (space only) does not strip.
+    import random
+
+    from etl_mudah_spark.operators import text as tx
+
+    cases = [
+        "", " ", "  ", "\t", "\n", " \t \n ", "a", " a ", "a b",
+        "a  b", "\ta b\n", "a\tb\nc", "word", "x " * 500, "\t\t\t",
+        "\na", "a\n", " \ta", "a\t ", "tab\tsep\tvals", "a\x0bb",
+    ]
+    rng = random.Random(1414)
+    alphabet = "ab .\t\nxy"
+    cases += [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 80)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(s,) for s in cases], "text string")
+    t = F.trim("text")
+    regexp_form = F.regexp_count(t, F.lit(tx.WHITESPACE_RE)) + F.lit(1)
+    bad = (
+        df.select(regexp_form.alias("o"), tx.token_count("text").alias("n"))
+        .where(~F.col("o").eqNullSafe(F.col("n")))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_binary_md5_key_orders_like_hex(spark):
+    # MEASURED-REJECTED twin, order-equivalence kept pinned (round 14):
+    # sorting doc_shard_pack_global's _ok as unhex(md5) BYTES is
+    # order-identical to the hex string but measured no faster, so the
+    # plan keeps hex. The invariants a re-attempt needs: (1) Spark
+    # compares BinaryType UNSIGNED — 0x7f sorts before 0x80; (2) ORDER
+    # BY (binary key, id) and the 1-byte-prefix bucket-major order
+    # reproduce the hex-string order row for row.
+    lo_hi = spark.sql(
+        "SELECT id FROM VALUES (unhex('80'), 0), (unhex('7f'), 1) t(b, id) "
+        "ORDER BY b"
+    ).collect()
+    assert [r["id"] for r in lo_hi] == [1, 0], "BinaryType must sort unsigned"
+
+    df = spark.range(5000).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("ok")
+    ).select("id", "ok", F.unhex("ok").alias("okb"))
+    by_hex = [r["id"] for r in df.orderBy("ok", "id").collect()]
+    by_bin = [r["id"] for r in df.orderBy("okb", "id").collect()]
+    by_bucket_major = [
+        r["id"]
+        for r in df.orderBy(
+            F.substring("okb", 1, 1), F.col("okb"), F.col("id")
+        ).collect()
+    ]
+    assert by_bin == by_hex
+    assert by_bucket_major == by_hex
