@@ -979,6 +979,7 @@ LINE_KEYS = (
     "value_sf_x10",
     "value2_sf_x10",
     "value2_errors",
+    "value2_n",
     "value_sf_x100",
     "srp_incremental_batch_sec",
     "stream_srp_ingest_sec",
@@ -1243,6 +1244,13 @@ def main() -> None:
                 # without this marker the partial sum reads as an
                 # improvement on the one-line record.
                 result["value2_errors"] = len(s2_errors)
+                # query count rides the LINE too (VERDICT r14 item 3):
+                # the set-2 list grows across rounds (r14 added
+                # emb_knn_label_agreement, 10 -> 11 queries), so a
+                # total compared across rounds without the count reads
+                # as a regression when it is an added query. value2_n
+                # makes the sum self-describing.
+                result["value2_n"] = len(s2_timings)
                 if s2_errors:
                     result[f"queries2_errors_x{scale_factor}"] = s2_errors
             else:
