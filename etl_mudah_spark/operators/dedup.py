@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from etl_mudah_spark.operators.ckpt import materialize_once as _checkpoint
 from etl_mudah_spark.operators.text import WHITESPACE_RE
 
 
@@ -141,9 +142,18 @@ def minhash_signatures(
     shingle exactly k times and the partial (map-side) min-agg reduces
     the shuffle to one row per doc per partition — the 100 TB-safe shape.
     """
-    shingled = df.select(
-        F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_sh"),
+    sh = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_shs")
+    )
+    return _signatures_from_sh(sh, id_col, num_hashes)
+
+
+def _signatures_from_sh(sh: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    """Signatures from a precomputed ``(id, _shs array<string>)`` base —
+    lets :func:`minhash_near_duplicates` share ONE shingle pass between
+    the signature pipeline and the exact-Jaccard verification sides."""
+    shingled = sh.select(
+        F.col(id_col), F.explode(F.col("_shs")).alias("_sh")
     ).select(F.col(id_col), F.xxhash64("_sh").alias("_b"))
     hashed = shingled.select(
         F.col(id_col),
@@ -166,8 +176,15 @@ def minhash_band_buckets(
     surface shared by batch self-dedup (:func:`minhash_lsh_candidates`)
     and the persisted-index incremental path
     (:func:`minhash_index_build` / :func:`minhash_dedup_incremental`)."""
-    rows = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    return _band_buckets_from_sig(sig, id_col, num_hashes, bands)
+
+
+def _band_buckets_from_sig(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """Band bucket rows from a precomputed signature frame."""
+    rows = num_hashes // bands
     band_arr = F.array(
         *[
             F.struct(
@@ -208,6 +225,11 @@ def minhash_lsh_candidates(
     upstream.
     """
     banded = minhash_band_buckets(df, id_col, text_col, num_hashes, bands, shingle_n)
+    return _lsh_candidates_from_banded(banded, id_col)
+
+
+def _lsh_candidates_from_banded(banded: DataFrame, id_col: str) -> DataFrame:
+    """Candidate pairs from precomputed band bucket rows."""
     # shuffle_hash (not broadcast): both sides of the self-join are the
     # same plan shuffled on the same keys, so Spark computes the whole
     # signature pipeline ONCE and reuses the exchange; a broadcast join
@@ -528,7 +550,7 @@ def tfidf_cosine_pairs(
     # this AND concentrates a boilerplate term's whole posting list in
     # one task — rejected for the same skew reason the docstring
     # documents.)
-    tf = tf.localCheckpoint(eager=False)
+    tf = _checkpoint(tf)
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     kept = dfreq.where(F.col("df") >= min_df)
     if max_df is not None:
@@ -759,11 +781,30 @@ def minhash_near_duplicates(
 
     The scale path: LSH prunes the pair space, exact verification runs
     only on candidates. Returns (doc_a, doc_b, jaccard ≥ threshold).
+
+    ONE shingle pass (round 15): the naive composition runs the
+    split+slide+concat shingle projection three times over the corpus
+    (signature pipeline + each verification side). A lazy
+    ``localCheckpoint`` of ``(id, shingle array)`` materializes it once
+    and feeds all three consumers — measured 12/12 paired wins, −13%
+    at sf0.1 and −32% at x10, byte-identical results
+    (scripts/minhash_ab_r15.py). The checkpointed rows are corpus-scale
+    (the shingle arrays); see BASELINE.md on the localCheckpoint
+    fault-tolerance trade-off and the reliable-checkpoint knob.
     """
-    cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, shingle_n)
-    sh = df.select(F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh"))
-    a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    sh = _checkpoint(
+        df.select(
+            F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_shs")
+        )
+    )
+    cands = _lsh_candidates_from_banded(
+        _band_buckets_from_sig(
+            _signatures_from_sh(sh, id_col, num_hashes), id_col, num_hashes, bands
+        ),
+        id_col,
+    )
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("_shs").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("_shs").alias("sh_b"))
     return (
         cands.join(a, "doc_a")
         .join(b, "doc_b")

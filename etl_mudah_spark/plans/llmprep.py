@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_mudah_spark.operators import sampling as smp
+from etl_mudah_spark.operators.ckpt import materialize_once as _materialize_once
 from etl_mudah_spark.operators import text as tx
 from etl_mudah_spark.operators.similarity import as_double
 from etl_mudah_spark.plans.registry import register
@@ -577,7 +578,7 @@ def _packing_cum(sf_dir: str, df: DataFrame, val_col: str) -> DataFrame:
     # tfidf_cosine_pairs' tf boundary). Bytes stored are the projected
     # columns only, never the text.
     return smp.grouped_bucketed_running_sum(
-        df.localCheckpoint(eager=False),
+        _materialize_once(df),
         ["source"],
         # integer DIV, not floor(x / b): double division loses exactness
         # past 2^53 doc_ids — still monotonic, but bucket widths would
@@ -695,7 +696,7 @@ def doc_shard_pack_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     # data-proportional staging. Stored rows are (doc_id, source,
     # n_tok, _ok) — ~60 B/doc, never the text.
     cum = smp.bucketed_running_sum(
-        docs.withColumn("_ok", ok).localCheckpoint(eager=False),
+        _materialize_once(docs.withColumn("_ok", ok)),
         F.substring("_ok", 1, 2),
         [F.col("_ok"), F.col("doc_id")],
         F.col("n_tok"),

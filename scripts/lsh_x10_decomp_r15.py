@@ -44,7 +44,8 @@ CAP = 64
 
 def build_phases(spark, sc_dir):
     df = load(spark, sc_dir, "embeddings")
-    n_planes, n_tables = sim.srp_params(THRESHOLD, 0.95, 32)
+    # max_tables=96 matches bench._lsh_cosine_production exactly
+    n_planes, n_tables = sim.srp_params(THRESHOLD, 0.95, 96)
     buckets = sim.srp_buckets_udf(EMB_DIM, n_planes, n_tables)
     base = df.select(
         F.col("vec_id").alias("_id"), sim.as_double(F.col("embedding")).alias("_v")
@@ -108,6 +109,51 @@ def build_phases(spark, sc_dir):
         .select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
     )
 
+    # G: single UDF pass — the capped path never consults _bkts after
+    # the explode (dedup is the dropDuplicates shuffle, not the
+    # first-collision filter), so a NARROW (id, tbl, bkt) lazy
+    # localCheckpoint (~20 B/row; the r14-rejected variant stored the
+    # 8t-byte _bkts array) lets sizes and both self-join sides read one
+    # materialized pass instead of re-running the Arrow matmul 4x.
+    ids_n = (
+        df.select(
+            F.col("vec_id").alias("_id"), buckets(F.col("embedding")).alias("_bkts")
+        )
+        .select("_id", F.posexplode(F.col("_bkts")).alias("_tbl", "_bkt"))
+        .localCheckpoint(eager=False)
+    )
+    sizes_n = ids_n.groupBy("_tbl", "_bkt").agg(F.count("*").alias("_sz"))
+    ids_g = (
+        ids_n.join(sizes_n, ["_tbl", "_bkt"])
+        .where(
+            (F.col("_sz") <= CAP)
+            | (
+                F.pmod(
+                    F.xxhash64("_id"),
+                    F.ceil(F.col("_sz") / F.lit(CAP)).cast("bigint"),
+                )
+                == 0
+            )
+        )
+        .drop("_sz")
+    )
+    lg, rg = ids_g.alias("l"), ids_g.alias("r")
+    cand_g = (
+        lg.hint("shuffle_hash")
+        .join(rg.hint("shuffle_hash"), join_on)
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    # H: verify-then-dedup. Measured multiplicity at x10 is only 1.16
+    # (26.1M joined rows -> 22.45M distinct pairs), so the 16-byte/row
+    # dedup exchange moves ~418 MB to save 14% of the verify dots.
+    # Verifying every joined row and deduping the ~10k SURVIVORS is
+    # exactly equal (cosine_sim is a deterministic expression of the
+    # pair, so duplicates carry identical values) and replaces the
+    # wide exchange with a trivial one.
+    h = verify(cand_raw).dropDuplicates(["id_a", "id_b"])
+
     return {
         "A_ids_cap": ids,
         "B_join_nodedup": cand_raw,
@@ -115,6 +161,8 @@ def build_phases(spark, sc_dir):
         "D_full": verify(cand),
         "E_full_bcast_verify": verify(cand, bcast=True),
         "F_full_packed_dedup": verify(cand_packed),
+        "G_full_narrow_ckpt": verify(cand_g),
+        "H_verify_then_dedup": h,
     }
 
 
@@ -136,7 +184,7 @@ def main():
         "count(*) c", "sum(hash(id_a, id_b, cast(cosine_sim as string))) h"
     ).first()
     cd = chk(d)
-    for v in ("E_full_bcast_verify", "F_full_packed_dedup"):
+    for v in ("E_full_bcast_verify", "F_full_packed_dedup", "G_full_narrow_ckpt"):
         cv = chk(phases[v])
         assert (cd.c, cd.h) == (cv.c, cv.h), f"{v} mismatch: {cv} vs {cd}"
         print(f"checksum gate {v}: OK ({cd.c} rows)")
@@ -145,6 +193,10 @@ def main():
     reps = {n: [] for n in names}
     N = 3
     for i in range(N):
+        # REBUILD the plans each rep: timing a reused DataFrame object
+        # re-reads its registered shuffle map outputs (skipped stages)
+        # — the round-11 measurement trap.
+        phases = build_phases(spark, sc_dir)
         order = names[i % len(names):] + names[: i % len(names)]
         for n in order:
             spark.sparkContext.setJobDescription(f"decomp {n} rep{i}")
@@ -159,6 +211,7 @@ def main():
             f" max {r[-1]:6.2f}   {reps[n]}"
         )
     # executed plan of the full form: join strategies + exchanges
+    d = build_phases(spark, sc_dir)["D_full"]
     d.write.mode("overwrite").format("noop").save()
     ep = d._jdf.queryExecution().executedPlan().toString()
     for marker in (

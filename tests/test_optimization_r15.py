@@ -1,0 +1,56 @@
+"""Round-15 optimization pins: the plan-shape fixes stay fixed.
+
+Each test pins an internal an optimization changed, not a result
+(results are pinned by the oracle suite): the one-shingle-pass
+boundary in minhash_near_duplicates, and the materialize_once helper's
+reliable-checkpoint escape hatch (the 100 TB fault-tolerance knob).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from etl_mudah_spark.operators.ckpt import RELIABLE_DIR_CONF, materialize_once
+from tests.conftest import SF_SMOKE
+
+
+def test_minhash_near_dup_single_shingle_pass(spark):
+    # The naive composition shingles the corpus three times (signature
+    # pipeline + both verification sides). The materialize-once
+    # boundary makes every consumer read the checkpointed (id, shingle
+    # array) pass: the executed plan holds NO parquet scan at all —
+    # losing the boundary re-introduces one scan per consumer.
+    from etl_mudah_spark.operators import dedup as dd
+    from etl_mudah_spark.tables import load
+
+    q = dd.minhash_near_duplicates(
+        load(spark, SF_SMOKE, "documents"), num_hashes=32, bands=8, threshold=0.2
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan
+    assert plan.count("Scan parquet") == 0
+
+
+def test_materialize_once_local_by_default(spark):
+    df = materialize_once(spark.range(10).withColumn("v", F.col("id") * 2))
+    assert df.count() == 10
+    assert "ExistingRDD" in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_materialize_once_reliable_when_configured(spark):
+    # With the knob set, the boundary is a RELIABLE checkpoint: RDD
+    # block files land under the configured directory (and survive
+    # executor loss — the property the local variant trades away).
+    ckdir = tempfile.mkdtemp(prefix="reliable_ck_")
+    spark.conf.set(RELIABLE_DIR_CONF, ckdir)
+    try:
+        df = materialize_once(spark.range(10).withColumn("v", F.col("id") * 2))
+        assert df.count() == 10
+        written = glob.glob(os.path.join(ckdir, "**", "part-*"), recursive=True)
+        assert written, f"no reliable checkpoint files under {ckdir}"
+    finally:
+        spark.conf.unset(RELIABLE_DIR_CONF)
