@@ -450,16 +450,33 @@ def ngram_jaccard_pairs(
     pairs whose only shared shingles are boilerplate are the ones
     deliberately lost. Default None = exact.
     """
-    shingled = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
+    # ONE shingle pass (round 15): the naive form computed the shingle
+    # projection twice (the per-doc sizes aggregation and the index
+    # side); the materialize-once boundary feeds both from one pass and
+    # sizes becomes size(array) — no aggregation at all. Measured −29%
+    # med at the x10 staging, −20% at sf0.1, byte-identical on both
+    # regimes (scripts/jaccard_ab_r15.py).
+    sh = _checkpoint(
+        df.select(
+            F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_shs")
+        )
     )
-    sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    shingled = sh.select(F.col(id_col), F.explode(F.col("_shs")).alias("sh"))
+    sizes = sh.select(F.col(id_col), F.size(F.col("_shs")).alias("n_sh"))
     index = shingled
     if max_shingle_df is not None:
+        # `_df >= 2` rides the cap aggregation for FREE and drops every
+        # singleton shingle from the index: a pair needs two index rows
+        # with distinct ids (same-id rows fail doc_a < doc_b), so a
+        # shingle with one row cannot contribute — the self-join's
+        # build and probe shrink by the singleton fraction, which in a
+        # sparse corpus is most of the vocabulary. Exact: |A| and |B|
+        # keep full semantics via sizes, and common counts only ever
+        # came from shingles with >= 2 rows.
         rare = (
             shingled.groupBy("sh")
             .agg(F.count("*").alias("_df"))
-            .where(F.col("_df") <= max_shingle_df)
+            .where((F.col("_df") <= max_shingle_df) & (F.col("_df") >= 2))
             .select("sh")
         )
         index = shingled.join(rare, "sh")

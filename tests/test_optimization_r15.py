@@ -35,6 +35,24 @@ def test_minhash_near_dup_single_shingle_pass(spark):
     assert plan.count("Scan parquet") == 0
 
 
+def test_ngram_jaccard_single_shingle_pass_and_singleton_prune(spark):
+    # One shingle pass: sizes is size(array) off the checkpointed base,
+    # the index explodes the same base — no parquet scan survives in
+    # the executed plan. Singleton prune: the df-cap aggregation also
+    # drops _df < 2 (a singleton shingle cannot produce a pair), which
+    # must ride the SAME aggregate, not add a second one.
+    from etl_mudah_spark.operators import dedup as dd
+    from etl_mudah_spark.tables import load
+
+    q = dd.ngram_jaccard_pairs(
+        load(spark, SF_SMOKE, "documents"), threshold=0.2, max_shingle_df=50
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan
+    assert plan.count("Scan parquet") == 0
+    assert ">= 2" in plan and "<= 50" in plan
+
+
 def test_materialize_once_local_by_default(spark):
     df = materialize_once(spark.range(10).withColumn("v", F.col("id") * 2))
     assert df.count() == 10
