@@ -134,12 +134,26 @@ def _big_orders_preagg_production(spark, sf_dir: str):
 
     from etl_mudah_spark.tables import load
 
+    from etl_mudah_spark.operators.layout import (
+        broadcast_threshold_bytes,
+        filtered_scan_bytes_bound,
+    )
+
     rollup = _prebuild_preagg(spark, sf_dir)
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
     )
     cust = load(spark, sf_dir, "customer")
     q = spark.read.parquet(rollup).where(F.col("qty_sum") > 250)
+    # Metadata-driven broadcast (round 15, same decision as the
+    # registered query): the range-sorted rollup's row-group stats
+    # bound the filtered side exactly; when provably under the session
+    # broadcast threshold the hint skips the orders-side shuffle write
+    # (x100: 1.91 -> 1.15 s median). At scale the bound grows with the
+    # data and the hint simply never fires.
+    bound = filtered_scan_bytes_bound(rollup, "qty_sum", 250.0)
+    if bound is not None and bound <= broadcast_threshold_bytes(spark):
+        q = F.broadcast(q)
     return (
         q.join(orders, q.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)

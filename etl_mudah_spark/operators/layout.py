@@ -416,6 +416,78 @@ def recover_compaction(path: str) -> bool:
     return healed
 
 
+def filtered_scan_bytes_bound(path: str, col: str, gt: float) -> int | None:
+    """Upper bound, in COMPRESSED bytes, of the rows satisfying
+    ``col > gt`` under ``path`` — a driver-side parquet FOOTER read
+    (pyarrow metadata only, zero Spark jobs, zero data pages).
+
+    Row groups whose ``max(col) <= gt`` provably contribute no rows;
+    the bound sums the compressed bytes of every other row group. On a
+    file laid out range-sorted by ``col`` (e.g. the Q18 rollup) the
+    bound is tight: only the groups straddling/above the threshold
+    count. Returns ``None`` when any row group lacks min/max stats for
+    ``col`` — no claim is made, callers must fall back to the
+    planner's own estimate.
+
+    Why it exists (round 15): Spark sizes a filtered scan at the FULL
+    file bytes (non-CBO `Filter` keeps its child's estimate), so a
+    provably-tiny filtered side misses the broadcast threshold, the
+    planner picks sort-merge, and the BIG side pays a full shuffle
+    write before AQE's runtime conversion can rescue the fetch. The
+    footer bound restores the decision the statistics already support
+    — and stays honest at scale: when the filtered set really is big
+    (e.g. 100 TB Q18: ~1.5% of orders is GBs), the bound says so and
+    no broadcast hint is applied.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    from etl_mudah_spark.operators.manifest import manifest_resolve
+
+    data_path = manifest_resolve(path)
+    files = [
+        os.path.join(root, f)
+        for root, _, fs in os.walk(data_path)
+        for f in fs
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+    if not files:
+        return None
+    total = 0
+    for fp in files:
+        md = pq.ParquetFile(fp).metadata
+        try:
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+        except KeyError:
+            return None
+        if idx < 0:
+            return None
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            stats = rg.column(idx).statistics
+            if stats is None or not stats.has_min_max:
+                return None
+            if stats.max > gt:
+                total += sum(
+                    rg.column(c).total_compressed_size
+                    for c in range(rg.num_columns)
+                )
+    return total
+
+
+def broadcast_threshold_bytes(spark: SparkSession) -> int:
+    """The session's autoBroadcastJoinThreshold as bytes (the JVM's own
+    size-string parser, so "10MB"/"10485760b" both work)."""
+    raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    try:
+        return int(
+            spark._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+        )
+    except Exception:
+        return 10 * 1024 * 1024
+
+
 def count_data_files(path: str) -> int:
     """Visible data files under ``path`` (manifest-aware: counts the
     LIVE version when the directory is manifest-published), the metric

@@ -53,6 +53,46 @@ def test_ngram_jaccard_single_shingle_pass_and_singleton_prune(spark):
     assert ">= 2" in plan and "<= 50" in plan
 
 
+def test_filtered_scan_bytes_bound_range_sorted(spark, tmp_path):
+    # A range-sorted file: row groups whose max <= threshold must
+    # contribute ZERO bytes to the bound; groups above it all count.
+    from etl_mudah_spark.operators.layout import (
+        broadcast_threshold_bytes,
+        filtered_scan_bytes_bound,
+    )
+
+    path = str(tmp_path / "rollup")
+    (
+        spark.range(100000)
+        .selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+        .repartitionByRange(8, "v")
+        .sortWithinPartitions("v")
+        .write.parquet(path)
+    )
+    full = filtered_scan_bytes_bound(path, "v", -1.0)
+    tail = filtered_scan_bytes_bound(path, "v", 99990.0)
+    nothing = filtered_scan_bytes_bound(path, "v", 1e12)
+    assert full and tail and full > tail > 0
+    assert nothing == 0
+    # missing column -> no claim
+    assert filtered_scan_bytes_bound(path, "nope", 0.0) is None
+    assert broadcast_threshold_bytes(spark) > 0
+
+
+def test_big_orders_preagg_broadcasts_proven_small_rollup(spark):
+    # At smoke scale the footer bound proves the filtered rollup tiny,
+    # so the plan must carry NO hash-partitioning exchange: the orders
+    # side is never shuffled (the x100 win; at real scale the bound
+    # grows and the hint simply does not fire).
+    from etl_mudah_spark.plans import registry
+
+    df = registry.REGISTRY["big_orders_preagg"].spark_fn(spark, SF_SMOKE)
+    df.write.mode("overwrite").format("noop").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("SortMergeJoin") == 0
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
 def test_materialize_once_local_by_default(spark):
     df = materialize_once(spark.range(10).withColumn("v", F.col("id") * 2))
     assert df.count() == 10
