@@ -55,77 +55,74 @@ from etl_mudah_spark.plans import mlq  # noqa: F401
 # CORRECTNESS_r{_WINDOW_ROUND}.json and goes red only if a LATER
 # round runs without a rotation — fixing the r10 lifecycle flaw where
 # the guard was red for half of every round by construction.
-_WINDOW_ROUND = 14
+_WINDOW_ROUND = 15
 
 _PRIORITY = [
-    # Round-14 window (exactly 50 names):
-    # (a) the 26 remaining r9-stale names (doc_quality onward) — after
-    #     this round, no driver row is older than r10;
-    # (b) round-14 additions (never driver-rowed), if any — they
-    #     displace the alphabetically-last fillers in (c);
-    # (c) alphabetically-first r10-stale names filling the remainder.
-    #     Round-15 should resume the r10-stale names at
-    #     doc_split_leakage onward (the round-14 additions displaced
-    #     doc_split_leakage, doc_token_budget_mix, doc_token_stats,
-    #     doc_unigram_surprisal, emb_pca_variance, emb_semantic_dedup,
-    #     emb_srp_incremental_dedup and events_ab_test).
+    # Round-15 window (exactly 50 names):
+    # (a) the 34 remaining r10-stale names — resuming exactly where the
+    #     round-14 comment said to (doc_split_leakage onward; the r14
+    #     additions displaced the first eight). After this round no
+    #     driver row is older than r11.
+    # (b) no round-15 additions exist (optimization round — the
+    #     registry is frozen at 234), so the remaining 16 slots go to
+    #     the alphabetically-first r11-stale names. Round 16 should
+    #     resume the r11-stale names at doc_global_shuffle onward.
     # Window discipline is MACHINE-CHECKED by
     # tests/test_correctness_rotation.py. All registered queries are
     # additionally sim-checked at sf0.01 every round regardless
     # (scripts/driver_sim.py).
-    # --- (a) the 26 r9-stale names ---
-    "doc_quality",
-    "doc_quality_auc",
-    "doc_quality_calibration",
-    "doc_repeated_spans",
-    "doc_stratified_sample",
-    "doc_tfidf_similar",
-    "events_daily_acf",
-    "events_markov_transitions",
-    "events_stream_cms_users",
-    "events_user_paths",
-    "events_value_drift_psi",
-    "events_value_winsorized",
-    "lineitem_bloom_semijoin",
-    "lineitem_zone_pruned_revenue",
-    "orders_benford_audit",
-    "orders_cms_heavy_customers",
-    "orders_dow_seasonality",
-    "orders_hll_distinct",
-    "orders_replica_diff",
-    "part_brand_target_encoding",
-    "part_brand_type_mi",
-    "part_er_match_scores",
-    "part_price_size_frontier",
-    "priority_customer_overlap",
-    "supplier_customer_pagerank",
-    "supplier_reach_khop",
-    # --- (b) new in round 14 (never driver-rowed) ---
-    "emb_sim_label_calibration",
-    "emb_mmr_diverse_topk",
-    "emb_stream_srp_ingest",
-    "doc_stream_minhash_ingest",
-    "doc_dedup_token_savings",
-    "emb_label_outliers",
-    "doc_stream_curation_gate",
-    "doc_neardup_token_savings",
-    # --- (c) stalest r10 rows, alphabetically first ---
-    "ann_ivfpq_maintained",
-    "ann_recall_at_k",
-    "corpus_prep_e2e",
-    "customer_k_anonymity",
-    "customer_km_survival",
-    "customer_revenue_gini",
-    "customer_revenue_lorenz",
-    "customer_rfm_segments",
-    "daily_revenue_theilsen",
-    "doc_cluster_modularity",
-    "doc_lang_kappa",
-    "doc_novelty_scores",
-    "doc_quality_avg_precision",
-    "doc_quality_brier",
-    "doc_quality_pr_curve",
-    "doc_readability",
+    # --- (a) the 34 remaining r10-stale names ---
+    "doc_split_leakage",
+    "doc_token_budget_mix",
+    "doc_token_stats",
+    "doc_unigram_surprisal",
+    "emb_pca_variance",
+    "emb_semantic_dedup",
+    "emb_srp_incremental_dedup",
+    "events_ab_test",
+    "events_conformal_interval",
+    "events_daily_growth_accounting",
+    "events_daily_users_rollup",
+    "events_position_attribution",
+    "events_seasonal_backtest",
+    "events_sliding_5min_peak",
+    "events_stream_drift_psi",
+    "events_stream_enriched",
+    "events_stream_ks_binned",
+    "events_stream_quantile_sketch",
+    "events_stream_sessions_native",
+    "events_stream_sliding_peak",
+    "events_stream_unconverted",
+    "events_stream_users_rollup",
+    "events_type_quantile_norm",
+    "events_value_ks_drift",
+    "events_value_mad_outliers",
+    "events_value_quantile_rollup",
+    "filter_stack_metrics",
+    "flag_weighted_price_quartiles",
+    "join_key_skew_profile",
+    "part_fd_audit",
+    "part_golden_records",
+    "priority_monthly_trend_ols",
+    "segment_churn_logrank",
+    "supplier_ppr_topk",
+    # --- (b) alphabetically-first r11-stale names filling to 50 ---
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "ann_pq_topk",
+    "ann_srp_topk",
+    "brand_quartiles",
+    "customer_balance_deciles",
+    "daily_revenue_moving_avg",
+    "disjunctive_join_revenue",
+    "doc_bpe_encode",
+    "doc_chunk_dedup",
+    "doc_clean_pipeline",
+    "doc_decontaminate",
+    "doc_domain_mix",
+    "doc_exact_dedup",
+    "doc_fingerprint",
 ]
 
 
