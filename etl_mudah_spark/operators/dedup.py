@@ -576,8 +576,18 @@ def tfidf_cosine_pairs(
     idf = kept.join(F.broadcast(n_docs)).select(
         "term", F.log(F.col("n_docs") / F.col("df")).alias("idf")
     )
-    wgt = tf.join(idf, "term").select(
-        id_col, "term", (F.col("tf") * F.col("idf")).alias("wv")
+    # wgt feeds THREE consumers (norms + both posting self-join
+    # sides); without its own boundary each consumer re-reads the tf
+    # RDD and re-runs the dfreq aggregation + idf join (~0.7 s x 3 at
+    # the x10 staging). A second materialize-once makes those one pass
+    # AND lets the self-join's identical ExistingRDD sides share one
+    # exchange: measured 2.56 s -> 0.28 s median warm at x10, 6/6
+    # paired wins, hash-identical (scripts/tfidf_wgt_ab_r15.py).
+    # Stored rows are (id, term, wv) — the same order of bytes as tf.
+    wgt = _checkpoint(
+        tf.join(idf, "term").select(
+            id_col, "term", (F.col("tf") * F.col("idf")).alias("wv")
+        )
     )
     dsum = lambda c: F.sum(c.cast("decimal(28,8)")).cast("double")  # noqa: E731
     norms = wgt.groupBy(id_col).agg(

@@ -68,11 +68,16 @@ def pack_global_old(spark, sc_dir: str) -> DataFrame:
 
 
 def pack_global_tok(spark, sc_dir: str) -> DataFrame:
-    """Token-count lever only: regexp_count form, hex _ok kept."""
+    """Token-count lever only: the REJECTED regexp_count form, inlined
+    (tx.token_count stayed size(split) after the rejection, so routing
+    through it would vacuously time the current form — ADVICE r14),
+    hex _ok kept."""
     docs = load(spark, sc_dir, "documents").select(
         "doc_id",
         "source",
-        tx.token_count("text").cast("bigint").alias("n_tok"),
+        (F.regexp_count(F.trim(F.col("text")), F.lit(tx.WHITESPACE_RE)) + 1)
+        .cast("bigint")
+        .alias("n_tok"),
     )
     ok = F.md5(F.col("doc_id").cast("string"))
     cum = smp.bucketed_running_sum(
@@ -139,7 +144,7 @@ def main() -> None:
 
     # checksum equality gate: OLD and NEW must agree row for row
     old_rows = pack_global_old(spark, sc_dir).limit(5).collect()
-    del old_rows  # warm plan path only; the real gate runs at sf0.01 via driver_sim
+    del old_rows  # warm-up: primes the plan/scan path before the full-collect gate below
     a = [tuple(r) for r in pack_global_old(spark, sc_dir).collect()]
     b = [tuple(r) for r in REGISTRY["doc_shard_pack_global"].spark_fn(spark, sc_dir).collect()]
     c = [tuple(r) for r in pack_global_tok(spark, sc_dir).collect()]
@@ -155,7 +160,12 @@ def main() -> None:
             "micro-size-split": docs.select(
                 F.size(F.split(F.trim("text"), tx.WHITESPACE_RE)).alias("n")
             ),
-            "micro-regexp-count": docs.select(tx.token_count("text").alias("n")),
+            # the rejected form, inlined (tx.token_count stayed
+            # size(split) after the rejection — ADVICE r14)
+            "micro-regexp-count": docs.select(
+                (F.regexp_count(F.trim(F.col("text")), F.lit(tx.WHITESPACE_RE)) + 1)
+                .alias("n")
+            ),
         }
         micro: dict[str, list[float]] = {k: [] for k in forms}
         for rep in range(3):

@@ -53,6 +53,24 @@ def test_ngram_jaccard_single_shingle_pass_and_singleton_prune(spark):
     assert ">= 2" in plan and "<= 50" in plan
 
 
+def test_tfidf_materializes_wgt_once(spark):
+    # wgt (tf x idf) has its own boundary on top of tf's: all three
+    # consumers (norms + both posting sides) read the checkpointed
+    # RDD, so NO parquet scan and no repeated dfreq/idf subtree
+    # survives in the executed plan. Losing the boundary re-runs the
+    # aggregation + join per consumer (measured 9x at the x10 staging).
+    from etl_mudah_spark.operators import dedup as dd
+    from etl_mudah_spark.tables import load
+
+    q = dd.tfidf_cosine_pairs(
+        load(spark, SF_SMOKE, "documents"), term_n=2, threshold=0.5,
+        min_df=2, max_df=60,
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 0
+    assert plan.count("ExistingRDD") >= 3
+
+
 def test_filtered_scan_bytes_bound_range_sorted(spark, tmp_path):
     # A range-sorted file: row groups whose max <= threshold must
     # contribute ZERO bytes to the bound; groups above it all count.
