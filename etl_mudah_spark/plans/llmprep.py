@@ -225,6 +225,12 @@ def _bm25_scored(docs: DataFrame, terms: tuple[str, ...]) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("double").alias("tf"), F.max("dl").alias("dl"))
     )
+    # tf feeds two consumers (the df aggregate and the scoring join);
+    # without a boundary each re-tokenizes the corpus. tf is tiny by
+    # construction (only query-term matches), so the materialize-once
+    # costs ~nothing and halves the query (x10: 0.455 -> 0.215 s warm
+    # median, identical top-k — round 15).
+    tf = _materialize_once(tf)
     dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
     stats = docs.agg(
         F.count("*").cast("double").alias("n"),
