@@ -208,10 +208,15 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_scored(docs: DataFrame, terms: tuple[str, ...]) -> DataFrame:
-    """Per-doc unrounded Okapi BM25 for ``terms`` — the scoring core
-    shared by the ranked-retrieval query and the RRF hybrid fusion.
-    Only docs containing at least one query term appear."""
+def _bm25_tf(docs: DataFrame, terms: tuple[str, ...]) -> DataFrame:
+    """The (doc_id, term, tf, dl) table feeding BM25 — pre-boundary.
+
+    Scale shape lives here: the query-term IN-filter sits directly on
+    the exploded tokens, so the grouped relation is O(matching
+    doc-terms), not O(corpus tokens). Kept as its own function so the
+    plan-shape guard can assert that property (the materialize-once
+    boundary in _bm25_scored hides this subtree behind an ExistingRDD
+    in the final plan)."""
     toks = docs.select(
         "doc_id",
         # size(words) inline: the same select explodes the words array,
@@ -220,11 +225,18 @@ def _bm25_scored(docs: DataFrame, terms: tuple[str, ...]) -> DataFrame:
         F.size(tx.words("text")).cast("double").alias("dl"),
         F.explode(tx.words("text")).alias("term"),
     ).select("doc_id", "dl", F.lower("term").alias("term"))
-    tf = (
+    return (
         toks.where(F.col("term").isin(*terms))
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("double").alias("tf"), F.max("dl").alias("dl"))
     )
+
+
+def _bm25_scored(docs: DataFrame, terms: tuple[str, ...]) -> DataFrame:
+    """Per-doc unrounded Okapi BM25 for ``terms`` — the scoring core
+    shared by the ranked-retrieval query and the RRF hybrid fusion.
+    Only docs containing at least one query term appear."""
+    tf = _bm25_tf(docs, terms)
     # tf feeds two consumers (the df aggregate and the scoring join);
     # without a boundary each re-tokenizes the corpus. tf is tiny by
     # construction (only query-term matches), so the materialize-once

@@ -185,12 +185,32 @@ def test_bm25_filters_terms_before_shuffle_and_takes_ordered(spark):
     """doc_bm25_search's scale claims: the query-term IN-filter sits
     directly on the exploded tokens (the grouped relation is O(matching
     doc-terms), not O(corpus tokens)), corpus stats broadcast, and the
-    final ranking is TakeOrdered, not sort+limit."""
+    final ranking is TakeOrdered, not sort+limit.
+
+    Round 15: tf rides a materialize-once boundary (one tokenize pass
+    for its two consumers), so the IN-filter lives in the pre-boundary
+    tf subtree (_bm25_tf) and the final plan shows the ExistingRDD
+    boundary instead of a corpus scan per consumer."""
     plan = _plan(spark, "doc_bm25_search")
     assert "TakeOrderedAndProject" in plan
-    filt = [l for l in plan.splitlines() if "Filter" in l and "IN (spark,window,merge)" in l]
-    assert filt, "query-term IN-list filter missing from the plan"
     assert "BroadcastHashJoin" in plan  # per-term df joins broadcast
+    assert "ExistingRDD" in plan  # tf materialized once, not per consumer
+
+    from etl_mudah_spark.plans.llmprep import BM25_QUERY, _bm25_tf
+    from etl_mudah_spark.tables import load
+
+    tf_plan = (
+        _bm25_tf(load(spark, SF_SMOKE, "documents"), BM25_QUERY)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    filt = [
+        l
+        for l in tf_plan.splitlines()
+        if "Filter" in l and "IN (spark,window,merge)" in l
+    ]
+    assert filt, "query-term IN-list filter missing from the tf subtree"
 
 
 def test_driver_window_is_exactly_50_registered_names(spark):
