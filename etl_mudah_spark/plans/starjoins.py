@@ -329,7 +329,7 @@ def _lineitem_fingerprint(sf_dir: str) -> tuple:
     )
 
 
-def _q18_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q18_rollup(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
     import atexit
     import shutil
     import tempfile
