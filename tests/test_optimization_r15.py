@@ -111,6 +111,23 @@ def test_big_orders_preagg_broadcasts_proven_small_rollup(spark):
     assert plan.count("Exchange hashpartitioning") == 0
 
 
+def test_big_orders_preagg_hint_gated_by_threshold(spark):
+    # The broadcast hint is metadata-GATED, not unconditional: shrink
+    # the session threshold below the footer bound and the hint must
+    # not be applied (the 100 TB behaviour, where the filtered set is
+    # GBs and the bound says so).
+    from etl_mudah_spark.plans import registry
+
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1b")
+    try:
+        df = registry.REGISTRY["big_orders_preagg"].spark_fn(spark, SF_SMOKE)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in analyzed
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+
+
 def test_materialize_once_local_by_default(spark):
     df = materialize_once(spark.range(10).withColumn("v", F.col("id") * 2))
     assert df.count() == 10

